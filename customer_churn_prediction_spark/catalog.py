@@ -1,0 +1,59 @@
+"""Table catalog over the driver-generated parquet star schema.
+
+Plays the role of the reference's Hive metastore reads
+(``RF/randomforest_churn.scala:43-55`` reads members/sales/goods/points
+via ``spark.sql`` against registered tables). Here tables live as one
+parquet file per table under ``<sf_dir>/``; we expose them both as
+DataFrames and as temp views so operators can use either the DataFrame
+combinator or ``spark.sql`` form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
+) -> None:
+    """Register each table as a temp view (enables the spark.sql path)."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+class Catalog:
+    """Lazy per-table DataFrame access: ``cat.orders``, ``cat.part``, ..."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self._cache: dict[str, DataFrame] = {}
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self._cache:
+            self._cache[name] = load_table(self.spark, self.sf_dir, name)
+        return self._cache[name]
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name in TABLES:
+            return self.table(name)
+        raise AttributeError(name)

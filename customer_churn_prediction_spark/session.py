@@ -1,0 +1,61 @@
+"""SparkSession factory tuned for the engine.
+
+The reference builds its session at ``RF/randomforest_churn.scala:18``
+(``master("yarn")``, Hive support) with all optimizer decisions left to
+Spark defaults. We keep that delegation but turn on the Spark 3/4
+adaptive features that matter at 100 TB: AQE re-planning, partition
+coalescing, and skew-join splitting. Shuffle partition count is sized
+for the local test harness (32 cores) — on a real cluster it should be
+~2-3x total executor cores, or left to AQE's initial-partition logic.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "customer_churn_prediction_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with scale-appropriate defaults.
+
+    Safe to call when a session already exists (e.g. under the driver
+    harness): ``getOrCreate`` reuses it and only applies runtime confs.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
+    elif SparkSession.getActiveSession() is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        builder = builder.master(f"local[{cpus}]")
+
+    conf = {
+        # Determinism: all date/timestamp math in UTC regardless of host tz.
+        "spark.sql.session.timeZone": "UTC",
+        # AQE: runtime re-planning, partition coalescing, skew-join split.
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # Sized for local[32]; a cluster deployment overrides this.
+        "spark.sql.shuffle.partitions": str(
+            shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+        ),
+        # Arrow for any pandas_udf / toPandas path (vectorized transfer).
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # Dim tables (part/customer at our scale) should broadcast.
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        # Keep parquet scans fat enough to amortize task overhead.
+        "spark.sql.files.maxPartitionBytes": str(256 * 1024 * 1024),
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
