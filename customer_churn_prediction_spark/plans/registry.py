@@ -21,9 +21,18 @@ _MODULES = None
 def _modules():
     global _MODULES
     if _MODULES is None:
-        from ..operators import rfm
+        from ..functions import scalars
+        from ..operators import (
+            aggregates,
+            assembly,
+            labeling,
+            relational,
+            rfm,
+            windows,
+        )
 
-        _MODULES = [rfm]
+        _MODULES = [rfm, assembly, labeling, relational, aggregates,
+                    windows, scalars]
     return _MODULES
 
 
