@@ -31,8 +31,10 @@ def _modules():
             windows,
         )
 
+        from ..streaming import windows as stream_windows
+
         _MODULES = [rfm, assembly, labeling, relational, aggregates,
-                    windows, scalars]
+                    windows, scalars, stream_windows]
     return _MODULES
 
 

@@ -1,0 +1,71 @@
+"""Structured Streaming smoke: the streaming form of the tumbling
+aggregation over a file source converges to the batch result, and
+streaming dedup drops in-watermark duplicates."""
+
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from customer_churn_prediction_spark.catalog import load_table
+from customer_churn_prediction_spark.streaming import windows as sw
+
+from .oracle_utils import canonical_rows
+
+
+def _events_dir(spark, sf_smoke):
+    """Stage events as a parquet directory (file stream source needs a
+    directory it can list), with the nanos ts already converted."""
+    tmp = tempfile.mkdtemp(prefix="events_stream_")
+    load_table(spark, sf_smoke, "events").write.mode("overwrite").parquet(tmp)
+    return tmp
+
+
+def test_streaming_tumbling_equals_batch(spark, sf_smoke):
+    src = _events_dir(spark, sf_smoke)
+    try:
+        static = spark.read.parquet(src)
+        stream = sw.as_stream(spark, src, static.schema)
+        q = (
+            sw.streaming_tumbling_counts(stream)
+            .writeStream.format("memory")
+            .queryName("tumbling_smoke")
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = spark.sql("select * from tumbling_smoke").toPandas()
+        finally:
+            q.stop()
+        want = sw.tumbling_counts(spark, sf_smoke).toPandas()
+        assert canonical_rows(got) == canonical_rows(want)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
+def test_streaming_dedup_drops_duplicates(spark, sf_smoke):
+    src = _events_dir(spark, sf_smoke)
+    try:
+        static = spark.read.parquet(src)
+        # Double every event: streaming dedup must collapse them back.
+        static.union(static).write.mode("overwrite").parquet(src + "_dup")
+        stream = sw.as_stream(spark, src + "_dup", static.schema)
+        q = (
+            sw.streaming_dedup(stream)
+            .groupBy()
+            .agg(F.count(F.lit(1)).alias("n"))
+            .writeStream.format("memory")
+            .queryName("dedup_smoke")
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            n = spark.sql("select n from dedup_smoke").collect()[0][0]
+        finally:
+            q.stop()
+        assert n == static.count()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(src + "_dup", ignore_errors=True)
