@@ -32,9 +32,13 @@ def _modules():
         )
 
         from ..streaming import windows as stream_windows
+        from ..similarity import ann
+        from ..text import analysis as text_analysis
+        from ..text import dedup as text_dedup
 
         _MODULES = [rfm, assembly, labeling, relational, aggregates,
-                    windows, scalars, stream_windows]
+                    windows, scalars, stream_windows, text_analysis,
+                    text_dedup, ann]
     return _MODULES
 
 

@@ -1,0 +1,220 @@
+"""Approximate-nearest-neighbor search over the `embeddings` table.
+
+Three tiers, per the north star (BASELINE.json):
+
+* ``ann_bruteforce_topk``   — exact cosine top-k for a query set via a
+  broadcast cross join. Correct at any scale where |queries| is small:
+  the candidate scan stays partition-parallel and nothing shuffles
+  (queries broadcast, per-partition top-k via window).
+* ``embedding_neardup_pairs`` — exact all-pairs near-dup at a cosine
+  threshold. O(n²): only for modest n; the LSH tier replaces it at scale.
+* ``ann_lsh_bucketed``      — random-hyperplane LSH: 4 md5-derived
+  hyperplanes bucket vectors into 16 signature buckets; queries probe
+  their own bucket plus all Hamming-1 neighbors (multiprobe), then
+  rank exact cosine within candidates. The bucket equi-join replaces
+  the O(n²) cross join — this is the 100 TB path.
+
+Cosine math is built from array expressions (``zip_with`` +
+``aggregate`` left fold) on doubles; similarities are rounded to 6dp
+before ranking so both engines order identically (accumulation-order
+float noise is ~1e-14, far below the rounding grid).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+N_QUERIES = 5  # vec_id < 5 plays the query set
+TOP_K = 10
+NEARDUP_THRESHOLD = 0.4
+N_PLANES = 4
+DIM = 64
+
+
+def _vec(col: str):
+    return F.expr(f"transform({col}, x -> cast(x as double))")
+
+
+def _with_norm(df: DataFrame, vcol: str = "v") -> DataFrame:
+    return df.withColumn(
+        "nrm",
+        F.sqrt(
+            F.expr(f"aggregate(transform({vcol}, x -> x * x), 0D, (a, x) -> a + x)")
+        ),
+    )
+
+
+def _cosine(a: str, b: str, na: str, nb: str):
+    dot = F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (a, x) -> a + x)")
+    return F.round(dot / (F.col(na) * F.col(nb)), 6)
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return _with_norm(e.select("vec_id", _vec("embedding").alias("v")))
+
+
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast the query set against all vectors."""
+    e = _embeddings(spark, sf_dir)
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    pairs = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _cosine("qv", "v", "qn", "nrm").alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs cosine near-dup (the O(n²) baseline the LSH
+    variant exists to replace)."""
+    e = _embeddings(spark, sf_dir)
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a", "vec_b", _cosine("va", "vb", "na", "nb").alias("cosine_sim")
+        )
+        .where(F.col("cosine_sim") >= NEARDUP_THRESHOLD)
+    )
+
+
+def _planes() -> list[list[float]]:
+    """Deterministic ±1 hyperplanes derived from md5 — reproducible
+    across sessions with no RNG state."""
+    planes = []
+    for j in range(N_PLANES):
+        comps = []
+        for i in range(DIM):
+            h = hashlib.md5(f"p{j}|d{i}".encode()).hexdigest()
+            comps.append(1.0 if int(h[0], 16) % 2 == 1 else -1.0)
+        planes.append(comps)
+    return planes
+
+
+def _sig_col(vcol: str):
+    """LSH signature: bit j = sign of dot(plane_j, v)."""
+    planes = _planes()
+    bits = []
+    for j, plane in enumerate(planes):
+        arr = "array(" + ", ".join(f"{c}D" for c in plane) + ")"
+        dot = (
+            f"aggregate(zip_with({vcol}, {arr}, (x, y) -> x * y), 0D, "
+            f"(a, x) -> a + x)"
+        )
+        bits.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << j} ELSE 0 END)")
+    return F.expr(" + ".join(bits)).cast("int")
+
+
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN with Hamming-1 multiprobe: candidates come from
+    a signature equi-join instead of a cross join. Rows-only check
+    (the bucketing is not naturally SQL-portable); recall vs the
+    brute-force tier is asserted in tests."""
+    e = _embeddings(spark, sf_dir).withColumn("sig", _sig_col("v"))
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("sig").alias("qsig"),
+    )
+    # Multiprobe: the query's own bucket plus every Hamming-1 bucket.
+    probes = q.select(
+        "query_id", "qv", "qn",
+        F.explode(
+            F.array(
+                F.col("qsig"),
+                *[
+                    F.col("qsig").bitwiseXOR(F.lit(1 << j))
+                    for j in range(N_PLANES)
+                ],
+            )
+        ).alias("sig"),
+    )
+    cands = e.join(F.broadcast(probes), "sig").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cands.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _cosine("qv", "v", "qn", "nrm").alias("cosine_sim"),
+    ).distinct()
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+_E_SQL = """
+e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+  FROM e
+)
+"""
+
+QUERIES = {
+    "ann_bruteforce_topk": ann_bruteforce_topk,
+    "embedding_neardup_pairs": embedding_neardup_pairs,
+    "ann_lsh_bucketed": ann_lsh_bucketed,  # rows-only
+}
+
+ORACLES = {
+    "ann_bruteforce_topk": f"""
+WITH {_E_SQL},
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_sum(list_transform(range(1, len(q.v) + 1),
+                        i -> q.v[i::INT] * c.v[i::INT])) / (q.nrm * c.nrm), 6)
+           AS cosine_sim
+  FROM n q JOIN n c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= {TOP_K}
+""",
+    "embedding_neardup_pairs": f"""
+WITH {_E_SQL}
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_sum(list_transform(range(1, len(a.v) + 1),
+                      i -> a.v[i::INT] * b.v[i::INT])) / (a.nrm * b.nrm), 6)
+         AS cosine_sim
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE round(list_sum(list_transform(range(1, len(a.v) + 1),
+                     i -> a.v[i::INT] * b.v[i::INT])) / (a.nrm * b.nrm), 6)
+      >= {NEARDUP_THRESHOLD}
+""",
+}

@@ -1,0 +1,163 @@
+"""Text-analysis operators over the `documents` table.
+
+Training-data-pipeline primitives (north star, BASELINE.json): token
+counting, quality scoring, language-ID heuristics, and document
+fingerprinting. Everything is built from JVM-side expressions
+(split/transform/aggregate/regexp) — no Python UDFs — so the hot path
+stays inside whole-stage codegen and scales linearly with no shuffle
+(all operators here are per-row map work over the document scan).
+
+Ratio outputs are unrounded int/int IEEE divisions (bit-deterministic
+across engines); weighted quality scores use an explicitly
+parenthesized expression tree so both engines evaluate the identical
+float op sequence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+# Tiny per-language stopword sets for the n-gram/stopword heuristic.
+_EN = ("the", "a", "and", "of", "to", "is")
+_DE = ("der", "die", "das", "und", "ist", "ein")
+_FR = ("le", "la", "et", "est", "un", "une")
+
+
+def _tokens(col):
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality scoring (length / punctuation /
+    stopword ratios combined into a fixed-weight score)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_tokens = F.size(toks).cast("long")
+    n_chars = F.length("text").cast("long")
+    n_alnum = F.length(F.regexp_replace("text", r"[^a-zA-Z0-9\s]", "")).cast("long")
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*_EN))
+    ).cast("long")
+    punct_ratio = (n_chars - n_alnum) / n_chars
+    stop_ratio = stop_hits / n_tokens
+    length_score = F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars_calc"),
+        stop_hits.alias("stopword_hits"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        (
+            (F.lit(0.4) * length_score)
+            + (F.lit(0.3) * (F.lit(1.0) - punct_ratio))
+            + (F.lit(0.3) * stop_ratio)
+        ).alias("quality_score"),
+    )
+
+
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID: count per-language stopword hits and
+    take the argmax (CJK presence short-circuits to 'zh')."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+
+    def hits(words):
+        return F.size(F.filter(toks, lambda t: t.isin(*words))).cast("long")
+
+    en, de, fr = hits(_EN), hits(_DE), hits(_FR)
+    has_cjk = F.col("text").rlike(r"[一-鿿]")
+    guess = (
+        F.when(has_cjk, "zh")
+        .when((en >= de) & (en >= fr) & (en > 0), "en")
+        .when((de >= fr) & (de > 0), "de")
+        .when(fr > 0, "fr")
+        .otherwise("und")
+    )
+    return d.select(
+        "doc_id",
+        en.alias("en_hits"),
+        de.alias("de_hits"),
+        fr.alias("fr_hits"),
+        guess.alias("lang_guess"),
+    )
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization fingerprint: lower → strip punctuation → collapse
+    whitespace → md5. The canonical pre-key for exact dedup."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), r"[^a-z0-9\s]", ""), r"\s+", " "
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        F.length(norm).cast("long").alias("norm_len"),
+    )
+
+
+def _hits_sql(words) -> str:
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return (
+        "CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+        f"t -> t IN ({inlist}))) AS BIGINT)"
+    )
+
+
+QUERIES = {
+    "text_stats": text_stats,
+    "text_lang_id": lang_id_heuristic,
+    "text_fingerprint": doc_fingerprint,
+}
+
+ORACLES = {
+    "text_stats": f"""
+WITH t AS (
+  SELECT doc_id,
+    CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tokens,
+    CAST(length(text) AS BIGINT) AS n_chars_calc,
+    CAST(length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS BIGINT) AS n_alnum,
+    {_hits_sql(_EN)} AS stopword_hits
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_chars_calc, stopword_hits,
+  (n_chars_calc - n_alnum) / CAST(n_chars_calc AS DOUBLE) AS punct_ratio,
+  stopword_hits / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+  (0.4 * least(n_tokens / 100.0, 1.0))
+    + (0.3 * (1.0 - (n_chars_calc - n_alnum) / CAST(n_chars_calc AS DOUBLE)))
+    + (0.3 * (stopword_hits / CAST(n_tokens AS DOUBLE))) AS quality_score
+FROM t
+""",
+    "text_lang_id": f"""
+WITH t AS (
+  SELECT doc_id, text,
+    {_hits_sql(_EN)} AS en_hits,
+    {_hits_sql(_DE)} AS de_hits,
+    {_hits_sql(_FR)} AS fr_hits
+  FROM documents
+)
+SELECT doc_id, en_hits, de_hits, fr_hits,
+  CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+       WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+       WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+       WHEN fr_hits > 0 THEN 'fr'
+       ELSE 'und' END AS lang_guess
+FROM t
+""",
+    "text_fingerprint": """
+WITH t AS (
+  SELECT doc_id,
+    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                        '\\s+', ' ', 'g')) AS norm
+  FROM documents
+)
+SELECT doc_id, md5(norm) AS fingerprint, CAST(length(norm) AS BIGINT) AS norm_len
+FROM t
+""",
+}

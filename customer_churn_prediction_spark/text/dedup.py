@@ -1,0 +1,269 @@
+"""Deduplication operators over the `documents` table.
+
+The four standard scales of text dedup for a training-data pipeline:
+
+* exact      — hash-groupBy on a normalization fingerprint (one shuffle
+               keyed by the hash; trivially scales).
+* minhash    — k=6 MinHash signatures over 5-char shingles, banded
+               2-rows-per-band LSH; candidate pairs come from a
+               self-join on (band, signature) — at 100 TB this is the
+               only join that avoids the O(n²) pair explosion.
+* simhash    — 16-bit SimHash computed entirely with array expressions
+               (no explode, no shuffle: one pass over the scan).
+* n-gram     — exact Jaccard over word 3-gram sets for candidate pairs
+               sharing at least one shingle (the verification stage
+               after LSH).
+
+All hash functions are md5-based so the DuckDB oracle can reproduce
+them bit-for-bit (Spark's default hash() is murmur3 and engine-
+specific; md5 is portable). MinHash "min over md5(seed || shingle)"
+compares hex strings lexicographically — identical in both engines.
+
+Embedding-cosine near-dup lives in similarity/ann.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+N_HASHES = 6
+BAND_ROWS = 2  # 3 bands x 2 rows
+N_BANDS = N_HASHES // BAND_ROWS
+SHINGLE = 5
+JACCARD_THRESHOLD = 0.4
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: keep the lowest doc_id per normalized fingerprint."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), r"[^a-z0-9\s]", ""), r"\s+", " "
+        )
+    )
+    return (
+        d.select(F.md5(norm).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def _minhash_cols():
+    """One MinHash column per seeded hash function: min over all 5-char
+    shingles of md5(seed || shingle), as a hex string."""
+    cols = []
+    for i in range(N_HASHES):
+        expr = (
+            f"array_min(transform(sequence(1, length(text) - {SHINGLE - 1}), "
+            f"i -> md5(concat('h{i}|', substring(text, i, {SHINGLE})))))"
+        )
+        cols.append(F.expr(expr).alias(f"mh{i}"))
+    return cols
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature table: doc_id + k hex-string signature columns.
+    Pure array expressions over the scan — no explode, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", *_minhash_cols())
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: docs agreeing on all rows of >=1 band.
+    Banding turns near-dup search into an equi-join on (band, sig) —
+    the scale-path replacement for the O(n²) cross join."""
+    sigs = minhash_signatures(spark, sf_dir)
+    bands = []
+    for b in range(N_BANDS):
+        parts = [f"mh{b * BAND_ROWS + r}" for r in range(BAND_ROWS)]
+        bands.append(
+            sigs.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.concat_ws("|", *parts).alias("band_sig"),
+            )
+        )
+    exploded = bands[0]
+    for frame in bands[1:]:
+        exploded = exploded.unionAll(frame)
+    left = exploded.alias("a")
+    right = exploded.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash over distinct word tokens, md5-derived bits.
+    Entirely array-expression math: per token take the first 16 bits of
+    md5, accumulate ±1 per bit position, emit the sign vector as an
+    integer. No explode — scales as a pure map over the scan."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = "array_distinct(split(trim(lower(text)), '\\\\s+'))"
+    h = f"transform({toks}, t -> cast(conv(substring(md5(t), 1, 4), 16, 10) as int))"
+    bit_sums = [
+        f"aggregate({h}, 0, (acc, x) -> acc + CASE WHEN (x >> {j}) % 2 = 1 "
+        f"THEN 1 ELSE -1 END)"
+        for j in range(16)
+    ]
+    simhash = " + ".join(
+        f"(CASE WHEN ({bit_sums[j]}) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(16)
+    )
+    return d.select(
+        "doc_id",
+        F.expr(simhash).cast("long").alias("simhash"),
+        F.expr(f"size({toks})").cast("long").alias("n_distinct_tokens"),
+    )
+
+
+def _word_shingles_spark() -> str:
+    toks = "split(trim(lower(text)), '\\\\s+')"
+    return (
+        f"array_distinct(transform(sequence(1, size({toks}) - 2), "
+        f"i -> concat_ws(' ', element_at({toks}, i), "
+        f"element_at({toks}, i + 1), element_at({toks}, i + 2))))"
+    )
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard for every pair sharing >=1 shingle,
+    kept when >= JACCARD_THRESHOLD. The explode + equi-join +
+    count-ratio shape is the standard LSH verification stage."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(F.expr(_word_shingles_spark())).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("co"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        co.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("co") / (F.col("n_a") + F.col("n_b") - F.col("co"))).alias(
+                "jaccard"
+            ),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def _minhash_sql_col(i: int) -> str:
+    return (
+        f"list_min(list_transform(range(1, length(text) - {SHINGLE - 2}), "
+        f"i -> md5('h{i}|' || substring(text, i::INT, {SHINGLE})))) AS mh{i}"
+    )
+
+
+_SIGS_SQL = "SELECT doc_id, " + ", ".join(
+    _minhash_sql_col(i) for i in range(N_HASHES)
+) + " FROM documents"
+
+_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, "
+    + " || '|' || ".join(f"mh{b * BAND_ROWS + r}" for r in range(BAND_ROWS))
+    + " AS band_sig FROM sigs"
+    for b in range(N_BANDS)
+)
+
+_SHINGLES_SQL = """
+SELECT doc_id, unnest(list_distinct(list_transform(
+  range(1, len(string_split_regex(trim(lower(text)), '\\s+')) - 1),
+  i -> string_split_regex(trim(lower(text)), '\\s+')[i] || ' ' ||
+       string_split_regex(trim(lower(text)), '\\s+')[i+1] || ' ' ||
+       string_split_regex(trim(lower(text)), '\\s+')[i+2]))) AS shingle
+FROM documents
+"""
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_signatures": minhash_signatures,
+    "dedup_minhash_lsh_pairs": minhash_lsh_pairs,
+    "dedup_simhash": simhash_signatures,
+    "dedup_ngram_jaccard": ngram_jaccard_pairs,
+}
+
+ORACLES = {
+    "dedup_exact": """
+WITH t AS (
+  SELECT doc_id,
+    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                            '\\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+)
+SELECT fingerprint, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM t GROUP BY fingerprint
+""",
+    "dedup_minhash_signatures": _SIGS_SQL,
+    "dedup_minhash_lsh_pairs": f"""
+WITH sigs AS ({_SIGS_SQL}),
+bands AS ({_BANDS_SQL})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+""",
+    "dedup_simhash": """
+WITH t AS (
+  SELECT doc_id,
+    list_transform(
+      list_distinct(string_split_regex(trim(lower(text)), '\\s+')),
+      tok -> CAST(('0x' || substring(md5(tok), 1, 4)) AS INTEGER)) AS hs,
+    len(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS n_distinct_tokens
+  FROM documents
+)
+SELECT doc_id,
+  CAST((
+"""
+    + " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN (x >> {j}) % 2 = 1 "
+        f"THEN 1 ELSE -1 END)) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(16)
+    )
+    + """
+  ) AS BIGINT) AS simhash,
+  CAST(n_distinct_tokens AS BIGINT) AS n_distinct_tokens
+FROM t
+""",
+    "dedup_ngram_jaccard": f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+co AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS co
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT co.doc_a, co.doc_b,
+       co.co / CAST(sa.n_sh + sb.n_sh - co.co AS DOUBLE) AS jaccard
+FROM co
+JOIN sizes sa ON sa.doc_id = co.doc_a
+JOIN sizes sb ON sb.doc_id = co.doc_b
+WHERE co.co / CAST(sa.n_sh + sb.n_sh - co.co AS DOUBLE) >= {JACCARD_THRESHOLD}
+""",
+}
