@@ -1,0 +1,86 @@
+"""Benchmark harness (driver contract).
+
+Runs the engine's headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Query set: the flagship feature assembly in both physical forms (the
+join chain vs the two-aggregate rewrite), labeling, the heavy text /
+similarity / streaming extensions, and representative operator
+queries — the mix a 100 TB training-data pipeline would actually run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+BENCH_QUERIES = [
+    "feature_assembly_onepass",
+    "feature_assembly",
+    "rfm_groupby",
+    "label_churn",
+    "eval_confusion",
+    "topk_orders",
+    "grouping_sets_revenue",
+    "json_extract_events",
+    "stream_tumbling_counts",
+    "stream_session_windows",
+    "dedup_minhash_signatures",
+    "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard",
+    "text_stats",
+    "ann_lsh_bucketed",
+]
+
+
+def main() -> None:
+    from customer_churn_prediction_spark.plans import get_queries
+    from customer_churn_prediction_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="ccp-spark-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=int(CPUS),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = get_queries()
+
+    # JVM/codegen warm-up on the smallest sf so measured times reflect
+    # steady-state execution, not first-query initialization.
+    queries["rfm_groupby"](spark, "/root/testdata/sf0.001").count()
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        # count() forces full execution of every operator in the plan
+        # without driver-side result materialization cost.
+        fn(spark, SF_DIR).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

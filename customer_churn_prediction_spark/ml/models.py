@@ -1,0 +1,86 @@
+"""Model factories — the reference's four model families on Spark ML.
+
+| reference | ours |
+|---|---|
+| RandomForestClassifier depth 10 / 100 trees / 100 bins (RF/randomforest_churn.scala:259-264) | same class, same params |
+| XGBoost4J-Spark eta .1 / 200 rounds / depth 7 (GBDT/spark/churn_xgb4j_spark.scala:53-61) | GBTClassifier (maxDepth 7, stepSize 0.1); optional SparkXGBClassifier behind an import guard |
+| TF LogisticRegression, 186 one-hot feats (LR/model.py:65-112) | ml.classification.LogisticRegression (elasticNet for its L1/L2) |
+| TF FM k=8 (FM/fm_csv/fm_churn_csv.py:33-38,99-112) | FMClassifier(factorSize=8) — same 2nd-order identity |
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.classification import (
+    FMClassifier,
+    GBTClassifier,
+    LogisticRegression,
+    RandomForestClassifier,
+)
+
+SEED = 42
+
+
+def random_forest(label_col: str = "label") -> RandomForestClassifier:
+    return RandomForestClassifier(
+        labelCol=label_col,
+        featuresCol="features",
+        maxDepth=10,
+        numTrees=100,
+        maxBins=100,
+        seed=SEED,
+    )
+
+
+def gbt(label_col: str = "label") -> GBTClassifier:
+    return GBTClassifier(
+        labelCol=label_col,
+        featuresCol="features",
+        maxDepth=7,
+        stepSize=0.1,
+        maxIter=50,
+        seed=SEED,
+    )
+
+
+def logistic_regression(label_col: str = "label") -> LogisticRegression:
+    return LogisticRegression(
+        labelCol=label_col,
+        featuresCol="features",
+        maxIter=100,
+        regParam=0.01,
+        elasticNetParam=0.0,
+    )
+
+
+def fm(label_col: str = "label") -> FMClassifier:
+    return FMClassifier(
+        labelCol=label_col,
+        featuresCol="features",
+        factorSize=8,
+        stepSize=0.1,
+        seed=SEED,
+    )
+
+
+def xgboost_or_none(label_col: str = "label"):
+    """SparkXGBClassifier if the optional dep is present (the reference's
+    XGBoost4J-Spark path, GBDT/spark/churn_xgb4j_spark.scala:53-61)."""
+    try:
+        from xgboost.spark import SparkXGBClassifier  # type: ignore
+    except ImportError:
+        return None
+    return SparkXGBClassifier(
+        label_col=label_col,
+        features_col="features",
+        eta=0.1,
+        max_depth=7,
+        num_round=200,
+    )
+
+
+MODEL_FACTORIES = {
+    "rf": random_forest,
+    "gbt": gbt,
+    "lr": logistic_regression,
+    "fm": fm,
+}

@@ -32,13 +32,16 @@ def _modules():
         )
 
         from ..streaming import windows as stream_windows
+        from ..ml import jobs as ml_jobs
+        from ..ml import pipeline as ml_pipeline
         from ..similarity import ann
+        from ..sources import multimodal
         from ..text import analysis as text_analysis
         from ..text import dedup as text_dedup
 
         _MODULES = [rfm, assembly, labeling, relational, aggregates,
                     windows, scalars, stream_windows, text_analysis,
-                    text_dedup, ann]
+                    text_dedup, ann, ml_pipeline, ml_jobs, multimodal]
     return _MODULES
 
 

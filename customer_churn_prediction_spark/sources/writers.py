@@ -1,0 +1,90 @@
+"""Sink writers (S7-S13).
+
+| ref sink | here |
+|---|---|
+| ORC managed table (S9, RF/randomforest_churn.scala:225) | parquet ``saveAsTable`` (columnar-at-rest successor) |
+| JDBC (S10, GBDT/spark/utils.scala:109-116) | ``df.write.jdbc`` passthrough (same API) |
+| HBase KV w/ MD5-salted rowkey (S11, GBDT/spark/utils.scala:125-156) | salted-key parquet export partitioned by salt bucket |
+| libsvm text via featindex dict (S7, FM/fm_libsvm/libsvm_transform.py:11-24) | expression-built libsvm lines (no UDF) from a fitted one-hot pipeline |
+| Flask/TF-Serving scoring (S13, GBDT/python/churn_xgb_server.py) | batch scoring job: model.transform + to_json |
+
+The salted export is the 100 TB pattern for hot sequential keys: the
+MD5 prefix spreads writes across ``n_buckets`` partitions instead of
+hammering one region/file.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.functions import vector_to_array
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def save_as_table(df: DataFrame, table: str, mode: str = "overwrite") -> None:
+    """S9: managed columnar table (parquet; reference used ORC)."""
+    df.write.format("parquet").mode(mode).saveAsTable(table)
+
+
+def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append",
+               properties: dict | None = None) -> None:
+    """S10: relational sink — same call shape as GBDT/spark/utils.scala:115."""
+    df.write.mode(mode).jdbc(url, table, properties=properties or {})
+
+
+def salted_keyed_export(
+    df: DataFrame, key_col: str, path: str, n_buckets: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """S11/F9: rowkey = md5-salt prefix + key, partitioned by salt
+    bucket (GBDT/spark/utils.scala:125-132's makeRowKey, minus HBase)."""
+    key = F.col(key_col).cast("string")
+    out = df.withColumn(
+        "salt_bucket",
+        (F.conv(F.substring(F.md5(key), 1, 2), 16, 10).cast("int") % n_buckets),
+    ).withColumn("row_key", F.concat_ws("_", F.substring(F.md5(key), 1, 4), key))
+    out.write.mode(mode).partitionBy("salt_bucket").parquet(path)
+
+
+def to_libsvm_lines(vectorized: DataFrame, label_col: str = "label",
+                    features_col: str = "features") -> DataFrame:
+    """S7: one libsvm text line per row, built from expressions only
+    (the reference does this row-at-a-time in Python,
+    FM/fm_libsvm/libsvm_transform.py:11-24; here the dictionary lookup
+    already happened inside the fitted one-hot pipeline).
+
+    Emits ``label slot:value`` with only non-zero slots. Indices are
+    ONE-based: that is what Spark's ``format("libsvm")`` reader (and
+    classic libsvm tooling) require; the reference's Python path used
+    sklearn's ``zero_based=True`` variant (FM/fm_libsvm/
+    fm_churn_libsvm.py:75) — same codec, shifted by one.
+    """
+    arr = vector_to_array(F.col(features_col))
+    pairs = F.array_compact(
+        F.transform(
+            arr,
+            lambda x, i: F.when(
+                x != 0,
+                F.concat_ws(":", (i + 1).cast("string"), x.cast("string")),
+            ),
+        )
+    )
+    return vectorized.select(
+        F.concat_ws(
+            " ", F.col(label_col).cast("string"), F.array_join(pairs, " ")
+        ).alias("line")
+    )
+
+
+def batch_score_to_json(model, df: DataFrame, id_col: str) -> DataFrame:
+    """S13 replacement: serving-as-a-batch-job. Scores with the fitted
+    pipeline and emits the REST-style JSON response records."""
+    scored = model.transform(df)
+    return scored.select(
+        F.to_json(
+            F.struct(
+                F.col(id_col),
+                F.col("prediction").cast("int").alias("prediction"),
+                vector_to_array("probability").getItem(1).alias("p1"),
+            )
+        ).alias("response")
+    )

@@ -76,19 +76,20 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Banding turns near-dup search into an equi-join on (band, sig) —
     the scale-path replacement for the O(n²) cross join."""
     sigs = minhash_signatures(spark, sf_dir)
-    bands = []
-    for b in range(N_BANDS):
-        parts = [f"mh{b * BAND_ROWS + r}" for r in range(BAND_ROWS)]
-        bands.append(
-            sigs.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                F.concat_ws("|", *parts).alias("band_sig"),
+    # posexplode over the band array: signatures are computed ONCE per
+    # scan side (a per-band union would recompute the md5 minhash
+    # family once per band per side — 6x the hashing work).
+    band_arr = F.array(
+        *[
+            F.concat_ws(
+                "|", *[f"mh{b * BAND_ROWS + r}" for r in range(BAND_ROWS)]
             )
-        )
-    exploded = bands[0]
-    for frame in bands[1:]:
-        exploded = exploded.unionAll(frame)
+            for b in range(N_BANDS)
+        ]
+    )
+    exploded = sigs.select(
+        "doc_id", F.posexplode(band_arr).alias("band", "band_sig")
+    )
     left = exploded.alias("a")
     right = exploded.alias("b")
     return (
@@ -130,11 +131,18 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _word_shingles_spark() -> str:
+    """Word-3-gram shingles as 60-bit md5-derived longs: the equi-join
+    key is 8 bytes instead of a ~30-char string, shrinking the shuffle.
+    A same-hash collision changes both engines identically (same md5),
+    so oracle parity is preserved."""
     toks = "split(trim(lower(text)), '\\\\s+')"
+    gram = (
+        f"concat_ws(' ', element_at({toks}, i), "
+        f"element_at({toks}, i + 1), element_at({toks}, i + 2))"
+    )
     return (
         f"array_distinct(transform(sequence(1, size({toks}) - 2), "
-        f"i -> concat_ws(' ', element_at({toks}, i), "
-        f"element_at({toks}, i + 1), element_at({toks}, i + 2))))"
+        f"i -> cast(conv(substring(md5({gram}), 1, 15), 16, 10) as bigint)))"
     )
 
 
@@ -196,9 +204,10 @@ _BANDS_SQL = " UNION ALL ".join(
 _SHINGLES_SQL = """
 SELECT doc_id, unnest(list_distinct(list_transform(
   range(1, len(string_split_regex(trim(lower(text)), '\\s+')) - 1),
-  i -> string_split_regex(trim(lower(text)), '\\s+')[i] || ' ' ||
-       string_split_regex(trim(lower(text)), '\\s+')[i+1] || ' ' ||
-       string_split_regex(trim(lower(text)), '\\s+')[i+2]))) AS shingle
+  i -> CAST(('0x' || substring(md5(
+         string_split_regex(trim(lower(text)), '\\s+')[i] || ' ' ||
+         string_split_regex(trim(lower(text)), '\\s+')[i+1] || ' ' ||
+         string_split_regex(trim(lower(text)), '\\s+')[i+2]), 1, 15)) AS BIGINT)))) AS shingle
 FROM documents
 """
 

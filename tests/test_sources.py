@@ -1,0 +1,90 @@
+"""Sink/source round-trips (SURVEY §5.3): libsvm codec round-trip,
+salted keyed export, managed-table write, csv/json readers, batch
+scoring output."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from customer_churn_prediction_spark.catalog import load_table
+from customer_churn_prediction_spark.ml import dataset, pipeline
+from customer_churn_prediction_spark.sources import readers, writers
+
+
+def test_csv_roundtrip(spark, sf_dir, tmp_path):
+    src = load_table(spark, sf_dir, "nation")
+    p = str(tmp_path / "nation_csv")
+    src.write.option("header", "true").csv(p)
+    back = readers.read_csv(spark, p)
+    assert sorted(r.n_name for r in back.collect()) == sorted(
+        r.n_name for r in src.collect()
+    )
+
+
+def test_json_records_roundtrip(spark, sf_dir, tmp_path):
+    src = load_table(spark, sf_dir, "region")
+    p = str(tmp_path / "region_json")
+    src.write.json(p)
+    back = readers.read_json_records(spark, p)
+    assert back.count() == src.count()
+
+
+def test_libsvm_roundtrip(spark, sf_dir, tmp_path):
+    """CSV -> fitted one-hot pipeline -> libsvm text -> format('libsvm')
+    reader -> identical vectors (the reference's golden-pair check,
+    LR/data/churn_train_sample.csv vs .svm)."""
+    data = dataset.churn_training_set(spark, sf_dir).limit(200)
+    fitted = pipeline.build_feature_pipeline().fit(data)
+    vec = fitted.transform(data).select("label", "features")
+    width = vec.head().features.size
+
+    lines = writers.to_libsvm_lines(vec)
+    p = str(tmp_path / "churn_svm")
+    lines.coalesce(1).write.mode("overwrite").text(p)
+
+    back = readers.read_libsvm(spark, p, num_features=width)
+    orig = sorted(
+        (float(r.label), tuple(round(x, 6) for x in r.features.toArray()))
+        for r in vec.collect()
+    )
+    rt = sorted(
+        (float(r.label), tuple(round(x, 6) for x in r.features.toArray()))
+        for r in back.collect()
+    )
+    assert rt == orig
+
+
+def test_salted_keyed_export(spark, sf_dir, tmp_path):
+    src = load_table(spark, sf_dir, "customer")
+    p = str(tmp_path / "salted")
+    writers.salted_keyed_export(src, "c_custkey", p, n_buckets=8)
+    back = spark.read.parquet(p)
+    assert back.count() == src.count()
+    assert back.select("salt_bucket").distinct().count() == 8
+    row = back.where(F.col("c_custkey") == 1).head()
+    assert row.row_key.endswith("_1") and len(row.row_key.split("_")[0]) == 4
+
+
+def test_save_as_table(spark, sf_dir):
+    writers.save_as_table(
+        load_table(spark, sf_dir, "region"), "region_managed"
+    )
+    assert spark.table("region_managed").count() == 5
+    spark.sql("DROP TABLE region_managed")
+
+
+def test_batch_score_to_json(spark, sf_dir):
+    from pyspark.ml import Pipeline
+
+    from customer_churn_prediction_spark.ml import models
+
+    data = dataset.churn_training_set(spark, sf_dir)
+    pipe = Pipeline(
+        stages=[*pipeline.build_feature_pipeline().getStages(),
+                models.logistic_regression()]
+    )
+    fitted = pipe.fit(data)
+    out = writers.batch_score_to_json(fitted, data.limit(5), "c_custkey")
+    rows = [json.loads(r.response) for r in out.collect()]
+    assert len(rows) == 5
+    assert all({"c_custkey", "prediction", "p1"} <= set(r) for r in rows)
