@@ -26,7 +26,20 @@ TABLES = (
 )
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
+    """Load one star-schema table.
+
+    ``spread=True`` round-robin repartitions the scan up to the session's
+    default parallelism when the file yields fewer splits. Parquet
+    parallelism follows file/row-group count, so a small table (documents,
+    embeddings) arrives as ONE task — fine for a cheap projection,
+    disastrous when every row carries heavy expression work (minhash
+    families, shingle explosion, dot products): the whole operator runs
+    on one core. On a real cluster with many files the condition is
+    false and this is a no-op.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
@@ -37,10 +50,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if spread:
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
+    return df
 
 
 def register_views(

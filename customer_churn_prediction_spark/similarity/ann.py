@@ -55,7 +55,7 @@ def _cosine(a: str, b: str, na: str, nb: str):
 
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings", spread=True)
     return _with_norm(e.select("vec_id", _vec("embedding").alias("v")))
 
 

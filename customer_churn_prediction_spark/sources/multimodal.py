@@ -38,7 +38,7 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize a media table: documents' text bytes play the opaque
     binary payload (binary column + typed metadata), exactly the
     schema a real image/audio table would have."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", spread=True)
     return d.select(
         "doc_id",
         F.encode("text", "UTF-8").alias("media_bytes"),

@@ -16,8 +16,9 @@ The four standard scales of text dedup for a training-data pipeline:
 
 All hash functions are md5-based so the DuckDB oracle can reproduce
 them bit-for-bit (Spark's default hash() is murmur3 and engine-
-specific; md5 is portable). MinHash "min over md5(seed || shingle)"
-compares hex strings lexicographically — identical in both engines.
+specific; md5 is portable). MinHash takes k disjoint hex slices of one
+md5 per shingle; fixed-width hex compares lexicographically ==
+numerically, identical in both engines.
 
 Embedding-cosine near-dup lives in similarity/ann.py.
 """
@@ -51,24 +52,34 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_cols():
-    """One MinHash column per seeded hash function: min over all 5-char
-    shingles of md5(seed || shingle), as a hex string."""
-    cols = []
-    for i in range(N_HASHES):
-        expr = (
-            f"array_min(transform(sequence(1, length(text) - {SHINGLE - 1}), "
-            f"i -> md5(concat('h{i}|', substring(text, i, {SHINGLE})))))"
-        )
-        cols.append(F.expr(expr).alias(f"mh{i}"))
-    return cols
-
-
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signature table: doc_id + k hex-string signature columns.
-    Pure array expressions over the scan — no explode, no shuffle."""
-    d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", *_minhash_cols())
+    Pure array expressions over the scan — no explode, no shuffle.
+
+    The k hash functions are k disjoint 5-hex-digit (20-bit) slices of a
+    SINGLE md5 per shingle: one digest call per shingle instead of k
+    seeded ones, a k-fold cut in the dominant cost of signature
+    computation. Fixed-width hex slices compare lexicographically ==
+    numerically, so array_min is a true minhash. The two-project shape
+    (hash array first, mins second) survives CollapseProject because
+    Catalyst no longer inlines non-cheap expressions used k times."""
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    hashed = d.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(1, length(text) - {SHINGLE - 1}), "
+            f"i -> md5(substring(text, i, {SHINGLE})))"
+        ).alias("hs"),
+    )
+    return hashed.select(
+        "doc_id",
+        *[
+            F.expr(
+                f"array_min(transform(hs, h -> substring(h, {5 * i + 1}, 5)))"
+            ).alias(f"mh{i}")
+            for i in range(N_HASHES)
+        ],
+    )
 
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -111,7 +122,7 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     Entirely array-expression math: per token take the first 16 bits of
     md5, accumulate ±1 per bit position, emit the sign vector as an
     integer. No explode — scales as a pure map over the scan."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", spread=True)
     toks = "array_distinct(split(trim(lower(text)), '\\\\s+'))"
     h = f"transform({toks}, t -> cast(conv(substring(md5(t), 1, 4), 16, 10) as int))"
     bit_sums = [
@@ -150,7 +161,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard for every pair sharing >=1 shingle,
     kept when >= JACCARD_THRESHOLD. The explode + equi-join +
     count-ratio shape is the standard LSH verification stage."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", spread=True)
     sh = d.select(
         "doc_id", F.explode(F.expr(_word_shingles_spark())).alias("shingle")
     )
@@ -183,16 +194,17 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sql_col(i: int) -> str:
-    return (
-        f"list_min(list_transform(range(1, length(text) - {SHINGLE - 2}), "
-        f"i -> md5('h{i}|' || substring(text, i::INT, {SHINGLE})))) AS mh{i}"
+_SIGS_SQL = (
+    "WITH h AS (SELECT doc_id, "
+    f"list_transform(range(1, length(text) - {SHINGLE - 2}), "
+    f"i -> md5(substring(text, i::INT, {SHINGLE}))) AS hs FROM documents) "
+    "SELECT doc_id, "
+    + ", ".join(
+        f"list_min(list_transform(hs, x -> substring(x, {5 * i + 1}, 5))) AS mh{i}"
+        for i in range(N_HASHES)
     )
-
-
-_SIGS_SQL = "SELECT doc_id, " + ", ".join(
-    _minhash_sql_col(i) for i in range(N_HASHES)
-) + " FROM documents"
+    + " FROM h"
+)
 
 _BANDS_SQL = " UNION ALL ".join(
     f"SELECT doc_id, {b} AS band, "
