@@ -34,6 +34,9 @@ BENCH_QUERIES = [
     "json_extract_events",
     "stream_tumbling_counts",
     "stream_session_windows",
+    "asof_join_clicks",
+    "range_join_events",
+    "ann_ivf",
     "dedup_minhash_signatures",
     "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard",

@@ -1,0 +1,156 @@
+"""As-of and range joins over the `events` table.
+
+The reference has no temporal joins (SURVEY §2.3: range *predicates*
+only, `RF/randomforest_churn.scala:89,44-45`); these are the north-star
+temporal extensions a training-data pipeline needs (sessionized
+attribution, point-in-time feature lookup).
+
+Scale notes:
+
+* ``asof_join_clicks`` uses the union + ordered-window form — ONE
+  shuffle on user_id, no pair explosion — instead of the naive
+  range-join + top-1 (which materializes every (purchase, click)
+  candidate pair before pruning). This is the 100 TB as-of pattern:
+  state per user is a single running value, and the sort is the same
+  per-key sort a range join would need anyway.
+* ``range_join_events`` keeps the explicit pair form (equi-join on
+  user_id + range predicate on ts) for the aggregate-over-window-of-
+  pairs shape where every pair IS the answer; the equi key keeps it a
+  hash join, never a cartesian.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+_TS_FMT_US = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def asof_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase event: the most recent click (ts <= purchase
+    ts) by the same user, as-of semantics with ties-include (a click at
+    exactly the purchase timestamp matches).
+
+    Union both sides, one window per user ordered by (ts, side,
+    event_id), carry the last non-null click payload forward, keep the
+    purchase rows."""
+    e = load_table(spark, sf_dir, "events")
+    cp = e.where(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        (F.col("event_type") == "purchase").cast("int").alias("is_p"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_val = F.last(
+        F.when(F.col("is_p") == 0, F.col("value")), ignorenulls=True
+    ).over(w)
+    click_ts = F.last(
+        F.when(F.col("is_p") == 0, F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        cp.withColumn("last_click_value", click_val)
+        .withColumn("last_click_ts", F.date_format(click_ts, _TS_FMT_US))
+        .where(F.col("is_p") == 1)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.date_format("ts", _TS_FMT_US).alias("purchase_ts"),
+            "last_click_ts",
+            "last_click_value",
+        )
+    )
+
+
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per purchase: count + value sum of same-user clicks in the
+    preceding hour (inclusive bounds). Equi-join on user_id keeps this
+    a hash/sort-merge join; the ts range is a post-join predicate."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    c = e.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("value").alias("c_value")
+    )
+    joined = p.join(
+        c,
+        (p.user_id == c.user_id)
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    return joined.groupBy(
+        "purchase_id", p.user_id.alias("user_id"), "p_ts"
+    ).agg(
+        F.count("c_ts").alias("n_clicks_1h"),
+        F.round(F.coalesce(F.sum("c_value"), F.lit(0.0)), 2).alias(
+            "click_value_1h"
+        ),
+    ).select(
+        "purchase_id",
+        "user_id",
+        F.date_format("p_ts", _TS_FMT_US).alias("purchase_ts"),
+        "n_clicks_1h",
+        "click_value_1h",
+    )
+
+
+QUERIES = {
+    "asof_join_clicks": asof_join_clicks,
+    "range_join_events": range_join_events,
+}
+
+ORACLES = {
+    "asof_join_clicks": """
+WITH cp AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+w AS (
+  SELECT *,
+    last_value(CASE WHEN is_p = 0 THEN value END IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts, is_p, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_value,
+    last_value(CASE WHEN is_p = 0 THEN ts END IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts, is_p, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+  FROM cp
+)
+SELECT event_id AS purchase_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       strftime(last_click_ts, '%Y-%m-%d %H:%M:%S.%f') AS last_click_ts,
+       last_click_value
+FROM w WHERE is_p = 1
+""",
+    "range_join_events": """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS p_ts
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, ts AS c_ts, value AS c_value
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.purchase_id, p.user_id,
+       strftime(p.p_ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       count(c.c_ts) AS n_clicks_1h,
+       round(coalesce(sum(c.c_value), 0.0), 2) AS click_value_1h
+FROM p LEFT JOIN c
+  ON p.user_id = c.user_id
+ AND c.c_ts <= p.p_ts
+ AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
+GROUP BY p.purchase_id, p.user_id, p.p_ts
+""",
+}

@@ -24,6 +24,7 @@ def _modules():
         from ..functions import scalars
         from ..operators import (
             aggregates,
+            asof,
             assembly,
             labeling,
             relational,
@@ -31,6 +32,7 @@ def _modules():
             windows,
         )
 
+        from ..streaming import stateful as stream_stateful
         from ..streaming import windows as stream_windows
         from ..ml import jobs as ml_jobs
         from ..ml import pipeline as ml_pipeline
@@ -40,8 +42,9 @@ def _modules():
         from ..text import dedup as text_dedup
 
         _MODULES = [rfm, assembly, labeling, relational, aggregates,
-                    windows, scalars, stream_windows, text_analysis,
-                    text_dedup, ann, ml_pipeline, ml_jobs, multimodal]
+                    windows, asof, scalars, stream_windows,
+                    stream_stateful, text_analysis, text_dedup, ann,
+                    ml_pipeline, ml_jobs, multimodal]
     return _MODULES
 
 

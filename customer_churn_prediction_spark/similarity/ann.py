@@ -171,6 +171,71 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_CENTROIDS = 8  # vec_id in [100, 108) play the coarse centroids
+N_PROBE = 2
+
+
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest of
+    ``N_CENTROIDS`` fixed coarse centroids (rows vec_id 100..107 — a
+    deterministic stand-in for a k-means fit); queries probe their
+    ``N_PROBE`` closest cells and rank exact cosine within them.
+
+    The centroid table is tiny → broadcast on both the assignment and
+    probe joins; the only shuffle is the final per-query top-k window.
+    At 100 TB the inverted lists would be written bucketed by
+    ``centroid_id`` so the probe join is partition-pruned."""
+    e = _embeddings(spark, sf_dir)
+    cents = e.where(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + N_CENTROIDS)
+    ).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    # Nearest cell per vector (rank by cosine, ties broken by id).
+    sim = _cosine("v", "cv", "nrm", "cn")
+    wc = Window.partitionBy("vec_id").orderBy(
+        F.col("c_sim").desc(), F.col("centroid_id")
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("c_sim", sim)
+        .withColumn("c_rank", F.row_number().over(wc))
+        .where(F.col("c_rank") == 1)
+        .select("vec_id", "v", "nrm", "centroid_id")
+    )
+    probes = (
+        e.where(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(cents))
+        .withColumn("c_sim", sim)
+        .withColumn("c_rank", F.row_number().over(wc))
+        .where(F.col("c_rank") <= N_PROBE)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            "centroid_id",
+        )
+    )
+    cands = assigned.join(F.broadcast(probes), "centroid_id").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cands.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _cosine("qv", "v", "qn", "nrm").alias("cosine_sim"),
+    ).distinct()
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 _E_SQL = """
 e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -187,6 +252,7 @@ QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "ann_lsh_bucketed": ann_lsh_bucketed,  # rows-only
+    "ann_ivf": ann_ivf,
 }
 
 ORACLES = {
@@ -216,5 +282,41 @@ FROM n a JOIN n b ON a.vec_id < b.vec_id
 WHERE round(list_sum(list_transform(range(1, len(a.v) + 1),
                      i -> a.v[i::INT] * b.v[i::INT])) / (a.nrm * b.nrm), 6)
       >= {NEARDUP_THRESHOLD}
+""",
+    "ann_ivf": f"""
+WITH {_E_SQL},
+cents AS (
+  SELECT vec_id AS centroid_id, v AS cv, nrm AS cn
+  FROM n WHERE vec_id >= 100 AND vec_id < {100 + N_CENTROIDS}
+),
+asg AS (
+  SELECT vec_id, v, nrm, centroid_id, c_sim,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY c_sim DESC, centroid_id) AS c_rank
+  FROM (
+    SELECT n.vec_id, n.v, n.nrm, c.centroid_id,
+           round(list_sum(list_transform(range(1, len(n.v) + 1),
+                          i -> n.v[i::INT] * c.cv[i::INT])) / (n.nrm * c.cn), 6)
+             AS c_sim
+    FROM n CROSS JOIN cents c)
+),
+assigned AS (SELECT vec_id, v, nrm, centroid_id FROM asg WHERE c_rank = 1),
+probes AS (
+  SELECT vec_id AS query_id, v AS qv, nrm AS qn, centroid_id
+  FROM asg WHERE vec_id < {N_QUERIES} AND c_rank <= {N_PROBE}
+),
+scored AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
+         round(list_sum(list_transform(range(1, len(p.qv) + 1),
+                        i -> p.qv[i::INT] * a.v[i::INT])) / (p.qn * a.nrm), 6)
+           AS cosine_sim
+  FROM assigned a JOIN probes p USING (centroid_id)
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id) AS rank
+  FROM scored)
+WHERE rank <= {TOP_K}
 """,
 }

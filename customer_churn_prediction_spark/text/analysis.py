@@ -86,6 +86,27 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    segmentation (letter runs | single digits | single punctuation —
+    the GPT-2 pre-tokenizer shape without the merges table). The
+    chars-per-token ratio is the usual budget estimator for LLM
+    training data. Pure regexp work — stays in codegen, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    ws_tokens = F.size(_tokens(F.col("text"))).cast("long")
+    bpe = F.expr(
+        r"size(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]', 0))"
+    ).cast("long")
+    n_chars = F.length("text").cast("long")
+    return d.select(
+        "doc_id",
+        ws_tokens.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        n_chars.alias("n_chars_calc"),
+        (n_chars / bpe).alias("chars_per_token"),
+    )
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalization fingerprint: lower → strip punctuation → collapse
     whitespace → md5. The canonical pre-key for exact dedup."""
@@ -113,6 +134,7 @@ def _hits_sql(words) -> str:
 QUERIES = {
     "text_stats": text_stats,
     "text_lang_id": lang_id_heuristic,
+    "text_token_counts": token_counts,
     "text_fingerprint": doc_fingerprint,
 }
 
@@ -148,6 +170,18 @@ SELECT doc_id, en_hits, de_hits, fr_hits,
        WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
        WHEN fr_hits > 0 THEN 'fr'
        ELSE 'und' END AS lang_guess
+FROM t
+""",
+    "text_token_counts": """
+WITH t AS (
+  SELECT doc_id,
+    CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS ws_tokens,
+    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens,
+    CAST(length(text) AS BIGINT) AS n_chars_calc
+  FROM documents
+)
+SELECT doc_id, ws_tokens, bpe_tokens, n_chars_calc,
+       n_chars_calc / CAST(bpe_tokens AS DOUBLE) AS chars_per_token
 FROM t
 """,
     "text_fingerprint": """

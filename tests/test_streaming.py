@@ -44,6 +44,38 @@ def test_streaming_tumbling_equals_batch(spark, sf_smoke):
         shutil.rmtree(src, ignore_errors=True)
 
 
+def test_streaming_stateful_user_totals_converges(spark, sf_smoke):
+    """applyInPandasWithState running totals: after draining the
+    stream, the last update per user equals the batch aggregate."""
+    from customer_churn_prediction_spark.streaming import stateful as st
+
+    src = _events_dir(spark, sf_smoke)
+    try:
+        static = spark.read.parquet(src)
+        stream = sw.as_stream(spark, src, static.schema)
+        q = (
+            st.streaming_user_totals(stream)
+            .writeStream.format("memory")
+            .queryName("stateful_smoke")
+            .outputMode("update")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = spark.sql(
+                "select user_id, n_events, value_sum from stateful_smoke"
+            ).toPandas()
+        finally:
+            q.stop()
+        # One update row per (user, micro-batch); keep the final state
+        # per user = the row with the max running count.
+        final = got.sort_values("n_events").groupby("user_id").tail(1)
+        want = st.user_totals(spark, sf_smoke).toPandas()
+        assert canonical_rows(final) == canonical_rows(want)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
 def test_streaming_dedup_drops_duplicates(spark, sf_smoke):
     src = _events_dir(spark, sf_smoke)
     try:
