@@ -86,6 +86,38 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+
+def pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (the relational form of the reference's 13 flag-joins,
+    J4 → max(when) note at SURVEY §2.3): order counts by status with
+    one column per priority. Values are listed explicitly — an
+    unlisted pivot needs an extra distinct-collect job and makes the
+    output schema data-dependent, both wrong at scale."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", list(_PRIORITIES))
+        .count()
+        .na.fill(0)
+    )
+
+
+def percentile_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (p25/p50/p75) of l_quantity per return flag.
+    Integer-valued input makes the linear interpolation exact in
+    binary (quarter fractions of ints), so both engines agree
+    bit-for-bit. The approx path at 100 TB is approx_percentile
+    (t-digest) — same call shape, bounded memory."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.25).alias("q25"),
+        F.percentile("l_quantity", 0.5).alias("q50"),
+        F.percentile("l_quantity", 0.75).alias("q75"),
+    )
+
+
 def eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8/M10 as pure SQL: confusion counts + accuracy/precision/recall/F1
     for the rule model ``pred = 1 if recency > 90`` against the churn
@@ -123,6 +155,8 @@ QUERIES = {
     "avg_by_segment": avg_by_segment,
     "approx_distinct_users": approx_distinct_users,  # rows-only
     "grouping_sets_revenue": grouping_sets_revenue,
+    "pivot_status_priority": pivot_status_priority,
+    "percentile_quantity": percentile_quantity,
     "eval_confusion": eval_confusion,
 }
 
@@ -144,6 +178,24 @@ SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
        round(sum(o_totalprice), 2) AS revenue
 FROM orders WHERE {_WINDOW_PRED_SQL}
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+    "pivot_status_priority": """
+SELECT o_orderstatus,
+"""
+    + ",\n".join(
+        f"  CAST(sum(CASE WHEN o_orderpriority = '{p}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f' AS "{p}"'
+        for p in _PRIORITIES
+    )
+    + """
+FROM orders GROUP BY o_orderstatus
+""",
+    "percentile_quantity": """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS q25,
+       quantile_cont(l_quantity, 0.5) AS q50,
+       quantile_cont(l_quantity, 0.75) AS q75
+FROM lineitem GROUP BY l_returnflag
 """,
     "eval_confusion": f"""
 WITH labeled AS ({LABEL_ORACLE}),

@@ -124,6 +124,41 @@ def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SALT_BUCKETS = 8
+
+
+def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation pattern: salted equi-join. The fact side gets a
+    deterministic salt from its join key (crc32 % B); the dimension
+    side is exploded B-fold so every (key, salt) pair exists; the join
+    runs on the composite key, splitting a hot key's rows across B
+    reducers. The result is provably identical to the plain join
+    (oracle = unsalted SQL); AQE's skew-join split is the automatic
+    alternative, but explicit salting also fixes skewed AGGREGATIONS
+    and pre-AQE engines, so the engine exposes it as an operator."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    salted_fact = orders.withColumn(
+        "salt", F.crc32(F.col("o_custkey").cast("string")) % _SALT_BUCKETS
+    )
+    salted_dim = customer.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(_SALT_BUCKETS)]))
+    ).withColumn("salt", F.col("salt").cast("long"))
+    joined = salted_fact.join(
+        salted_dim,
+        (salted_fact.o_custkey == salted_dim.c_custkey)
+        & (salted_fact.salt == salted_dim.salt),
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
 _BUYERS_CTE = f"""
 detail AS (
   SELECT o.o_custkey, p.p_type
@@ -144,6 +179,7 @@ QUERIES = {
     "topk_orders": topk_orders,
     "set_ops_buyers": set_ops_buyers,
     "distinct_pairs": distinct_pairs,
+    "salted_join_revenue": salted_join_revenue,
 }
 
 ORACLES = {
@@ -189,5 +225,12 @@ SELECT c_custkey, 'economy_only' AS tag FROM (SELECT * FROM economy EXCEPT SELEC
     "distinct_pairs": f"""
 SELECT DISTINCT o_custkey AS c_custkey, o_orderpriority
 FROM orders WHERE {_WINDOW_PRED_SQL}
+""",
+    # The salted join must equal the PLAIN join — that's the point.
+    "salted_join_revenue": """
+SELECT c.c_mktsegment, count(*) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
 """,
 }

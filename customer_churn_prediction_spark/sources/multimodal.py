@@ -101,8 +101,71 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media_table(spark, sf_dir))
 
 
+_FRAME_SCHEMA = "doc_id long, frame_idx long, frame_bytes binary, frame_len long"
+_N_FRAMES = 4
+_RESIZE_SCHEMA = "doc_id long, media_type string, thumb binary"
+
+
+def frame_sample(media: DataFrame, n_frames: int = _N_FRAMES) -> DataFrame:
+    """Video frame sampling shape: one media row fans out to
+    ``n_frames`` evenly spaced 'frames' (byte slices stand in for
+    decoded frames). mapInPandas so a real decoder drops in without
+    changing the plan; the fan-out happens executor-side per Arrow
+    batch — the driver never sees media bytes."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"doc_id": [], "frame_idx": [], "frame_bytes": [],
+                    "frame_len": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media_bytes"]):
+                step = max(len(payload) // n_frames, 1)
+                for i in range(n_frames):
+                    frame = bytes(payload[i * step:(i + 1) * step])
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(i)
+                    rows["frame_bytes"].append(frame)
+                    rows["frame_len"].append(len(frame))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=_FRAME_SCHEMA)
+
+
+def resize_thumbnail(media: DataFrame, target_bytes: int = 32) -> DataFrame:
+    """Resize shape: fixed-size thumbnail per media row (byte
+    truncation stands in for a real resampler — wire Pillow into
+    ``_thumb`` in a deployment). Output is a bounded-width binary
+    column safe to broadcast or collect."""
+
+    def _thumb(payload: bytes) -> bytes:
+        return bytes(payload[:target_bytes])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "thumb": [_thumb(p) for p in pdf["media_bytes"]],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=_RESIZE_SCHEMA)
+
+
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry (rows-only): frame-sampling fan-out + per-frame
+    aggregation back to one row per doc (the decode→sample→aggregate
+    pipeline a video featurizer runs)."""
+    frames = frame_sample(media_table(spark, sf_dir))
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum("frame_len").alias("sampled_bytes"),
+    )
+
+
 QUERIES = {
     "multimodal_features": multimodal_features,  # rows-only (pandas path)
+    "multimodal_frames": multimodal_frames,  # rows-only (pandas path)
 }
 
 ORACLES: dict[str, str] = {}

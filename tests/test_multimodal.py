@@ -20,6 +20,19 @@ def test_decode_stub_raises():
         multimodal.decode_image(b"\x89PNG")
 
 
+def test_frame_sample_fanout_and_resize(spark, sf_smoke):
+    media = multimodal.media_table(spark, sf_smoke)
+    n_docs = media.count()
+    frames = multimodal.frame_sample(media, n_frames=4)
+    assert frames.count() == 4 * n_docs
+    per_doc = frames.groupBy("doc_id").count().collect()
+    assert all(r["count"] == 4 for r in per_doc)
+    thumbs = multimodal.resize_thumbnail(media, target_bytes=16).collect()
+    assert len(thumbs) == n_docs
+    assert all(len(t.thumb) <= 16 for t in thumbs)
+    assert dict(multimodal.resize_thumbnail(media).dtypes)["thumb"] == "binary"
+
+
 def test_features_deterministic(spark, sf_smoke):
     media = multimodal.media_table(spark, sf_smoke)
     a = sorted(map(str, multimodal.extract_features(media).collect()))
