@@ -111,6 +111,33 @@ def as_stream(spark: SparkSession, parquet_dir: str, schema) -> DataFrame:
     return spark.readStream.schema(schema).parquet(parquet_dir)
 
 
+def kafka_stream(
+    spark: SparkSession, bootstrap_servers: str, topic: str,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """S14: the Kafka connector the reference declares but never uses
+    (GBDT/spark/pom.xml:96-114). Emits the same (ts, user_id,
+    event_type, value, props) shape as the events table so every
+    operator in this module runs unchanged on a live topic. Requires
+    the spark-sql-kafka package on the classpath — construction only,
+    not exercised in this container (no broker)."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    payload = F.from_json(
+        F.col("value").cast("string"),
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    return raw.select(F.col("timestamp").alias("kafka_ts"), payload.alias("e")).select(
+        "e.event_id", "e.ts", "e.user_id", "e.event_type", "e.value", "e.props"
+    )
+
+
 def streaming_tumbling_counts(events_stream: DataFrame) -> DataFrame:
     """Watermarked tumbling aggregation — late rows beyond 10 minutes
     are dropped; state is bounded, safe to run indefinitely at scale."""

@@ -123,6 +123,54 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUALITY_THRESHOLD = 0.5
+
+
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pass — the composition a training-data
+    pipeline actually ships: quality-score filter → language filter
+    (en) → exact dedup on the normalization fingerprint (keep lowest
+    doc_id). One scan, one shuffle (the dedup groupBy); every stage is
+    the same expression used by its standalone query, so this also
+    pins the operators' composability."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_tokens = F.size(toks).cast("long")
+    n_chars = F.length("text").cast("long")
+    n_alnum = F.length(
+        F.regexp_replace("text", r"[^a-zA-Z0-9\s]", "")
+    ).cast("long")
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*_EN))).cast("long")
+    punct_ratio = (n_chars - n_alnum) / n_chars
+    quality = (
+        (F.lit(0.4) * F.least(n_tokens / F.lit(100.0), F.lit(1.0)))
+        + (F.lit(0.3) * (F.lit(1.0) - punct_ratio))
+        + (F.lit(0.3) * (stop_hits / n_tokens))
+    )
+    en = stop_hits
+    de = F.size(F.filter(toks, lambda t: t.isin(*_DE))).cast("long")
+    fr = F.size(F.filter(toks, lambda t: t.isin(*_FR))).cast("long")
+    is_en = (
+        ~F.col("text").rlike(r"[一-鿿]") & (en >= de) & (en >= fr) & (en > 0)
+    )
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), r"[^a-z0-9\s]", ""), r"\s+", " "
+        )
+    )
+    scored = d.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        quality.alias("quality_score"),
+        is_en.alias("is_en"),
+    ).where(F.col("is_en") & (F.col("quality_score") >= QUALITY_THRESHOLD))
+    return scored.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.max("quality_score").alias("quality_score"),
+    )
+
+
 def _hits_sql(words) -> str:
     inlist = ", ".join(f"'{w}'" for w in words)
     return (
@@ -136,6 +184,7 @@ QUERIES = {
     "text_lang_id": lang_id_heuristic,
     "text_token_counts": token_counts,
     "text_fingerprint": doc_fingerprint,
+    "corpus_curation": corpus_curation,
 }
 
 ORACLES = {
@@ -193,5 +242,32 @@ WITH t AS (
 )
 SELECT doc_id, md5(norm) AS fingerprint, CAST(length(norm) AS BIGINT) AS norm_len
 FROM t
+""",
+    "corpus_curation": f"""
+WITH t AS (
+  SELECT doc_id, text,
+    CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tokens,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS BIGINT) AS n_alnum,
+    {_hits_sql(_EN)} AS en_hits,
+    {_hits_sql(_DE)} AS de_hits,
+    {_hits_sql(_FR)} AS fr_hits,
+    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                            '\\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, fingerprint,
+    (0.4 * least(n_tokens / 100.0, 1.0))
+      + (0.3 * (1.0 - (n_chars - n_alnum) / CAST(n_chars AS DOUBLE)))
+      + (0.3 * (en_hits / CAST(n_tokens AS DOUBLE))) AS quality_score
+  FROM t
+  WHERE NOT regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]')
+    AND en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0
+)
+SELECT fingerprint, min(doc_id) AS doc_id, count(*) AS n_copies,
+       max(quality_score) AS quality_score
+FROM scored WHERE quality_score >= {QUALITY_THRESHOLD}
+GROUP BY fingerprint
 """,
 }
