@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard",
     "text_stats",
+    "corpus_curation",
     "ann_lsh_bucketed",
 ]
 

@@ -45,6 +45,19 @@ def salted_keyed_export(
     out.write.mode(mode).partitionBy("salt_bucket").parquet(path)
 
 
+def write_date_partitioned(
+    df: DataFrame, ts_col: str, path: str, mode: str = "overwrite"
+) -> None:
+    """The 100 TB at-rest layout for fact tables (SCALE.md §1): one
+    hive-style partition per day, so every date-windowed predicate in
+    the engine becomes partition PRUNING (skips files) instead of
+    row filtering. The reference implies the same via its Hive
+    `to_date(date_rank) between` scans (RF/randomforest_churn.scala:44).
+    """
+    out = df.withColumn("dt", F.to_date(F.col(ts_col)))
+    out.write.mode(mode).partitionBy("dt").parquet(path)
+
+
 def to_libsvm_lines(vectorized: DataFrame, label_col: str = "label",
                     features_col: str = "features") -> DataFrame:
     """S7: one libsvm text line per row, built from expressions only

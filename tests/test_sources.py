@@ -88,3 +88,20 @@ def test_batch_score_to_json(spark, sf_dir):
     rows = [json.loads(r.response) for r in out.collect()]
     assert len(rows) == 5
     assert all({"c_custkey", "prediction", "p1"} <= set(r) for r in rows)
+
+
+def test_date_partitioned_write_prunes(spark, sf_smoke, tmp_path):
+    """Partition pruning evidence: a date predicate over the
+    partitioned layout shows up as PartitionFilters in the physical
+    plan and reads only the matching day directories."""
+    events = load_table(spark, sf_smoke, "events")
+    path = str(tmp_path / "events_by_day")
+    writers.write_date_partitioned(events, "ts", path)
+    back = spark.read.parquet(path)
+    one_day = back.select("dt").distinct().limit(1).collect()[0][0]
+    q = back.where(F.col("dt") == F.lit(one_day))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "dt" in plan
+    # Row parity with the unpartitioned filter on the same day.
+    want = events.where(F.to_date("ts") == F.lit(one_day)).count()
+    assert q.count() == want
