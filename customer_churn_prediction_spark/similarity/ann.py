@@ -181,41 +181,59 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic stand-in for a k-means fit); queries probe their
     ``N_PROBE`` closest cells and rank exact cosine within them.
 
-    The centroid table is tiny → broadcast on both the assignment and
-    probe joins; the only shuffle is the final per-query top-k window.
-    At 100 TB the inverted lists would be written bucketed by
-    ``centroid_id`` so the probe join is partition-pruned."""
+    The centroid set is the fitted model: collected once (8 rows) and
+    re-emitted as expression literals — exactly how a k-means model is
+    broadcast in production. Cell assignment is then a PURE MAP over
+    the scan (sort an 8-element struct array per row): no cross join,
+    no window shuffle; the only shuffles left are the probe join and
+    the final per-query top-k. At 100 TB the inverted lists would be
+    written bucketed by ``centroid_id`` so probes are partition-pruned."""
     e = _embeddings(spark, sf_dir)
-    cents = e.where(
-        (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + N_CENTROIDS)
-    ).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("v").alias("cv"),
-        F.col("nrm").alias("cn"),
+    cent_rows = sorted(
+        e.where(
+            (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + N_CENTROIDS)
+        )
+        .select("vec_id", "v", "nrm")
+        .collect(),
+        key=lambda r: r.vec_id,
     )
-    # Nearest cell per vector (rank by cosine, ties broken by id).
-    sim = _cosine("v", "cv", "nrm", "cn")
-    wc = Window.partitionBy("vec_id").orderBy(
-        F.col("c_sim").desc(), F.col("centroid_id")
+
+    def cell_sim(c):
+        arr = "array(" + ", ".join(f"{x!r}D" for x in c.v) + ")"
+        dot = F.expr(
+            f"aggregate(zip_with(v, {arr}, (x, y) -> x * y), 0D, (a, x) -> a + x)"
+        )
+        return F.round(dot / (F.col("nrm") * F.lit(float(c.nrm))), 6)
+
+    # Struct sort: (sim, -centroid_id) DESC == the oracle's
+    # ORDER BY c_sim DESC, centroid_id ASC tie-break.
+    cells = F.sort_array(
+        F.array(
+            *[
+                F.struct(
+                    cell_sim(c).alias("s"),
+                    F.lit(-int(c.vec_id)).alias("nid"),
+                )
+                for c in cent_rows
+            ]
+        ),
+        asc=False,
     )
-    assigned = (
-        e.crossJoin(F.broadcast(cents))
-        .withColumn("c_sim", sim)
-        .withColumn("c_rank", F.row_number().over(wc))
-        .where(F.col("c_rank") == 1)
-        .select("vec_id", "v", "nrm", "centroid_id")
+    assigned = e.select(
+        "vec_id", "v", "nrm",
+        (-F.element_at(cells, 1)["nid"]).alias("centroid_id"),
     )
     probes = (
         e.where(F.col("vec_id") < N_QUERIES)
-        .crossJoin(F.broadcast(cents))
-        .withColumn("c_sim", sim)
-        .withColumn("c_rank", F.row_number().over(wc))
-        .where(F.col("c_rank") <= N_PROBE)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("v").alias("qv"),
             F.col("nrm").alias("qn"),
-            "centroid_id",
+            F.explode(F.slice(cells, 1, N_PROBE)).alias("cell"),
+        )
+        .select(
+            "query_id", "qv", "qn",
+            (-F.col("cell")["nid"]).alias("centroid_id"),
         )
     )
     cands = assigned.join(F.broadcast(probes), "centroid_id").where(
