@@ -58,6 +58,25 @@ def write_date_partitioned(
     out.write.mode(mode).partitionBy("dt").parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame, key: str, table: str, n_buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: rows hash-partitioned AND sorted by the
+    join key at write time. Two tables bucketed the same way co-locate:
+    Spark plans their equi-join with ZERO Exchange (verified in
+    tests/test_sources.py::test_bucketed_join_no_shuffle). This is the
+    at-rest answer to the flagship's orders⋈lineitem shuffle at 100 TB —
+    pay the shuffle once at ingest, never per query."""
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
 def to_libsvm_lines(vectorized: DataFrame, label_col: str = "label",
                     features_col: str = "features") -> DataFrame:
     """S7: one libsvm text line per row, built from expressions only

@@ -105,3 +105,42 @@ def test_date_partitioned_write_prunes(spark, sf_smoke, tmp_path):
     # Row parity with the unpartitioned filter on the same day.
     want = events.where(F.to_date("ts") == F.lit(one_day)).count()
     assert q.count() == want
+
+
+def test_bucketed_join_no_shuffle(spark, sf_smoke):
+    """Co-located join: both sides bucketed by the key -> the equi-join
+    plan contains no Exchange (the shuffle was paid once at write)."""
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    for t in ("orders_bkt", "lineitem_bkt"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(
+            warehouse.removeprefix("file:") + f"/{t}", ignore_errors=True
+        )
+    orders = load_table(spark, sf_smoke, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    lineitem = load_table(spark, sf_smoke, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    writers.write_bucketed(orders, "o_orderkey", "orders_bkt", 8)
+    writers.write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "o_orderkey", "lineitem_bkt", 8,
+    )
+    a = spark.table("orders_bkt")
+    b = spark.table("lineitem_bkt")
+    joined = a.join(b, "o_orderkey")
+    # At smoke scale the planner would just broadcast the small side
+    # (also shuffle-free, but not what we're proving); disable it so
+    # the plan shows the bucketed sort-merge join a 100 TB join uses.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        assert joined.count() == lineitem.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
