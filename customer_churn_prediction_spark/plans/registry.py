@@ -22,6 +22,7 @@ def _modules():
     global _MODULES
     if _MODULES is None:
         from ..functions import scalars
+        from ..functions import udtf as fn_udtf
         from ..operators import (
             aggregates,
             asof,
@@ -42,7 +43,7 @@ def _modules():
         from ..text import dedup as text_dedup
 
         _MODULES = [rfm, assembly, labeling, relational, aggregates,
-                    windows, asof, scalars, stream_windows,
+                    windows, asof, scalars, fn_udtf, stream_windows,
                     stream_stateful, text_analysis, text_dedup, ann,
                     ml_pipeline, ml_jobs, multimodal]
     return _MODULES

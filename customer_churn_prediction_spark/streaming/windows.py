@@ -164,6 +164,21 @@ def streaming_dedup(events_stream: DataFrame) -> DataFrame:
     )
 
 
+def stream_to_batch_sink(result: DataFrame, batch_fn, query_name: str,
+                         output_mode: str = "update"):
+    """foreachBatch bridge: reuse any BATCH sink (JDBC, salted export,
+    bucketed table — sources/writers.py) as a streaming sink. Spark
+    hands each micro-batch to ``batch_fn(df, epoch_id)``; exactly-once
+    needs the sink to be idempotent on epoch_id (e.g. overwrite a
+    per-epoch partition), which is the standard contract."""
+    return (
+        result.writeStream.foreachBatch(batch_fn)
+        .outputMode(output_mode)
+        .queryName(query_name)
+        .start()
+    )
+
+
 _SESSION_ORACLE = """
 WITH ordered AS (
   SELECT user_id, ts, value,

@@ -76,6 +76,31 @@ def test_streaming_stateful_user_totals_converges(spark, sf_smoke):
         shutil.rmtree(src, ignore_errors=True)
 
 
+def test_stream_to_batch_sink_foreachbatch(spark, sf_smoke, tmp_path):
+    """foreachBatch: a streaming aggregation lands in a parquet sink
+    via the batch writer path and matches the batch result set."""
+    src = _events_dir(spark, sf_smoke)
+    out = str(tmp_path / "sink")
+    try:
+        static = spark.read.parquet(src)
+        stream = sw.as_stream(spark, src, static.schema)
+        agg = sw.streaming_tumbling_counts(stream)
+
+        def sink(df, epoch_id):
+            df.write.mode("overwrite").parquet(f"{out}/epoch={epoch_id}")
+
+        q = sw.stream_to_batch_sink(agg, sink, "fb_smoke", "complete")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = spark.read.parquet(f"{out}/epoch=0")
+        want = sw.tumbling_counts(spark, sf_smoke)
+        assert canonical_rows(got.toPandas()) == canonical_rows(want.toPandas())
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
 def test_streaming_dedup_drops_duplicates(spark, sf_smoke):
     src = _events_dir(spark, sf_smoke)
     try:
