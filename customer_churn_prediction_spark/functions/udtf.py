@@ -78,5 +78,8 @@ def sentences_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.length("sentence").cast("int").alias("n_chars"))
 
 
-QUERIES: dict = {}  # UDTF path is API surface + tests, not a bench query
+# Rows-only: DuckDB's RE2 regex has no lookbehind, so the sentence
+# split is not oracle-portable; the UDTF↔expression equivalence is
+# asserted in tests/test_udtf.py instead.
+QUERIES: dict = {"text_sentences": sentences_exploded}
 ORACLES: dict = {}
