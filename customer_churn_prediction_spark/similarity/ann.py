@@ -189,12 +189,17 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final per-query top-k. At 100 TB the inverted lists would be
     written bucketed by ``centroid_id`` so probes are partition-pruned."""
     e = _embeddings(spark, sf_dir)
+    # Centroid fetch bypasses the spread repartition: the vec_id range
+    # predicate pushes into the parquet scan, so this collect is a
+    # pruned 8-row read, not a pass over the table.
+    raw = load_table(spark, sf_dir, "embeddings")
     cent_rows = sorted(
-        e.where(
-            (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + N_CENTROIDS)
-        )
-        .select("vec_id", "v", "nrm")
-        .collect(),
+        _with_norm(
+            raw.where(
+                (F.col("vec_id") >= 100)
+                & (F.col("vec_id") < 100 + N_CENTROIDS)
+            ).select("vec_id", _vec("embedding").alias("v"))
+        ).collect(),
         key=lambda r: r.vec_id,
     )
 
