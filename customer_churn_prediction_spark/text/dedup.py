@@ -199,6 +199,36 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete scale-path dedup pipeline: MinHash → banded LSH
+    candidates → exact word-3-gram Jaccard computed ONLY on candidate
+    pairs → threshold. Unlike ``ngram_jaccard_pairs`` (which joins on
+    every shared shingle — the exact-but-O(pairs) baseline), the
+    verification here is an array_intersect over the two docs'
+    distinct-gram arrays: per candidate pair, zero explosion, no
+    per-shingle shuffle. At 100 TB: candidates ≪ all-pairs, the gram
+    table joins in by doc_id (sort-merge), and the intersect is pure
+    map work."""
+    cands = minhash_lsh_pairs(spark, sf_dir)
+    grams = load_table(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", F.expr(_word_shingles_spark()).alias("grams")
+    )
+    ga = grams.select(
+        F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a")
+    )
+    gb = grams.select(
+        F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b")
+    )
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    union = F.size("grams_a") + F.size("grams_b") - inter
+    return (
+        cands.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
 _SIGS_SQL = (
     "WITH h AS (SELECT doc_id, "
     f"list_transform(range(1, length(text) - {SHINGLE - 2}), "
@@ -228,12 +258,22 @@ SELECT doc_id, unnest(list_distinct(list_transform(
 FROM documents
 """
 
+_GRAMS_LIST_SQL = """
+list_distinct(list_transform(
+  range(1, len(string_split_regex(trim(lower(text)), '\\s+')) - 1),
+  i -> CAST(('0x' || substring(md5(
+         string_split_regex(trim(lower(text)), '\\s+')[i] || ' ' ||
+         string_split_regex(trim(lower(text)), '\\s+')[i+1] || ' ' ||
+         string_split_regex(trim(lower(text)), '\\s+')[i+2]), 1, 15)) AS BIGINT)))
+"""
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_signatures": minhash_signatures,
     "dedup_minhash_lsh_pairs": minhash_lsh_pairs,
     "dedup_simhash": simhash_signatures,
     "dedup_ngram_jaccard": ngram_jaccard_pairs,
+    "dedup_lsh_verified": lsh_verified_pairs,
 }
 
 ORACLES = {
@@ -276,6 +316,27 @@ SELECT doc_id,
   ) AS BIGINT) AS simhash,
   CAST(n_distinct_tokens AS BIGINT) AS n_distinct_tokens
 FROM t
+""",
+    "dedup_lsh_verified": f"""
+WITH sigs AS ({_SIGS_SQL}),
+bands AS ({_BANDS_SQL}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+grams AS (SELECT doc_id, {_GRAMS_LIST_SQL} AS grams FROM documents)
+SELECT doc_a, doc_b,
+       len(list_intersect(ga.grams, gb.grams))
+         / CAST(len(ga.grams) + len(gb.grams)
+                - len(list_intersect(ga.grams, gb.grams)) AS DOUBLE) AS jaccard
+FROM cands c
+JOIN grams ga ON ga.doc_id = c.doc_a
+JOIN grams gb ON gb.doc_id = c.doc_b
+WHERE len(list_intersect(ga.grams, gb.grams))
+        / CAST(len(ga.grams) + len(gb.grams)
+               - len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+      >= {JACCARD_THRESHOLD}
 """,
     "dedup_ngram_jaccard": f"""
 WITH sh AS ({_SHINGLES_SQL}),
