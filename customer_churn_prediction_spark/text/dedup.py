@@ -141,6 +141,52 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HAMMING_MAX = 1
+
+
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming distance <= HAMMING_MAX.
+
+    Scale shape (pigeonhole banding, same trick as MinHash LSH): split
+    the 16-bit signature into 2 halves — any pair within Hamming 1
+    agrees exactly on >= 1 half — equi-join on (half_idx, half_value),
+    then verify bit_count(xor) on the candidates. No O(n²) cross join;
+    the verify is a map over candidate pairs."""
+    sigs = simhash_signatures(spark, sf_dir).select("doc_id", "simhash")
+    halves = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                F.shiftright("simhash", 8).cast("int"),
+                (F.col("simhash") % 256).cast("int"),
+            )
+        ).alias("half_idx", "half_val"),
+    )
+    a, b = halves.alias("a"), halves.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.half_idx") == F.col("b.half_idx"))
+            & (F.col("a.half_val") == F.col("b.half_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.expr("bit_count(sim_a ^ sim_b)")
+    return (
+        cands.withColumn("hamming", hamming.cast("int"))
+        .where(F.col("hamming") <= HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def _word_shingles_spark() -> str:
     """Word-3-gram shingles as 60-bit md5-derived longs: the equi-join
     key is 8 bytes instead of a ~30-char string, shrinking the shuffle.
@@ -267,11 +313,37 @@ list_distinct(list_transform(
          string_split_regex(trim(lower(text)), '\\s+')[i+2]), 1, 15)) AS BIGINT)))
 """
 
+_SIMHASH_SQL = (
+    """
+WITH t AS (
+  SELECT doc_id,
+    list_transform(
+      list_distinct(string_split_regex(trim(lower(text)), '\\s+')),
+      tok -> CAST(('0x' || substring(md5(tok), 1, 4)) AS INTEGER)) AS hs,
+    len(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS n_distinct_tokens
+  FROM documents
+)
+SELECT doc_id,
+  CAST((
+"""
+    + " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN (x >> {j}) % 2 = 1 "
+        f"THEN 1 ELSE -1 END)) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(16)
+    )
+    + """
+  ) AS BIGINT) AS simhash,
+  CAST(n_distinct_tokens AS BIGINT) AS n_distinct_tokens
+FROM t
+"""
+)
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_signatures": minhash_signatures,
     "dedup_minhash_lsh_pairs": minhash_lsh_pairs,
     "dedup_simhash": simhash_signatures,
+    "dedup_simhash_pairs": simhash_pairs,
     "dedup_ngram_jaccard": ngram_jaccard_pairs,
     "dedup_lsh_verified": lsh_verified_pairs,
 }
@@ -295,27 +367,23 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
 """,
-    "dedup_simhash": """
-WITH t AS (
-  SELECT doc_id,
-    list_transform(
-      list_distinct(string_split_regex(trim(lower(text)), '\\s+')),
-      tok -> CAST(('0x' || substring(md5(tok), 1, 4)) AS INTEGER)) AS hs,
-    len(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS n_distinct_tokens
-  FROM documents
+    "dedup_simhash": _SIMHASH_SQL,
+    "dedup_simhash_pairs": f"""
+WITH sims AS ({_SIMHASH_SQL}),
+halves AS (
+  SELECT doc_id, simhash, 0 AS half_idx, simhash >> 8 AS half_val FROM sims
+  UNION ALL
+  SELECT doc_id, simhash, 1 AS half_idx, simhash % 256 AS half_val FROM sims
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sim_a, b.simhash AS sim_b
+  FROM halves a JOIN halves b
+    ON a.half_idx = b.half_idx AND a.half_val = b.half_val
+   AND a.doc_id < b.doc_id
 )
-SELECT doc_id,
-  CAST((
-"""
-    + " + ".join(
-        f"(CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN (x >> {j}) % 2 = 1 "
-        f"THEN 1 ELSE -1 END)) > 0 THEN {1 << j} ELSE 0 END)"
-        for j in range(16)
-    )
-    + """
-  ) AS BIGINT) AS simhash,
-  CAST(n_distinct_tokens AS BIGINT) AS n_distinct_tokens
-FROM t
+SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+FROM cands WHERE bit_count(xor(sim_a, sim_b)) <= {HAMMING_MAX}
 """,
     "dedup_lsh_verified": f"""
 WITH sigs AS ({_SIGS_SQL}),
