@@ -33,6 +33,7 @@ def _modules():
             windows,
         )
 
+        from ..streaming import rollup as stream_rollup
         from ..streaming import stateful as stream_stateful
         from ..streaming import windows as stream_windows
         from ..ml import jobs as ml_jobs
@@ -44,8 +45,8 @@ def _modules():
 
         _MODULES = [rfm, assembly, labeling, relational, aggregates,
                     windows, asof, scalars, fn_udtf, stream_windows,
-                    stream_stateful, text_analysis, text_dedup, ann,
-                    ml_pipeline, ml_jobs, multimodal]
+                    stream_stateful, stream_rollup, text_analysis,
+                    text_dedup, ann, ml_pipeline, ml_jobs, multimodal]
     return _MODULES
 
 

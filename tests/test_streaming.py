@@ -126,3 +126,23 @@ def test_streaming_dedup_drops_duplicates(spark, sf_smoke):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(src + "_dup", ignore_errors=True)
+
+
+def test_rollup_materialize_and_prune(spark, sf_smoke, tmp_path):
+    """Hypertable pattern: materialized hourly rollup is
+    date-partitioned (pruned reads) and re-aggregates to the same
+    daily answer as the in-memory path."""
+    from customer_churn_prediction_spark.streaming import rollup as ru
+
+    path = str(tmp_path / "rollup")
+    ru.materialize_hourly_rollup(spark, sf_smoke, path)
+    stored = spark.read.parquet(path)
+    one_day = stored.select("dt").distinct().limit(1).collect()[0][0]
+    plan = (
+        stored.where(F.col("dt") == F.lit(one_day))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan
+    got = ru.daily_from_rollup(stored).toPandas()
+    want = ru.daily_from_rollup(ru.hourly_rollup(spark, sf_smoke)).toPandas()
+    assert canonical_rows(got) == canonical_rows(want)
