@@ -159,6 +159,30 @@ def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sampled_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3/O4 sampling surface (rows-only: per-partition Bernoulli
+    draws are engine-specific, so no SQL oracle): seeded uniform
+    sample and seeded stratified sampleBy, reported as per-status
+    counts next to the exact totals. Both are single-pass map-side
+    filters — no shuffle beyond the final tiny aggregate."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderstatus")
+    uniform = o.sample(fraction=0.1, seed=42)
+    strata = {"F": 0.05, "O": 0.2, "P": 0.5}
+    stratified = o.sampleBy("o_orderstatus", strata, seed=42)
+    exact = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    u = uniform.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_uniform_10pct")
+    )
+    s = stratified.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_stratified")
+    )
+    return exact.join(u, "o_orderstatus", "left").join(
+        s, "o_orderstatus", "left"
+    ).na.fill(0)
+
+
 _BUYERS_CTE = f"""
 detail AS (
   SELECT o.o_custkey, p.p_type
@@ -180,6 +204,7 @@ QUERIES = {
     "set_ops_buyers": set_ops_buyers,
     "distinct_pairs": distinct_pairs,
     "salted_join_revenue": salted_join_revenue,
+    "sampled_orders": sampled_orders,  # rows-only (engine-specific RNG)
 }
 
 ORACLES = {
