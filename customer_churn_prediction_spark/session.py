@@ -53,6 +53,9 @@ def get_spark(
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
         # Keep parquet scans fat enough to amortize task overhead.
         "spark.sql.files.maxPartitionBytes": str(256 * 1024 * 1024),
+        # Headless batch/bench context: the UI server only adds startup
+        # latency and per-task listener overhead here.
+        "spark.ui.enabled": "false",
     }
     if extra_conf:
         conf.update(extra_conf)
