@@ -212,26 +212,25 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _embeddings(spark, sf_dir)
     cent_rows = _centroids(spark, sf_dir)
 
-    def cell_sim(c):
-        arr = "array(" + ", ".join(f"{x!r}D" for x in c.v) + ")"
-        dot = F.expr(
-            f"aggregate(zip_with(v, {arr}, (x, y) -> x * y), 0D, (a, x) -> a + x)"
-        )
-        return F.round(dot / (F.col("nrm") * F.lit(float(c.nrm))), 6)
-
-    # Struct sort: (sim, -centroid_id) DESC == the oracle's
-    # ORDER BY c_sim DESC, centroid_id ASC tie-break.
-    cells = F.sort_array(
-        F.array(
-            *[
-                F.struct(
-                    cell_sim(c).alias("s"),
-                    F.lit(-int(c.vec_id)).alias("nid"),
-                )
-                for c in cent_rows
-            ]
-        ),
-        asc=False,
+    # One 2D literal for all centroids + a transform loop, instead of
+    # unrolling 8 × 64-element arrays per use site — keeps the
+    # generated code small (codegen compile time was the dominant cost
+    # of the unrolled form). Struct sort on (sim, -centroid_id) DESC ==
+    # the oracle's ORDER BY c_sim DESC, centroid_id ASC tie-break.
+    cents_sql = "array(" + ", ".join(
+        "array(" + ", ".join(f"{x!r}D" for x in c.v) + ")" for c in cent_rows
+    ) + ")"
+    norms_sql = "array(" + ", ".join(
+        f"{float(c.nrm)!r}D" for c in cent_rows
+    ) + ")"
+    ids_sql = "array(" + ", ".join(str(int(c.vec_id)) for c in cent_rows) + ")"
+    cells = F.expr(
+        f"sort_array(transform(sequence(1, {N_CENTROIDS}), ci -> "
+        f"named_struct("
+        f"'s', round(aggregate(zip_with(v, element_at({cents_sql}, ci), "
+        f"(x, y) -> x * y), 0D, (a, x) -> a + x) "
+        f"/ (nrm * element_at({norms_sql}, ci)), 6), "
+        f"'nid', -element_at({ids_sql}, ci))), false)"
     )
     assigned = e.select(
         "vec_id", "v", "nrm",
