@@ -115,17 +115,19 @@ def _planes() -> list[list[float]]:
 
 
 def _sig_col(vcol: str):
-    """LSH signature: bit j = sign of dot(plane_j, v)."""
-    planes = _planes()
-    bits = []
-    for j, plane in enumerate(planes):
-        arr = "array(" + ", ".join(f"{c}D" for c in plane) + ")"
-        dot = (
-            f"aggregate(zip_with({vcol}, {arr}, (x, y) -> x * y), 0D, "
-            f"(a, x) -> a + x)"
-        )
-        bits.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << j} ELSE 0 END)")
-    return F.expr(" + ".join(bits)).cast("int")
+    """LSH signature: bit j = sign of dot(plane_j, v). One 2D plane
+    literal + an aggregate loop keeps generated code small (the
+    unrolled per-plane form inlines N_PLANES×DIM literals per use)."""
+    planes_sql = "array(" + ", ".join(
+        "array(" + ", ".join(f"{c}D" for c in plane) + ")"
+        for plane in _planes()
+    ) + ")"
+    return F.expr(
+        f"aggregate(sequence(1, {N_PLANES}), 0, (acc, j) -> acc + "
+        f"CASE WHEN aggregate(zip_with({vcol}, element_at({planes_sql}, j), "
+        f"(x, y) -> x * y), 0D, (a, x) -> a + x) > 0 "
+        f"THEN shiftleft(1, j - 1) ELSE 0 END)"
+    ).cast("int")
 
 
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
