@@ -124,9 +124,19 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer. No explode — scales as a pure map over the scan."""
     d = load_table(spark, sf_dir, "documents", spread=True)
     toks = "array_distinct(split(trim(lower(text)), '\\\\s+'))"
-    h = f"transform({toks}, t -> cast(conv(substring(md5(t), 1, 4), 16, 10) as int))"
+    # Hash array hoisted into its own projection: each of the 16 bit
+    # sums below references `hs`, and the two-project shape survives
+    # CollapseProject (non-cheap expr, multi-use), so the md5 family
+    # runs ONCE per token instead of once per bit.
+    hashed = d.select(
+        "doc_id",
+        F.expr(
+            f"transform({toks}, t -> "
+            f"cast(conv(substring(md5(t), 1, 4), 16, 10) as int))"
+        ).alias("hs"),
+    )
     bit_sums = [
-        f"aggregate({h}, 0, (acc, x) -> acc + CASE WHEN (x >> {j}) % 2 = 1 "
+        f"aggregate(hs, 0, (acc, x) -> acc + CASE WHEN (x >> {j}) % 2 = 1 "
         f"THEN 1 ELSE -1 END)"
         for j in range(16)
     ]
@@ -134,10 +144,10 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"(CASE WHEN ({bit_sums[j]}) > 0 THEN {1 << j} ELSE 0 END)"
         for j in range(16)
     )
-    return d.select(
+    return hashed.select(
         "doc_id",
         F.expr(simhash).cast("long").alias("simhash"),
-        F.expr(f"size({toks})").cast("long").alias("n_distinct_tokens"),
+        F.expr("size(hs)").cast("long").alias("n_distinct_tokens"),
     )
 
 
