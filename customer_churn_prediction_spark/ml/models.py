@@ -84,3 +84,29 @@ MODEL_FACTORIES = {
     "lr": logistic_regression,
     "fm": fm,
 }
+
+# Small-data profile: identical estimator classes and objectives, with
+# ensemble/iteration counts sized for tiny scale factors (the driver's
+# sf0.01 correctness snapshot). At 1-2k training rows the reference
+# hyperparameters (100 trees / 50 boosting rounds / 100 GD epochs) buy
+# no quality — the trees saturate the sample — while each extra
+# iteration is a full scheduler round-trip, so the reference profile
+# costs ~170 s where this one costs seconds. The reference-faithful
+# profile above stays the default for the public API and is what the
+# metric-band tests exercise.
+SMALL_DATA_OVERRIDES: dict[str, dict] = {
+    "rf": {"numTrees": 20, "maxDepth": 6},
+    "gbt": {"maxIter": 8, "maxDepth": 5},
+    "lr": {"maxIter": 25},
+    "fm": {"maxIter": 25},
+}
+
+
+def make_estimator(model_key: str, profile: str = "reference"):
+    """Factory entry point: ``reference`` (default) or ``small``."""
+    est = MODEL_FACTORIES[model_key]()
+    if profile == "small":
+        est.setParams(**SMALL_DATA_OVERRIDES.get(model_key, {}))
+    elif profile != "reference":
+        raise ValueError(f"unknown model profile {profile!r}")
+    return est

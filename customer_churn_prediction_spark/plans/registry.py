@@ -50,25 +50,57 @@ def _modules():
     return _MODULES
 
 
+# Queries the round-1 driver snapshot never reached (CORRECTNESS_r01.json
+# stopped after the 50th registry entry; these were entries 51-66). They
+# are emitted FIRST so that any driver-side time or count budget covers
+# them this round; the previously-verified queries follow in module order.
+PRIORITY = [
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_lsh_verified",
+    "feature_bucketize",
+    "ann_ivf",
+    "ann_bruteforce_topk",
+    "embedding_neardup_pairs",
+    "ann_lsh_bucketed",
+    "ml_feature_vectors",
+    "multimodal_features",
+    "multimodal_frames",
+    "ml_rf_churn",
+    "ml_lr_churn",
+    "ml_fm_churn",
+    "ml_gbt_churn",
+]
+
+
 def get_queries() -> dict[str, QueryFn]:
-    out: dict[str, QueryFn] = {}
+    flat: dict[str, QueryFn] = {}
     for mod in _modules():
         for name, fn in getattr(mod, "QUERIES", {}).items():
-            if name in out:
+            if name in flat:
                 raise ValueError(f"duplicate query name {name!r}")
+            flat[name] = fn
+    out: dict[str, QueryFn] = {}
+    for name in PRIORITY:
+        if name in flat:
+            out[name] = flat[name]
+    for name, fn in flat.items():
+        if name not in out:
             out[name] = fn
     return out
 
 
 def get_oracles() -> dict[str, str]:
-    out: dict[str, str] = {}
+    flat: dict[str, str] = {}
     queries = get_queries()
     for mod in _modules():
         for name, sql in getattr(mod, "ORACLES", {}).items():
             if name not in queries:
                 raise ValueError(f"oracle {name!r} has no matching query")
-            out[name] = sql
-    return out
+            flat[name] = sql
+    # Same priority-first iteration order as get_queries().
+    return {name: flat[name] for name in queries if name in flat}
 
 
 # Materialized once at import for convenience.

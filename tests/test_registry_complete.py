@@ -1,0 +1,71 @@
+"""Registry self-check (VERDICT r01 item 1): the full 66-query surface
+must be exposed to the driver, with the round-1-unverified queries
+leading the iteration order so any driver-side budget reaches them."""
+
+import importlib.util
+import os
+
+from customer_churn_prediction_spark.plans import registry
+
+EXPECTED = {
+    # relational / feature surface
+    "rfm_groupby", "rfm_window", "feature_assembly",
+    "feature_assembly_onepass", "label_churn", "label_churned_anti",
+    "label_retained_semi", "label_class_balance", "scan_filter_project",
+    "having_repurchase", "isin_filter", "na_fill_left_join", "topk_orders",
+    "set_ops_buyers", "distinct_pairs", "salted_join_revenue",
+    "sampled_orders", "groupby_sum", "groupby_count", "avg_by_segment",
+    "approx_distinct_users", "grouping_sets_revenue",
+    "pivot_status_priority", "percentile_quantity", "eval_confusion",
+    "latest_order_per_customer", "purchase_gaps", "running_spend",
+    "asof_join_clicks", "range_join_events", "date_functions",
+    "round_bround", "md5_salted_key", "string_functions",
+    "json_extract_events", "text_sentences",
+    # streaming
+    "stream_tumbling_counts", "stream_sliding_counts",
+    "stream_session_windows", "stream_dedup_events", "stream_user_totals",
+    "rollup_daily_from_hourly",
+    # text analysis / dedup
+    "text_stats", "text_lang_id", "text_token_counts", "text_fingerprint",
+    "corpus_curation", "dedup_exact", "dedup_minhash_signatures",
+    "dedup_minhash_lsh_pairs", "dedup_simhash", "dedup_simhash_pairs",
+    "dedup_ngram_jaccard", "dedup_lsh_verified",
+    # ANN
+    "ann_bruteforce_topk", "embedding_neardup_pairs", "ann_lsh_bucketed",
+    "ann_ivf",
+    # ML
+    "feature_bucketize", "ml_rf_churn", "ml_gbt_churn", "ml_lr_churn",
+    "ml_fm_churn", "ml_feature_vectors",
+    # multimodal
+    "multimodal_features", "multimodal_frames",
+}
+
+
+def _load_entry():
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                        "__spark_entry__.py")
+    spec = importlib.util.spec_from_file_location("spark_entry_test", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_registry_exposes_full_surface():
+    queries = registry.get_queries()
+    assert EXPECTED <= set(queries), sorted(EXPECTED - set(queries))
+
+
+def test_driver_entry_matches_registry():
+    entry = _load_entry()
+    q = entry.queries()
+    o = entry.oracle_sql()
+    assert set(q) == set(registry.get_queries())
+    assert set(o) <= set(q)
+    assert len(o) >= 55, "oracle coverage must not regress"
+
+
+def test_round1_unverified_queries_lead_iteration_order():
+    names = list(registry.get_queries())
+    assert names[: len(registry.PRIORITY)] == registry.PRIORITY
+    # Every priority name actually exists.
+    assert set(registry.PRIORITY) <= set(names)
