@@ -58,18 +58,27 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = get_queries()
 
-    # JVM/codegen warm-up on the smallest sf so measured times reflect
-    # steady-state execution, not first-query initialization.
-    queries["rfm_groupby"](spark, "/root/testdata/sf0.001").count()
+    def force(df) -> None:
+        # noop sink evaluates EVERY output column (a count() would let
+        # Catalyst prune unreferenced projection expressions, timing
+        # only the scan for map-only queries) without materializing
+        # results on the driver.
+        df.write.format("noop").mode("overwrite").save()
+
+    # JVM/codegen warm-up, one query per family (relational, text,
+    # ANN, streaming), on the smallest sf so measured times reflect
+    # steady-state execution, not each family's first-query codegen.
+    warm_dir = "/root/testdata/sf0.001"
+    for warm in ("rfm_groupby", "dedup_minhash_signatures",
+                 "ann_lsh_bucketed", "stream_tumbling_counts"):
+        force(queries[warm](spark, warm_dir))
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = queries[name]
         t0 = time.perf_counter()
-        # count() forces full execution of every operator in the plan
-        # without driver-side result materialization cost.
-        fn(spark, SF_DIR).count()
+        force(fn(spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)

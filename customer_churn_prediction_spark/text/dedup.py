@@ -8,8 +8,10 @@ The four standard scales of text dedup for a training-data pipeline:
                2-rows-per-band LSH; candidate pairs come from a
                self-join on (band, signature) — at 100 TB this is the
                only join that avoids the O(n²) pair explosion.
-* simhash    — 16-bit SimHash computed entirely with array expressions
-               (no explode, no shuffle: one pass over the scan).
+* simhash    — 60-bit SimHash computed entirely with array expressions
+               (no explode, no shuffle: one pass over the scan); 60 =
+               the widest md5 prefix that stays a signed BIGINT in both
+               engines, wide enough not to saturate at corpus scale.
 * n-gram     — exact Jaccard over word 3-gram sets for candidate pairs
                sharing at least one shingle (the verification stage
                after LSH).
@@ -64,11 +66,18 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hash array first, mins second) survives CollapseProject because
     Catalyst no longer inlines non-cheap expressions used k times."""
     d = load_table(spark, sf_dir, "documents", spread=True)
+    # Guard short texts: sequence(1, length-4) DESCENDS when length < 5
+    # (Spark yields [1, 0], then substring produces spurious shingles),
+    # while DuckDB's range() is empty — an engine divergence on any doc
+    # shorter than one shingle. Empty array → array_min returns NULL in
+    # both engines.
     hashed = d.select(
         "doc_id",
         F.expr(
+            f"if(length(text) >= {SHINGLE}, "
             f"transform(sequence(1, length(text) - {SHINGLE - 1}), "
-            f"i -> md5(substring(text, i, {SHINGLE})))"
+            f"i -> md5(substring(text, i, {SHINGLE}))), "
+            f"cast(array() as array<string>))"
         ).alias("hs"),
     )
     return hashed.select(
@@ -85,8 +94,13 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs: docs agreeing on all rows of >=1 band.
     Banding turns near-dup search into an equi-join on (band, sig) —
-    the scale-path replacement for the O(n²) cross join."""
-    sigs = minhash_signatures(spark, sf_dir)
+    the scale-path replacement for the O(n²) cross join.
+
+    Docs shorter than one shingle have NULL signatures and are excluded:
+    Spark's concat_ws skips NULLs (every such doc would share the empty
+    band_sig and pair with every other), DuckDB's || propagates them —
+    filtering is both the correct semantics and the only portable one."""
+    sigs = minhash_signatures(spark, sf_dir).where(F.col("mh0").isNotNull())
     # posexplode over the band array: signatures are computed ONCE per
     # scan side (a per-band union would recompute the md5 minhash
     # family once per band per side — 6x the hashing work).
@@ -117,68 +131,87 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 4
+BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 15
+HAMMING_MAX = SIMHASH_BANDS - 1  # pigeonhole: <=3 diffs agree on >=1 band
+
+
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash over distinct word tokens, md5-derived bits.
-    Entirely array-expression math: per token take the first 16 bits of
-    md5, accumulate ±1 per bit position, emit the sign vector as an
-    integer. No explode — scales as a pure map over the scan."""
+    """60-bit SimHash over distinct word tokens, md5-derived bits.
+
+    16 bits saturates at corpus scale (~65k buckets → the banded join
+    floods with false candidates), so the signature is the first 15 hex
+    chars of md5 per token — 60 bits, the widest md5 prefix that stays
+    inside a signed BIGINT in both Spark and DuckDB (16 hex chars can
+    set the sign bit and overflow `conv`/`CAST`). Entirely
+    array-expression math, no explode: one aggregate folds the token
+    hashes into a 60-long ±1 bit-sum vector (single pass over tokens,
+    instead of one fold per bit), a second reduces the sign vector to
+    the packed signature."""
     d = load_table(spark, sf_dir, "documents", spread=True)
     toks = "array_distinct(split(trim(lower(text)), '\\\\s+'))"
-    # Hash array hoisted into its own projection: each of the 16 bit
-    # sums below references `hs`, and the two-project shape survives
-    # CollapseProject (non-cheap expr, multi-use), so the md5 family
-    # runs ONCE per token instead of once per bit.
+    # Hash array hoisted into its own projection so the md5 family runs
+    # ONCE per token (multi-use non-cheap expr survives CollapseProject).
     hashed = d.select(
         "doc_id",
         F.expr(
             f"transform({toks}, t -> "
-            f"cast(conv(substring(md5(t), 1, 4), 16, 10) as int))"
+            f"cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"
         ).alias("hs"),
     )
-    bit_sums = [
-        f"aggregate(hs, 0, (acc, x) -> acc + CASE WHEN (x >> {j}) % 2 = 1 "
-        f"THEN 1 ELSE -1 END)"
-        for j in range(16)
-    ]
-    simhash = " + ".join(
-        f"(CASE WHEN ({bit_sums[j]}) > 0 THEN {1 << j} ELSE 0 END)"
-        for j in range(16)
+    bitsums = (
+        f"aggregate(hs, transform(sequence(0, {SIMHASH_BITS - 1}), j -> 0L), "
+        f"(acc, x) -> zip_with(acc, "
+        f"transform(sequence(0, {SIMHASH_BITS - 1}), "
+        f"j -> IF((x >> j) % 2 = 1, 1L, -1L)), (p, q) -> p + q))"
     )
-    return hashed.select(
+    summed = hashed.select(
         "doc_id",
-        F.expr(simhash).cast("long").alias("simhash"),
+        F.expr(bitsums).alias("bitsums"),
         F.expr("size(hs)").cast("long").alias("n_distinct_tokens"),
     )
-
-
-HAMMING_MAX = 1
+    packed = (
+        f"aggregate(zip_with(bitsums, sequence(0, {SIMHASH_BITS - 1}), "
+        f"(s, j) -> IF(s > 0, shiftleft(1L, j), 0L)), 0L, (acc, x) -> acc + x)"
+    )
+    return summed.select(
+        "doc_id",
+        F.expr(packed).alias("simhash"),
+        "n_distinct_tokens",
+    )
 
 
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs at Hamming distance <= HAMMING_MAX.
 
     Scale shape (pigeonhole banding, same trick as MinHash LSH): split
-    the 16-bit signature into 2 halves — any pair within Hamming 1
-    agrees exactly on >= 1 half — equi-join on (half_idx, half_value),
+    the 60-bit signature into 4 15-bit bands — any pair within Hamming
+    3 agrees exactly on >= 1 band — equi-join on (band_idx, band_val),
     then verify bit_count(xor) on the candidates. No O(n²) cross join;
     the verify is a map over candidate pairs."""
     sigs = simhash_signatures(spark, sf_dir).select("doc_id", "simhash")
-    halves = sigs.select(
+    bands = sigs.select(
         "doc_id",
         "simhash",
         F.posexplode(
             F.array(
-                F.shiftright("simhash", 8).cast("int"),
-                (F.col("simhash") % 256).cast("int"),
+                *[
+                    F.expr(
+                        f"cast((simhash >> {BAND_BITS * b}) "
+                        f"% {1 << BAND_BITS} as int)"
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
             )
-        ).alias("half_idx", "half_val"),
+        ).alias("band_idx", "band_val"),
     )
-    a, b = halves.alias("a"), halves.alias("b")
+    a, b = bands.alias("a"), bands.alias("b")
     cands = (
         a.join(
             b,
-            (F.col("a.half_idx") == F.col("b.half_idx"))
-            & (F.col("a.half_val") == F.col("b.half_val"))
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
@@ -201,15 +234,23 @@ def _word_shingles_spark() -> str:
     """Word-3-gram shingles as 60-bit md5-derived longs: the equi-join
     key is 8 bytes instead of a ~30-char string, shrinking the shuffle.
     A same-hash collision changes both engines identically (same md5),
-    so oracle parity is preserved."""
+    so oracle parity is preserved.
+
+    Guarded for docs with < 3 tokens: sequence(1, size-2) DESCENDS when
+    size < 3 ([1, 0]) and element_at(toks, 0) throws
+    INVALID_INDEX_OF_ZERO; DuckDB's range() is empty there, so without
+    the guard short docs crash Spark while the oracle silently skips
+    them."""
     toks = "split(trim(lower(text)), '\\\\s+')"
     gram = (
         f"concat_ws(' ', element_at({toks}, i), "
         f"element_at({toks}, i + 1), element_at({toks}, i + 2))"
     )
     return (
+        f"if(size({toks}) >= 3, "
         f"array_distinct(transform(sequence(1, size({toks}) - 2), "
-        f"i -> cast(conv(substring(md5({gram}), 1, 15), 16, 10) as bigint)))"
+        f"i -> cast(conv(substring(md5({gram}), 1, 15), 16, 10) as bigint))), "
+        f"cast(array() as array<bigint>))"
     )
 
 
@@ -286,9 +327,14 @@ def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SIGS_SQL = (
+    # CASE mirrors the Spark-side short-text guard; DuckDB's range()
+    # would be empty anyway, but keeping the guard explicit on both
+    # sides documents the parity contract.
     "WITH h AS (SELECT doc_id, "
+    f"CASE WHEN length(text) >= {SHINGLE} THEN "
     f"list_transform(range(1, length(text) - {SHINGLE - 2}), "
-    f"i -> md5(substring(text, i::INT, {SHINGLE}))) AS hs FROM documents) "
+    f"i -> md5(substring(text, i::INT, {SHINGLE}))) "
+    f"ELSE CAST([] AS VARCHAR[]) END AS hs FROM documents) "
     "SELECT doc_id, "
     + ", ".join(
         f"list_min(list_transform(hs, x -> substring(x, {5 * i + 1}, 5))) AS mh{i}"
@@ -300,7 +346,7 @@ _SIGS_SQL = (
 _BANDS_SQL = " UNION ALL ".join(
     f"SELECT doc_id, {b} AS band, "
     + " || '|' || ".join(f"mh{b * BAND_ROWS + r}" for r in range(BAND_ROWS))
-    + " AS band_sig FROM sigs"
+    + " AS band_sig FROM sigs WHERE mh0 IS NOT NULL"
     for b in range(N_BANDS)
 )
 
@@ -329,7 +375,7 @@ WITH t AS (
   SELECT doc_id,
     list_transform(
       list_distinct(string_split_regex(trim(lower(text)), '\\s+')),
-      tok -> CAST(('0x' || substring(md5(tok), 1, 4)) AS INTEGER)) AS hs,
+      tok -> CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT)) AS hs,
     len(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS n_distinct_tokens
   FROM documents
 )
@@ -338,14 +384,20 @@ SELECT doc_id,
 """
     + " + ".join(
         f"(CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN (x >> {j}) % 2 = 1 "
-        f"THEN 1 ELSE -1 END)) > 0 THEN {1 << j} ELSE 0 END)"
-        for j in range(16)
+        f"THEN 1 ELSE -1 END)) > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
     )
     + """
   ) AS BIGINT) AS simhash,
   CAST(n_distinct_tokens AS BIGINT) AS n_distinct_tokens
 FROM t
 """
+)
+
+_SIMHASH_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, simhash, {b} AS band_idx, "
+    f"(simhash >> {BAND_BITS * b}) % {1 << BAND_BITS} AS band_val FROM sims"
+    for b in range(SIMHASH_BANDS)
 )
 
 QUERIES = {
@@ -380,16 +432,12 @@ FROM bands a JOIN bands b
     "dedup_simhash": _SIMHASH_SQL,
     "dedup_simhash_pairs": f"""
 WITH sims AS ({_SIMHASH_SQL}),
-halves AS (
-  SELECT doc_id, simhash, 0 AS half_idx, simhash >> 8 AS half_val FROM sims
-  UNION ALL
-  SELECT doc_id, simhash, 1 AS half_idx, simhash % 256 AS half_val FROM sims
-),
+bands AS ({_SIMHASH_BANDS_SQL}),
 cands AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          a.simhash AS sim_a, b.simhash AS sim_b
-  FROM halves a JOIN halves b
-    ON a.half_idx = b.half_idx AND a.half_val = b.half_val
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
    AND a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming

@@ -11,11 +11,11 @@ from customer_churn_prediction_spark.plans import registry
 
 # Deliberate O(n²) baselines / tiny-side nested loops, documented in
 # their modules. Everything else must plan hash/sort-merge/broadcast
-# HASH joins only.
+# HASH joins only. (dedup_ngram_jaccard was removed: it plans equi
+# joins only, so whitelisting it silently disabled the guard there.)
 ALLOWED_NESTED_LOOP = {
     "ann_bruteforce_topk",     # 5-query broadcast side, non-equi on ids
     "embedding_neardup_pairs",  # exact all-pairs baseline (LSH replaces)
-    "dedup_ngram_jaccard",      # exact all-pairs baseline (LSH replaces)
 }
 
 _PLANNABLE = [
@@ -32,4 +32,11 @@ def test_no_accidental_cartesian_or_nested_loop(spark, sf_dir, name):
     if name not in ALLOWED_NESTED_LOOP:
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{name} plans an unexpected nested-loop join:\n{plan}"
+        )
+    else:
+        # A whitelisted query that stops planning an NLJ is a stale
+        # entry that would silently disable the guard — flag it.
+        assert "BroadcastNestedLoopJoin" in plan, (
+            f"{name} is whitelisted for NLJ but no longer plans one — "
+            "remove it from ALLOWED_NESTED_LOOP"
         )
