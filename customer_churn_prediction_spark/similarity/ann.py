@@ -158,11 +158,15 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = e.join(F.broadcast(probes), "sig").where(
         F.col("vec_id") != F.col("query_id")
     )
+    # No distinct needed: each vector carries exactly one sig and a
+    # query's probe list holds 1 + N_PLANES DISTINCT sig values, so a
+    # (query, candidate) pair can match at most once. (An extra
+    # distinct here cost ~0.7 s of pure shuffle at sf0.1.)
     scored = cands.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
         _cosine("qv", "v", "qn", "nrm").alias("cosine_sim"),
-    ).distinct()
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
     )
@@ -210,7 +214,13 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scan (sort an 8-element struct array per row): no cross join,
     no window shuffle; the only shuffles left are the probe join and
     the final per-query top-k. At 100 TB the inverted lists would be
-    written bucketed by ``centroid_id`` so probes are partition-pruned."""
+    written bucketed by ``centroid_id`` so probes are partition-pruned.
+
+    The ``cells`` expression appears in both branches, but the probe
+    branch evaluates it only on the ``vec_id < N_QUERIES`` rows (the
+    predicate pushes into the parquet scan before the projection), so
+    the assignment math runs once over the table + once over the tiny
+    query set — not twice over the table."""
     e = _embeddings(spark, sf_dir)
     cent_rows = _centroids(spark, sf_dir)
 
@@ -254,11 +264,16 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = assigned.join(F.broadcast(probes), "centroid_id").where(
         F.col("vec_id") != F.col("query_id")
     )
+    # No distinct needed: every vector is assigned to exactly ONE cell
+    # and a query's N_PROBE probe cells are distinct (slice of the
+    # sorted struct array), so each (query, candidate) pair joins at
+    # most once. Dropping the redundant distinct removed a whole
+    # shuffle (~0.7 s of the 1.5 s sf0.1 runtime).
     scored = cands.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
         _cosine("qv", "v", "qn", "nrm").alias("cosine_sim"),
-    ).distinct()
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
     )
