@@ -79,21 +79,31 @@ def _feat_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _detail_from(
+    orders: DataFrame, lineitem: DataFrame, part: DataFrame
+) -> DataFrame:
     """orders ⋈ lineitem ⋈ part within the feature window.
 
     The part side is an explicit broadcast (J1): parts are a dimension
     table orders of magnitude smaller than lineitem at any scale.
     """
-    orders = _feat_orders(spark, sf_dir).select("o_orderkey", "o_custkey")
-    lineitem = load_table(spark, sf_dir, "lineitem").select(
+    orders = orders.select("o_orderkey", "o_custkey")
+    lineitem = lineitem.select(
         "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
         "l_extendedprice", "l_discount",
     )
-    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    part = part.select("p_partkey", "p_type")
     return (
         orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
         .join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+    )
+
+
+def _detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _detail_from(
+        _feat_orders(spark, sf_dir),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
     )
 
 
@@ -169,9 +179,22 @@ def _channel(df: DataFrame) -> DataFrame:
 
 def feature_assembly_onepass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale form: 2 hash aggregates + broadcast dims, single join each."""
-    orders_feats = _channel(_orders_agg(_feat_orders(spark, sf_dir)))
+    return _onepass_from(
+        spark, sf_dir,
+        _feat_orders(spark, sf_dir),
+        load_table(spark, sf_dir, "lineitem"),
+    )
 
-    d = _detail(spark, sf_dir)
+
+def _onepass_from(
+    spark: SparkSession, sf_dir: str, orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """Onepass assembly over caller-supplied orders (already filtered to
+    the feature window) and lineitem frames — shared by the plain and
+    bucketed-at-rest variants."""
+    orders_feats = _channel(_orders_agg(orders))
+
+    d = _detail_from(orders, lineitem, load_table(spark, sf_dir, "part"))
     detail_aggs = [
         F.count(F.lit(1)).alias("lineitem_count"),
         F.round(F.sum("l_quantity"), 2).alias("quantity_sum"),
@@ -189,6 +212,65 @@ def feature_assembly_onepass(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(_dims(spark, sf_dir), "c_custkey", "left")
     )
     return _finalize(out)
+
+
+BUCKET_N = 16
+
+
+def _sf_tag(sf_dir: str) -> str:
+    import re
+
+    return re.sub(r"[^0-9A-Za-z]+", "_", sf_dir.strip("/").rsplit("/", 1)[-1])
+
+
+def bucketed_ingest(
+    spark: SparkSession, sf_dir: str, n_buckets: int = BUCKET_N
+) -> tuple[DataFrame, DataFrame]:
+    """Materialize orders + lineitem as order-key-bucketed managed
+    tables (idempotent per sf_dir): the flagship's one big fact⋈fact
+    shuffle is paid ONCE at ingest, after which every orders⋈lineitem
+    equi-join plans with zero Exchange (bucketed SMJ, pre-sorted by the
+    key at write). This is the at-rest layout a 100 TB deployment would
+    use; at that scale `n_buckets` is sized so each bucket is a few GB
+    (e.g. 4096), not this test default."""
+    import shutil
+
+    from ..sources.writers import write_bucketed
+
+    tag = _sf_tag(sf_dir)
+    ot, lt = f"orders_obkt_{tag}", f"lineitem_obkt_{tag}"
+    if not (spark.catalog.tableExists(ot) and spark.catalog.tableExists(lt)):
+        # The warehouse directory outlives an in-memory catalog: a
+        # fresh session sees tableExists()==False while the previous
+        # session's files remain, and saveAsTable refuses the location.
+        # These tables are derived artifacts — rebuild from scratch.
+        warehouse = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        for name in (ot, lt):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
+        write_bucketed(
+            load_table(spark, sf_dir, "orders"), "o_orderkey", ot, n_buckets
+        )
+        write_bucketed(
+            load_table(spark, sf_dir, "lineitem"), "l_orderkey", lt, n_buckets
+        )
+    return spark.table(ot), spark.table(lt)
+
+
+def feature_assembly_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The onepass flagship reading the bucketed-at-rest layout: same
+    rows as ``feature_assembly_onepass`` (same oracle), but the
+    orders⋈lineitem detail join is Exchange-free — the date filter
+    prunes on top of the bucketed scan without disturbing the bucket
+    distribution (proven in tests/test_assembly.py)."""
+    orders, lineitem = bucketed_ingest(spark, sf_dir)
+    orders = orders.where(
+        (F.col("o_orderdate") >= F.lit(FEAT_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(FEAT_END_EXCL).cast("timestamp"))
+    )
+    return _onepass_from(spark, sf_dir, orders, lineitem)
 
 
 def feature_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -335,9 +417,11 @@ LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
 QUERIES = {
     "feature_assembly": feature_assembly,
     "feature_assembly_onepass": feature_assembly_onepass,
+    "feature_assembly_bucketed": feature_assembly_bucketed,
 }
 
 ORACLES = {
     "feature_assembly": ASSEMBLY_ORACLE,
     "feature_assembly_onepass": ASSEMBLY_ORACLE,
+    "feature_assembly_bucketed": ASSEMBLY_ORACLE,
 }

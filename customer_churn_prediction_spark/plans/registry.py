@@ -60,6 +60,7 @@ PRIORITY = [
     "dedup_ngram_jaccard",
     "dedup_lsh_verified",
     "feature_bucketize",
+    "feature_assembly_bucketed",  # new in r2 — needs its first driver row
     "ann_ivf",
     "ann_bruteforce_topk",
     "embedding_neardup_pairs",

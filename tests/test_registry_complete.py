@@ -10,7 +10,8 @@ from customer_churn_prediction_spark.plans import registry
 EXPECTED = {
     # relational / feature surface
     "rfm_groupby", "rfm_window", "feature_assembly",
-    "feature_assembly_onepass", "label_churn", "label_churned_anti",
+    "feature_assembly_onepass", "feature_assembly_bucketed",
+    "label_churn", "label_churned_anti",
     "label_retained_semi", "label_class_balance", "scan_filter_project",
     "having_repurchase", "isin_filter", "na_fill_left_join", "topk_orders",
     "set_ops_buyers", "distinct_pairs", "salted_join_revenue",
