@@ -144,3 +144,25 @@ def test_bucketed_join_no_shuffle(spark, sf_smoke):
         assert joined.count() == lineitem.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_jdbc_sink_roundtrip_embedded_derby(spark, sf_smoke, tmp_path):
+    """S10 executed for real: write through write_jdbc into an embedded
+    Derby database (driver jar ships in Spark's classpath), read back
+    via spark.read.jdbc, compare rows. Same call shape as the
+    reference's MySQL sink (GBDT/spark/utils.scala:109-116)."""
+    url = f"jdbc:derby:{tmp_path}/churn_db;create=true"
+    props = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+    out = (
+        load_table(spark, sf_smoke, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .limit(50)
+    )
+    writers.write_jdbc(out, url, "churn_scores", mode="overwrite",
+                       properties=props)
+    back = spark.read.jdbc(url, "churn_scores", properties=props)
+    assert back.count() == 50
+    assert sorted(back.columns) == sorted(out.columns)
+    a = {tuple(r) for r in out.collect()}
+    b = {tuple(r) for r in back.collect()}
+    assert a == b
