@@ -146,3 +146,37 @@ def test_rollup_materialize_and_prune(spark, sf_smoke, tmp_path):
     got = ru.daily_from_rollup(stored).toPandas()
     want = ru.daily_from_rollup(ru.hourly_rollup(spark, sf_smoke)).toPandas()
     assert canonical_rows(got) == canonical_rows(want)
+
+
+def test_continuous_rollup_maintenance_converges(spark, sf_smoke, tmp_path):
+    """maintain_rollup drains the stream into the date-partitioned
+    layout; daily coarsening of the maintained rollup must equal the
+    batch rollup_daily_from_hourly registry query."""
+    from customer_churn_prediction_spark.streaming import rollup as r
+
+    src = _events_dir(spark, sf_smoke)
+    out = str(tmp_path / "rollup_maint")
+    try:
+        static = spark.read.parquet(src)
+        stream = sw.as_stream(spark, src, static.schema)
+        q = r.maintain_rollup(stream, out, "rollup_maint_smoke")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        maintained = spark.read.parquet(out)
+        got = (
+            r.daily_from_rollup(maintained)
+            .select(
+                F.date_format("day", "yyyy-MM-dd").alias("day"),
+                "event_type", "n_events", "value_sum",
+                "value_min", "value_max", "value_avg",
+            )
+            .toPandas()
+        )
+        want = r.daily_rollup_direct(spark, sf_smoke).toPandas()
+        assert canonical_rows(got) == canonical_rows(want)
+        # The layout is the hypertable-chunk one: hive partitions by dt.
+        assert "dt" in maintained.columns
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
