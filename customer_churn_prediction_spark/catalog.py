@@ -48,14 +48,20 @@ def load_table(
         # timestamp with exact integer math (values are micro-aligned).
         from pyspark.sql import functions as F
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if spread:
+        # Parquet split parallelism tracks file count; when the table
+        # arrives as fewer files than cores, fan out so heavy per-row
+        # expressions don't serialize on one task. inputFiles() is
+        # plan-side metadata — no RDD materialization (the old
+        # df.rdd.getNumPartitions() probe built a conversion per call).
         target = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < target:
+        if len(df.inputFiles()) < target:
             df = df.repartition(target)
     return df
 

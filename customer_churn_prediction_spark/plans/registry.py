@@ -61,6 +61,7 @@ PRIORITY = [
     "dedup_lsh_verified",
     "feature_bucketize",
     "feature_assembly_bucketed",  # new in r2 — needs its first driver row
+    "dedup_lsh_groups",  # new in r2
     "ann_ivf",
     "ann_bruteforce_topk",
     "embedding_neardup_pairs",

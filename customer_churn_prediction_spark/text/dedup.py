@@ -91,19 +91,18 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidate pairs: docs agreeing on all rows of >=1 band.
-    Banding turns near-dup search into an equi-join on (band, sig) —
-    the scale-path replacement for the O(n²) cross join.
+def _lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, band_sig) — one row per doc per band.
 
     Docs shorter than one shingle have NULL signatures and are excluded:
     Spark's concat_ws skips NULLs (every such doc would share the empty
     band_sig and pair with every other), DuckDB's || propagates them —
-    filtering is both the correct semantics and the only portable one."""
+    filtering is both the correct semantics and the only portable one.
+
+    posexplode over the band array: signatures are computed ONCE (a
+    per-band union would recompute the md5 minhash family once per
+    band — 3x the hashing work)."""
     sigs = minhash_signatures(spark, sf_dir).where(F.col("mh0").isNotNull())
-    # posexplode over the band array: signatures are computed ONCE per
-    # scan side (a per-band union would recompute the md5 minhash
-    # family once per band per side — 6x the hashing work).
     band_arr = F.array(
         *[
             F.concat_ws(
@@ -112,22 +111,62 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(N_BANDS)
         ]
     )
-    exploded = sigs.select(
+    return sigs.select(
         "doc_id", F.posexplode(band_arr).alias("band", "band_sig")
     )
-    left = exploded.alias("a")
-    right = exploded.alias("b")
+
+
+_PAIRS_FROM_IDS = (
+    "flatten(transform(sequence(1, size(ids) - 1), "
+    "i -> transform(slice(ids, i + 1, size(ids) - i), "
+    "y -> named_struct('doc_a', element_at(ids, i), 'doc_b', y))))"
+)
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: docs agreeing on all rows of >=1 band.
+
+    Scale shape: group docs into (band, band_sig) buckets — ONE scan,
+    ONE shuffle — and expand i<j pairs inside each bucket with array
+    expressions. The earlier self-join form scanned and re-hashed the
+    corpus once per join side (the planner broadcast a whole exploded
+    corpus side, which is also the wrong shape at 100 TB); bucket
+    expansion computes signatures exactly once and never broadcasts.
+    In-bucket expansion is quadratic IN THE BUCKET — inherent to
+    pairwise LSH output (the join form emits the same pairs); for
+    corpora with mega-clusters use ``lsh_dedup_groups``, which is
+    linear."""
+    buckets = (
+        _lsh_bands(spark, sf_dir)
+        .groupBy("band", "band_sig")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
     return (
-        left.join(
-            right,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        buckets.select(F.explode(F.expr(_PAIRS_FROM_IDS)).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
+    )
+
+
+def lsh_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-cost LSH dedup: each doc is assigned the MIN doc_id among
+    its bucket peers (its dedup-group representative) instead of
+    enumerating all in-bucket pairs. This is the first sweep of
+    min-id label propagation — the standard escape from pairwise LSH's
+    quadratic blowup when a corpus contains mega-clusters (1M copies of
+    boilerplate → one bucket → 5·10¹¹ pairs in any pairwise form, but
+    only 1M (doc, rep) rows here). Two shuffles, both linear: bucket
+    min, then per-doc min across bands. keep = (doc_id == group_rep)."""
+    bands = _lsh_bands(spark, sf_dir)
+    bucket_min = bands.groupBy("band", "band_sig").agg(
+        F.min("doc_id").alias("bucket_rep")
+    )
+    return (
+        bands.join(bucket_min, ["band", "band_sig"])
+        .groupBy("doc_id")
+        .agg(F.min("bucket_rep").alias("group_rep"))
+        .withColumn("is_rep", (F.col("doc_id") == F.col("group_rep")).cast("int"))
     )
 
 
@@ -206,28 +245,34 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band_idx", "band_val"),
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # Same bucket-expansion shape as minhash_lsh_pairs: one scan, one
+    # shuffle, signatures computed once; struct sort keys on doc_id so
+    # expansion yields doc_a < doc_b.
+    buckets = (
+        bands.groupBy("band_idx", "band_val")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col("doc_id"), F.col("simhash"))
+                )
+            ).alias("members")
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sim_a"),
-            F.col("b.simhash").alias("sim_b"),
-        )
-        .distinct()
+        .where(F.size("members") > 1)
     )
-    hamming = F.expr("bit_count(sim_a ^ sim_b)")
-    return (
-        cands.withColumn("hamming", hamming.cast("int"))
-        .where(F.col("hamming") <= HAMMING_MAX)
-        .select("doc_a", "doc_b", "hamming")
-    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, size(members) - 1), "
+                "i -> transform(slice(members, i + 1, size(members) - i), "
+                "y -> named_struct("
+                "'doc_a', element_at(members, i).doc_id, "
+                "'doc_b', y.doc_id, "
+                "'hamming', cast(bit_count("
+                "element_at(members, i).simhash ^ y.simhash) as int)))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b", "p.hamming")
+    return pairs.where(F.col("hamming") <= HAMMING_MAX).distinct()
 
 
 def _word_shingles_spark() -> str:
@@ -404,6 +449,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_signatures": minhash_signatures,
     "dedup_minhash_lsh_pairs": minhash_lsh_pairs,
+    "dedup_lsh_groups": lsh_dedup_groups,
     "dedup_simhash": simhash_signatures,
     "dedup_simhash_pairs": simhash_pairs,
     "dedup_ngram_jaccard": ngram_jaccard_pairs,
@@ -422,6 +468,19 @@ SELECT fingerprint, min(doc_id) AS keep_id, count(*) AS n_copies
 FROM t GROUP BY fingerprint
 """,
     "dedup_minhash_signatures": _SIGS_SQL,
+    "dedup_lsh_groups": f"""
+WITH sigs AS ({_SIGS_SQL}),
+bands AS ({_BANDS_SQL}),
+bucket_min AS (
+  SELECT band, band_sig, min(doc_id) AS bucket_rep
+  FROM bands GROUP BY 1, 2
+)
+SELECT b.doc_id, min(m.bucket_rep) AS group_rep,
+       CAST(CASE WHEN b.doc_id = min(m.bucket_rep) THEN 1 ELSE 0 END
+            AS INTEGER) AS is_rep
+FROM bands b JOIN bucket_min m USING (band, band_sig)
+GROUP BY b.doc_id
+""",
     "dedup_minhash_lsh_pairs": f"""
 WITH sigs AS ({_SIGS_SQL}),
 bands AS ({_BANDS_SQL})

@@ -29,7 +29,8 @@ EXPECTED = {
     # text analysis / dedup
     "text_stats", "text_lang_id", "text_token_counts", "text_fingerprint",
     "corpus_curation", "dedup_exact", "dedup_minhash_signatures",
-    "dedup_minhash_lsh_pairs", "dedup_simhash", "dedup_simhash_pairs",
+    "dedup_minhash_lsh_pairs", "dedup_lsh_groups",
+    "dedup_simhash", "dedup_simhash_pairs",
     "dedup_ngram_jaccard", "dedup_lsh_verified",
     # ANN
     "ann_bruteforce_topk", "embedding_neardup_pairs", "ann_lsh_bucketed",
