@@ -65,7 +65,10 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     numerically, so array_min is a true minhash. The two-project shape
     (hash array first, mins second) survives CollapseProject because
     Catalyst no longer inlines non-cheap expressions used k times."""
-    d = load_table(spark, sf_dir, "documents", spread=True)
+    return _signatures_from(load_table(spark, sf_dir, "documents", spread=True))
+
+
+def _signatures_from(d: DataFrame) -> DataFrame:
     # Guard short texts: sequence(1, length-4) DESCENDS when length < 5
     # (Spark yields [1, 0], then substring produces spurious shingles),
     # while DuckDB's range() is empty — an engine divergence on any doc
@@ -101,8 +104,18 @@ def _lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     posexplode over the band array: signatures are computed ONCE (a
     per-band union would recompute the md5 minhash family once per
-    band — 3x the hashing work)."""
-    sigs = minhash_signatures(spark, sf_dir).where(F.col("mh0").isNotNull())
+    band — 3x the hashing work). The exclusion is the CHEAP scan-level
+    predicate length(text) >= SHINGLE, not ``mh0 IS NOT NULL``: the
+    null filter gets pushed below the mins projection, where it inlines
+    and re-evaluates the whole md5 shingle pipeline a second time
+    (measured 2x the signature cost at sf0.1); the length predicate is
+    equivalent (empty hash array ⟺ short text) and pushes into the
+    parquet scan."""
+    sigs = _signatures_from(
+        load_table(spark, sf_dir, "documents", spread=True).where(
+            F.length("text") >= SHINGLE
+        )
+    )
     band_arr = F.array(
         *[
             F.concat_ws(
@@ -156,14 +169,17 @@ def lsh_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-id label propagation — the standard escape from pairwise LSH's
     quadratic blowup when a corpus contains mega-clusters (1M copies of
     boilerplate → one bucket → 5·10¹¹ pairs in any pairwise form, but
-    only 1M (doc, rep) rows here). Two shuffles, both linear: bucket
-    min, then per-doc min across bands. keep = (doc_id == group_rep)."""
+    only 1M (doc, rep) rows here). Two shuffles, both linear: a window
+    min over the bucket, then per-doc min across bands. The window form
+    (not groupBy + join back) evaluates the signature pipeline ONCE — a
+    join of bands against an aggregate of bands recomputes the md5
+    minhash family on both DAG branches. keep = (doc_id == group_rep)."""
+    from pyspark.sql import Window
+
     bands = _lsh_bands(spark, sf_dir)
-    bucket_min = bands.groupBy("band", "band_sig").agg(
-        F.min("doc_id").alias("bucket_rep")
-    )
+    w = Window.partitionBy("band", "band_sig")
     return (
-        bands.join(bucket_min, ["band", "band_sig"])
+        bands.withColumn("bucket_rep", F.min("doc_id").over(w))
         .groupBy("doc_id")
         .agg(F.min("bucket_rep").alias("group_rep"))
         .withColumn("is_rep", (F.col("doc_id") == F.col("group_rep")).cast("int"))
