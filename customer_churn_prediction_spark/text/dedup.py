@@ -317,44 +317,60 @@ def _word_shingles_spark() -> str:
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard for every pair sharing >=1 shingle,
-    kept when >= JACCARD_THRESHOLD. The explode + equi-join +
-    count-ratio shape is the standard LSH verification stage."""
+    kept when >= JACCARD_THRESHOLD — the exact O(pairs) baseline the
+    LSH tier replaces at scale.
+
+    Each doc's distinct-gram array is computed once per join side and
+    exploded CARRYING ITS OWN SIZE, so the intersection count and both
+    set sizes come out of the one co-occurrence aggregate — no separate
+    sizes branch, no joins back. That cuts the gram-hash pipeline from
+    four evaluations (sizes + both sides + verify) to the two join
+    sides, and the pair generation stays distributed across the shuffle
+    (a per-shingle collect_list + in-bucket expansion was tried and
+    concentrates a hot shingle's C(n,2) pairs into one array in one
+    task — 5x slower on the near-dup-heavy corpus)."""
     d = load_table(spark, sf_dir, "documents", spread=True)
-    sh = d.select(
-        "doc_id", F.explode(F.expr(_word_shingles_spark())).alias("shingle")
+    # The size ride-along lives INSIDE one expression (struct-carrying
+    # transform): a plain `select(size(grams), explode(grams))` lets
+    # the optimizer inline the gram-hash pipeline into BOTH uses plus
+    # the Generate (6 md5 passes across the join — measured 16.7 s);
+    # the single multi-reference expression keeps the grams projection
+    # materialized (2 passes, 1.8 s).
+    sh = (
+        d.select("doc_id", F.expr(_word_shingles_spark()).alias("grams"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(grams, x -> "
+                    "named_struct('shingle', x, 'n_sh', size(grams)))"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "g.shingle", "g.n_sh")
     )
-    # |A| via groupBy over the exploded grams rather than a map-side
-    # size(): the aggregate gives the planner a small size estimate, so
-    # the two sizes joins below auto-broadcast (measured 2.7x faster
-    # than the stat-less map-only projection, which planned as SMJ
-    # against the large co-occurrence frame).
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
-    co = (
+    pair_counts = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
         )
         .agg(F.count(F.lit(1)).alias("co"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    return (
-        co.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (F.col("co") / (F.col("n_a") + F.col("n_b") - F.col("co"))).alias(
-                "jaccard"
-            ),
-        )
-        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
-    )
+    return pair_counts.select(
+        "doc_a",
+        "doc_b",
+        (F.col("co") / (F.col("n_a") + F.col("n_b") - F.col("co"))).alias(
+            "jaccard"
+        ),
+    ).where(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
 def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
