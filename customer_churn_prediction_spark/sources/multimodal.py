@@ -60,19 +60,18 @@ def decode_image(payload: bytes):
 
 def _fake_features(payload: bytes) -> tuple[float, int, list[float]]:
     """Deterministic stand-in for decode+extract: byte statistics and a
-    fixed-width pseudo-embedding from byte histogram buckets."""
+    fixed-width pseudo-embedding from byte histogram buckets.
+    numpy-vectorized — the per-byte work runs at C speed inside the
+    Arrow batch, the shape a real featurizer would have."""
+    import numpy as np
+
     if not payload:
         return 0.0, 0, [0.0] * _EMBED_DIM
-    mean = sum(payload) / len(payload)
-    counts: dict[int, int] = {}
-    for b in payload:
-        counts[b] = counts.get(b, 0) + 1
-    mode = min(sorted(counts, key=lambda k: (-counts[k], k))[:1] or [0])
-    hist = [0.0] * _EMBED_DIM
-    for b in payload:
-        hist[b % _EMBED_DIM] += 1.0
-    total = float(len(payload))
-    return mean, mode, [h / total for h in hist]
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    counts = np.bincount(arr, minlength=256)
+    mode = int(np.flatnonzero(counts == counts.max())[0])  # tie → smallest
+    hist = np.bincount(arr % _EMBED_DIM, minlength=_EMBED_DIM)
+    return float(arr.mean()), mode, (hist / arr.size).tolist()
 
 
 def extract_features(media: DataFrame) -> DataFrame:
