@@ -171,6 +171,58 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_TOP_K = 5
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-k terms per document — the standard corpus-weighted
+    term salience primitive (keyword extraction, near-dup explanation,
+    quality probes).
+
+    Plan shape, all linear: explode tokens → per-(doc, term) count (one
+    shuffle) → per-term document frequency (one shuffle over the much
+    smaller tf frame) → join back on term → per-doc top-k window. The
+    corpus size joins in as a broadcast single-row aggregate, keeping
+    the whole thing one declarative plan (no driver-side count). Scores
+    round to 6dp BEFORE ranking so ordering (desc score, asc term) is
+    identical in both engines."""
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    toks = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n_docs") + 1)
+                        / (F.col("df") + 1).cast("double")
+                    )
+                    + F.lit(1.0)
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "tfidf", "rank")
+    )
+
+
 def _hits_sql(words) -> str:
     inlist = ", ".join(f"'{w}'" for w in words)
     return (
@@ -184,10 +236,32 @@ QUERIES = {
     "text_lang_id": lang_id_heuristic,
     "text_token_counts": token_counts,
     "text_fingerprint": doc_fingerprint,
+    "text_tfidf_topk": tfidf_top_terms,
     "corpus_curation": corpus_curation,
 }
 
 ORACLES = {
+    "text_tfidf_topk": f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         round(tf.tf * (ln((n.n_docs + 1) / CAST(d.df + 1 AS DOUBLE)) + 1.0),
+               6) AS tfidf
+  FROM tf JOIN dfreq d ON tf.term = d.term CROSS JOIN n
+)
+SELECT doc_id, term, tf, tfidf, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+  FROM scored)
+WHERE rank <= {TFIDF_TOP_K}
+""",
     "text_stats": f"""
 WITH t AS (
   SELECT doc_id,

@@ -28,6 +28,7 @@ EXPECTED = {
     "rollup_daily_from_hourly",
     # text analysis / dedup
     "text_stats", "text_lang_id", "text_token_counts", "text_fingerprint",
+    "text_tfidf_topk",
     "corpus_curation", "dedup_exact", "dedup_minhash_signatures",
     "dedup_minhash_lsh_pairs", "dedup_lsh_groups",
     "dedup_simhash", "dedup_simhash_pairs",
