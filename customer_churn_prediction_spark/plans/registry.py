@@ -64,6 +64,7 @@ PRIORITY = [
     "dedup_lsh_groups",  # new in r2
     "text_tfidf_topk",  # new in r2
     "ann_ivf",
+    "ann_ivf_kmeans",  # new in r2
     "ann_bruteforce_topk",
     "embedding_neardup_pairs",
     "ann_lsh_bucketed",

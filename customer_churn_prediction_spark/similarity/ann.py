@@ -202,33 +202,10 @@ def _centroids(spark: SparkSession, sf_dir: str) -> list:
     return _CENT_CACHE[sf_dir]
 
 
-def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: assign every vector to its nearest of
-    ``N_CENTROIDS`` fixed coarse centroids (rows vec_id 100..107 — a
-    deterministic stand-in for a k-means fit); queries probe their
-    ``N_PROBE`` closest cells and rank exact cosine within them.
-
-    The centroid set is the fitted model: collected once (8 rows) and
-    re-emitted as expression literals — exactly how a k-means model is
-    broadcast in production. Cell assignment is then a PURE MAP over
-    the scan (sort an 8-element struct array per row): no cross join,
-    no window shuffle; the only shuffles left are the probe join and
-    the final per-query top-k. At 100 TB the inverted lists would be
-    written bucketed by ``centroid_id`` so probes are partition-pruned.
-
-    The ``cells`` expression appears in both branches, but the probe
-    branch evaluates it only on the ``vec_id < N_QUERIES`` rows (the
-    predicate pushes into the parquet scan before the projection), so
-    the assignment math runs once over the table + once over the tiny
-    query set — not twice over the table."""
-    e = _embeddings(spark, sf_dir)
-    cent_rows = _centroids(spark, sf_dir)
-
-    # One 2D literal for all centroids + a transform loop, instead of
-    # unrolling 8 × 64-element arrays per use site — keeps the
-    # generated code small (codegen compile time was the dominant cost
-    # of the unrolled form). Struct sort on (sim, -centroid_id) DESC ==
-    # the oracle's ORDER BY c_sim DESC, centroid_id ASC tie-break.
+def _cells_expr(cent_rows) -> "F.Column":
+    """The per-row cell-ranking expression for a given centroid model:
+    one 2D literal + a transform loop (small generated code), struct
+    sort on (sim DESC, centroid_id ASC)."""
     cents_sql = "array(" + ", ".join(
         "array(" + ", ".join(f"{x!r}D" for x in c.v) + ")" for c in cent_rows
     ) + ")"
@@ -236,14 +213,20 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{float(c.nrm)!r}D" for c in cent_rows
     ) + ")"
     ids_sql = "array(" + ", ".join(str(int(c.vec_id)) for c in cent_rows) + ")"
-    cells = F.expr(
-        f"sort_array(transform(sequence(1, {N_CENTROIDS}), ci -> "
+    n = len(cent_rows)
+    return F.expr(
+        f"sort_array(transform(sequence(1, {n}), ci -> "
         f"named_struct("
         f"'s', round(aggregate(zip_with(v, element_at({cents_sql}, ci), "
         f"(x, y) -> x * y), 0D, (a, x) -> a + x) "
         f"/ (nrm * element_at({norms_sql}, ci)), 6), "
         f"'nid', -element_at({ids_sql}, ci))), false)"
     )
+
+
+def _ivf_topk(e: DataFrame, cent_rows) -> DataFrame:
+    """Shared IVF query body: assign, probe, rank (see ann_ivf)."""
+    cells = _cells_expr(cent_rows)
     assigned = e.select(
         "vec_id", "v", "nrm",
         (-F.element_at(cells, 1)["nid"]).alias("centroid_id"),
@@ -264,11 +247,6 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = assigned.join(F.broadcast(probes), "centroid_id").where(
         F.col("vec_id") != F.col("query_id")
     )
-    # No distinct needed: every vector is assigned to exactly ONE cell
-    # and a query's N_PROBE probe cells are distinct (slice of the
-    # sorted struct array), so each (query, candidate) pair joins at
-    # most once. Dropping the redundant distinct removed a whole
-    # shuffle (~0.7 s of the 1.5 s sf0.1 runtime).
     scored = cands.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
@@ -282,6 +260,96 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest of
+    ``N_CENTROIDS`` fixed coarse centroids (rows vec_id 100..107 — a
+    deterministic stand-in for a k-means fit); queries probe their
+    ``N_PROBE`` closest cells and rank exact cosine within them.
+
+    The centroid set is the fitted model: collected once (8 rows) and
+    re-emitted as expression literals — exactly how a k-means model is
+    broadcast in production. Cell assignment is then a PURE MAP over
+    the scan (sort an 8-element struct array per row): no cross join,
+    no window shuffle; the only shuffles left are the probe join and
+    the final per-query top-k. At 100 TB the inverted lists would be
+    written bucketed by ``centroid_id`` so probes are partition-pruned.
+
+    The ``cells`` expression appears in both branches, but the probe
+    branch evaluates it only on the ``vec_id < N_QUERIES`` rows (the
+    predicate pushes into the parquet scan before the projection), so
+    the assignment math runs once over the table + once over the tiny
+    query set — not twice over the table.
+
+    No distinct on candidates: every vector is assigned to exactly ONE
+    cell and a query's N_PROBE probe cells are distinct, so each
+    (query, candidate) pair joins at most once (a redundant distinct
+    was a whole extra shuffle, ~0.7 s at sf0.1)."""
+    return _ivf_topk(_embeddings(spark, sf_dir), _centroids(spark, sf_dir))
+
+
+KMEANS_ITERS = 2
+
+
+def kmeans_refine(spark: SparkSession, sf_dir: str,
+                  iters: int = KMEANS_ITERS) -> list:
+    """Lloyd's k-means refinement of the fixed seed centroids — the
+    engine's iterative-algorithm tier (non-SQL-expressible; registered
+    rows-only through ``ann_ivf_kmeans``).
+
+    Each iteration is fully distributed and shuffle-bounded:
+    assignment is the literal-broadcast map (``_cells_expr`` — model
+    as expression literals, no join), then new centroids come from ONE
+    shuffle of (cluster, dim, value) rows — posexplode to 64 rows per
+    vector, groupBy (cluster, dim) mean. Only k×dim aggregated rows
+    (512 here) ever reach the driver per iteration, which is the same
+    model-fetch pattern MLlib's own k-means uses (treeAggregate to
+    driver, broadcast back). Centroid components round to 6dp per
+    iteration so refits are bit-stable across partitionings."""
+    from collections import namedtuple
+
+    Cent = namedtuple("Cent", ["vec_id", "v", "nrm"])
+    e = _embeddings(spark, sf_dir).cache()
+    try:
+        cents = [Cent(int(c.vec_id), list(c.v), float(c.nrm))
+                 for c in _centroids(spark, sf_dir)]
+        for _ in range(iters):
+            cells = _cells_expr(cents)
+            assigned = e.select(
+                (-F.element_at(cells, 1)["nid"]).alias("cluster"),
+                F.posexplode("v").alias("dim", "val"),
+            )
+            rows = (
+                assigned.groupBy("cluster", "dim")
+                .agg(F.round(F.avg("val"), 6).alias("mean"))
+                .collect()
+            )
+            by_cluster: dict[int, dict[int, float]] = {}
+            for r in rows:
+                by_cluster.setdefault(int(r.cluster), {})[int(r.dim)] = r.mean
+            new = []
+            for c in cents:
+                dims = by_cluster.get(c.vec_id)
+                if dims is None:
+                    new.append(c)  # empty cluster keeps its centroid
+                    continue
+                v = [dims[i] for i in range(len(c.v))]
+                nrm = sum(x * x for x in v) ** 0.5
+                new.append(Cent(c.vec_id, v, nrm))
+            cents = new
+        return cents
+    finally:
+        e.unpersist()
+
+
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k over Lloyd-refined centroids (rows-only registry
+    entry: the iterative fit is not SQL-expressible; quality — lower
+    within-cluster inertia than the seed model — is asserted in
+    tests/test_similarity.py)."""
+    cents = kmeans_refine(spark, sf_dir)
+    return _ivf_topk(_embeddings(spark, sf_dir), cents)
 
 
 _E_SQL = """
@@ -301,6 +369,7 @@ QUERIES = {
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "ann_lsh_bucketed": ann_lsh_bucketed,  # rows-only
     "ann_ivf": ann_ivf,
+    "ann_ivf_kmeans": ann_ivf_kmeans,  # rows-only (iterative fit)
 }
 
 ORACLES = {

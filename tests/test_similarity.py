@@ -22,3 +22,39 @@ def test_bruteforce_k_per_query(spark, sf_dir):
     counts = {r.query_id: r["count"] for r in df.groupBy("query_id").count().collect()}
     assert set(counts) == set(range(ann.N_QUERIES))
     assert all(c == ann.TOP_K for c in counts.values())
+
+
+def test_kmeans_refine_reduces_inertia(spark, sf_dir):
+    """Lloyd refinement must not worsen the within-cluster cosine
+    inertia of the seed model (it minimizes it by construction)."""
+    from pyspark.sql import functions as F
+
+    from customer_churn_prediction_spark.similarity import ann
+
+    e = ann._embeddings(spark, sf_dir)
+
+    def inertia(cents):
+        cells = ann._cells_expr(cents)
+        return (
+            e.select((1 - F.element_at(cells, 1)["s"]).alias("d"))
+            .agg(F.sum("d"))
+            .collect()[0][0]
+        )
+
+    seed = ann._centroids(spark, sf_dir)
+    refined = ann.kmeans_refine(spark, sf_dir)
+    assert inertia(refined) <= inertia(seed) + 1e-6
+
+
+def test_ann_ivf_kmeans_returns_ranked_topk(spark, sf_dir):
+    from customer_churn_prediction_spark.similarity import ann
+
+    rows = ann.ann_ivf_kmeans(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        ranks = sorted(r.rank for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        sims = [r.cosine_sim for r in sorted(rs, key=lambda r: r.rank)]
+        assert sims == sorted(sims, reverse=True)
