@@ -95,8 +95,9 @@ def train_and_evaluate(
 
 def features_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The fitted feature pipeline's output surface: per customer the
-    assembled vector (as array<double> for inspectability) + label."""
-    data = dataset.churn_training_set(spark, sf_dir)
+    assembled vector (as array<double> for inspectability) + label.
+    Shares the registry's cached training frame with the model jobs."""
+    data, _ = _shared_training_set(spark, sf_dir)
     fitted = build_feature_pipeline().fit(data)
     out = fitted.transform(data)
     return out.select(

@@ -261,34 +261,29 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band_idx", "band_val"),
     )
-    # Same bucket-expansion shape as minhash_lsh_pairs: one scan, one
-    # shuffle, signatures computed once; struct sort keys on doc_id so
-    # expansion yields doc_a < doc_b.
-    buckets = (
-        bands.groupBy("band_idx", "band_val")
-        .agg(
-            F.sort_array(
-                F.collect_list(
-                    F.struct(F.col("doc_id"), F.col("simhash"))
-                )
-            ).alias("members")
-        )
-        .where(F.size("members") > 1)
+    # Self-join, NOT bucket expansion (deliberately different from
+    # minhash_lsh_pairs): a SimHash signature is one packed long that
+    # costs ~0.6 s to recompute for the whole sf0.1 corpus, so paying
+    # it once per join side is cheap, while the join SPREADS the
+    # in-bucket pair blowup across the shuffle — the bucket-expansion
+    # form concentrated a 1.6k-doc bucket's 1.25M candidate pairs into
+    # one task's array (3.9 s and a memory hazard vs 1.7 s here). The
+    # hamming filter runs BEFORE distinct so the dedup shuffle carries
+    # 271k rows, not 2.9M.
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_val") == F.col("b.band_val"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.expr("cast(bit_count(a.simhash ^ b.simhash) as int)").alias(
+            "hamming"
+        ),
     )
-    pairs = buckets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(sequence(1, size(members) - 1), "
-                "i -> transform(slice(members, i + 1, size(members) - i), "
-                "y -> named_struct("
-                "'doc_a', element_at(members, i).doc_id, "
-                "'doc_b', y.doc_id, "
-                "'hamming', cast(bit_count("
-                "element_at(members, i).simhash ^ y.simhash) as int)))))"
-            )
-        ).alias("p")
-    ).select("p.doc_a", "p.doc_b", "p.hamming")
-    return pairs.where(F.col("hamming") <= HAMMING_MAX).distinct()
+    return cands.where(F.col("hamming") <= HAMMING_MAX).distinct()
 
 
 def _word_shingles_spark() -> str:
