@@ -180,19 +180,23 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality probes).
 
     Plan shape, all linear: explode tokens → per-(doc, term) count (one
-    shuffle) → per-term document frequency (one shuffle over the much
-    smaller tf frame) → join back on term → per-doc top-k window. The
-    corpus size joins in as a broadcast single-row aggregate, keeping
-    the whole thing one declarative plan (no driver-side count). Scores
-    round to 6dp BEFORE ranking so ordering (desc score, asc term) is
-    identical in both engines."""
+    shuffle) → document frequency as a WINDOW count over term (one
+    shuffle, and — unlike a groupBy + join back — the tf subtree is
+    evaluated once: a join's two consumers re-run the explode+aggregate
+    on both DAG branches) → per-doc top-k window. The corpus size joins
+    in as a broadcast single-row aggregate, keeping the whole thing one
+    declarative plan (no driver-side count). Scores round to 6dp BEFORE
+    ranking so ordering (desc score, asc term) is identical in both
+    engines."""
+    from pyspark.sql import Window
+
     d = load_table(spark, sf_dir, "documents", spread=True)
     toks = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    wt = Window.partitionBy("term")
     scored = (
-        tf.join(dfreq, "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(wt))
         .join(F.broadcast(n))
         .select(
             "doc_id",
@@ -211,8 +215,6 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tfidf"),
         )
     )
-    from pyspark.sql import Window
-
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tfidf").desc(), F.col("term")
     )
