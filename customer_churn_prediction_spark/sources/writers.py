@@ -60,21 +60,28 @@ def write_date_partitioned(
 
 def write_bucketed(
     df: DataFrame, key: str, table: str, n_buckets: int = 32,
-    mode: str = "overwrite",
+    mode: str = "overwrite", path: str | None = None,
 ) -> None:
-    """Bucketed managed table: rows hash-partitioned AND sorted by the
+    """Bucketed table: rows hash-partitioned AND sorted by the
     join key at write time. Two tables bucketed the same way co-locate:
     Spark plans their equi-join with ZERO Exchange (verified in
     tests/test_sources.py::test_bucketed_join_no_shuffle). This is the
     at-rest answer to the flagship's orders⋈lineitem shuffle at 100 TB —
-    pay the shuffle once at ingest, never per query."""
-    (
+    pay the shuffle once at ingest, never per query.
+
+    ``path`` pins the table location explicitly (external table);
+    without it the files land in the session's warehouse dir, which
+    defaults to the DRIVER PROCESS's cwd — callers that must control
+    where data lands should always pass it."""
+    writer = (
         df.write.mode(mode)
         .bucketBy(n_buckets, key)
         .sortBy(key)
         .format("parquet")
-        .saveAsTable(table)
     )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
 
 
 def to_libsvm_lines(vectorized: DataFrame, label_col: str = "label",
