@@ -230,9 +230,16 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"aggregate(zip_with(bitsums, sequence(0, {SIMHASH_BITS - 1}), "
         f"(s, j) -> IF(s > 0, shiftleft(1L, j), 0L)), 0L, (acc, x) -> acc + x)"
     )
+    # coalesce is a NULLABILITY BARRIER, not a value change (the fold
+    # over a non-null init is never null): without it, the pairs
+    # query's equi-join on band values infers an isnotnull(simhash)
+    # constraint that gets pushed below this projection and re-runs the
+    # ENTIRE pipeline inside a Filter on each join side (4 evaluations
+    # instead of 2 — the same hidden-duplication bug as the minhash
+    # null filter).
     return summed.select(
         "doc_id",
-        F.expr(packed).alias("simhash"),
+        F.expr(f"coalesce({packed}, 0L)").alias("simhash"),
         "n_distinct_tokens",
     )
 
