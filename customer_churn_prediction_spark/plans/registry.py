@@ -62,6 +62,7 @@ PRIORITY = [
     "feature_bucketize",
     "feature_assembly_bucketed",  # new in r2 — needs its first driver row
     "dedup_lsh_groups",  # new in r2
+    "dedup_lsh_components",  # new in r2
     "text_tfidf_topk",  # new in r2
     "ann_ivf",
     "ann_ivf_kmeans",  # new in r2

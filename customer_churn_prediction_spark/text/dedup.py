@@ -186,6 +186,64 @@ def lsh_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lsh_dedup_components(
+    spark: SparkSession, sf_dir: str, max_iters: int = 10
+) -> DataFrame:
+    """Transitive dedup groups: min-id label propagation over the
+    doc↔bucket bipartite graph until fixpoint — connected components
+    without ever materializing pairwise edges (the iterative-algorithm
+    tier; rows-only, parity vs union-find over the pair list asserted
+    in tests).
+
+    ``dedup_lsh_groups`` is one sweep (a doc adopts the smallest id
+    among its DIRECT bucket peers); chains A~B~C where A and C share no
+    bucket need propagation. Each iteration is two linear shuffles
+    (bucket-min of labels, then doc-min across buckets) over a CACHED
+    bands frame, and convergence is detected with a count of changed
+    labels — O(component diameter) rounds, typically 2-3 on near-dup
+    corpora. At 100 TB this is exactly large-scale connected
+    components à la label propagation: state is one long per doc, and
+    no step is quadratic in cluster size (the escape hatch pairwise
+    LSH lacks)."""
+    from pyspark.sql import Window
+
+    bands = _lsh_bands(spark, sf_dir).cache()
+    try:
+        wb = Window.partitionBy("band", "band_sig")
+        labels = (
+            bands.withColumn("bucket_rep", F.min("doc_id").over(wb))
+            .groupBy("doc_id")
+            .agg(F.min("bucket_rep").alias("label"))
+        )
+        for _ in range(max_iters - 1):
+            labeled = bands.join(labels, "doc_id")
+            propagated = (
+                labeled.withColumn("bucket_rep", F.min("label").over(wb))
+                .groupBy("doc_id")
+                .agg(F.min("bucket_rep").alias("new_label"))
+            )
+            merged = labels.join(propagated, "doc_id").cache()
+            try:
+                changed = merged.where(
+                    F.col("new_label") != F.col("label")
+                ).count()
+                labels = merged.select(
+                    "doc_id", F.col("new_label").alias("label")
+                )
+                if changed == 0:
+                    break
+                # Materialize the surviving frame before the cache
+                # backing it is released next loop.
+                labels = labels.localCheckpoint(eager=True)
+            finally:
+                merged.unpersist()
+        return labels.withColumn(
+            "is_rep", (F.col("doc_id") == F.col("label")).cast("int")
+        )
+    finally:
+        bands.unpersist()
+
+
 SIMHASH_BITS = 60
 SIMHASH_BANDS = 4
 BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 15
@@ -484,6 +542,7 @@ QUERIES = {
     "dedup_minhash_signatures": minhash_signatures,
     "dedup_minhash_lsh_pairs": minhash_lsh_pairs,
     "dedup_lsh_groups": lsh_dedup_groups,
+    "dedup_lsh_components": lsh_dedup_components,  # rows-only (iterative)
     "dedup_simhash": simhash_signatures,
     "dedup_simhash_pairs": simhash_pairs,
     "dedup_ngram_jaccard": ngram_jaccard_pairs,

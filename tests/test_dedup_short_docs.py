@@ -65,3 +65,31 @@ def test_minhash_short_text_yields_null_signature(spark, short_dir):
     }
     assert rows[7].mh0 is None, "sub-shingle doc must produce NULL minhash"
     assert rows[5].mh0 is not None
+
+
+def test_lsh_components_match_union_find(spark, sf_dir):
+    """Transitive components must equal union-find over the pairwise
+    LSH candidate edges (the definitionally-correct but quadratic
+    form)."""
+    from customer_churn_prediction_spark.text import dedup
+
+    pairs = dedup.minhash_lsh_pairs(spark, sf_dir).collect()
+    got = {
+        r.doc_id: r.label
+        for r in dedup.lsh_dedup_components(spark, sf_dir).collect()
+    }
+
+    parent: dict[int, int] = {d: d for d in got}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        ra, rb = find(r.doc_a), find(r.doc_b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {d: find(d) for d in parent}
+    assert got == want
