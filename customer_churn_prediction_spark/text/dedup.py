@@ -214,29 +214,28 @@ def lsh_dedup_components(
             bands.withColumn("bucket_rep", F.min("doc_id").over(wb))
             .groupBy("doc_id")
             .agg(F.min("bucket_rep").alias("label"))
-        )
+        ).cache()
+        # Labels only ever DECREASE (every step is a min), so any
+        # change strictly lowers sum(label): convergence is detected
+        # with ONE scalar aggregate per round — no join against the
+        # previous labels, no changed-row count, no checkpoint. The
+        # cache on each round's frame truncates recomputation depth;
+        # the previous round's cache is released only after the new
+        # frame is materialized by the sum action.
+        prev_sum = labels.agg(F.sum("label")).collect()[0][0]
         for _ in range(max_iters - 1):
-            labeled = bands.join(labels, "doc_id")
             propagated = (
-                labeled.withColumn("bucket_rep", F.min("label").over(wb))
+                bands.join(labels, "doc_id")
+                .withColumn("bucket_rep", F.min("label").over(wb))
                 .groupBy("doc_id")
-                .agg(F.min("bucket_rep").alias("new_label"))
-            )
-            merged = labels.join(propagated, "doc_id").cache()
-            try:
-                changed = merged.where(
-                    F.col("new_label") != F.col("label")
-                ).count()
-                labels = merged.select(
-                    "doc_id", F.col("new_label").alias("label")
-                )
-                if changed == 0:
-                    break
-                # Materialize the surviving frame before the cache
-                # backing it is released next loop.
-                labels = labels.localCheckpoint(eager=True)
-            finally:
-                merged.unpersist()
+                .agg(F.min("bucket_rep").alias("label"))
+            ).cache()
+            new_sum = propagated.agg(F.sum("label")).collect()[0][0]
+            labels.unpersist()
+            labels = propagated
+            if new_sum == prev_sum:
+                break
+            prev_sum = new_sum
         return labels.withColumn(
             "is_rep", (F.col("doc_id") == F.col("label")).cast("int")
         )
