@@ -72,9 +72,17 @@ def write_bucketed(
     ``path`` pins the table location explicitly (external table);
     without it the files land in the session's warehouse dir, which
     defaults to the DRIVER PROCESS's cwd — callers that must control
-    where data lands should always pass it."""
+    where data lands should always pass it.
+
+    The pre-write repartition on the bucket key yields ONE file per
+    bucket: a bucketed scan only reports its sortBy ordering when each
+    bucket is a single file, and without that the downstream SMJ pays
+    a real sort per query — silently forfeiting half the point of
+    sorting at write. (With many write tasks, each task otherwise
+    emits its own file per bucket.)"""
     writer = (
-        df.write.mode(mode)
+        df.repartition(n_buckets, F.col(key))
+        .write.mode(mode)
         .bucketBy(n_buckets, key)
         .sortBy(key)
         .format("parquet")
