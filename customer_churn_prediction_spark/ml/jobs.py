@@ -52,6 +52,29 @@ def _shared_training_set(
     return hit
 
 
+# (fitted-feature train, test, n_train, n_test) per (session, sf_dir):
+# the four registry model jobs share one feature-pipeline fit and one
+# pair of cached vectorized splits — the standard fit-features-once,
+# sweep-estimators pattern. Results are bit-identical to fitting the
+# composed Pipeline per job (the feature stages fit on the same train
+# split either way).
+_SHARED_VECTORIZED: dict[tuple[int, str], tuple] = {}
+
+
+def _shared_vectorized_split(spark: SparkSession, sf_dir: str) -> tuple:
+    key = (id(spark), sf_dir)
+    hit = _SHARED_VECTORIZED.get(key)
+    if hit is None:
+        sized, _ = _shared_training_set(spark, sf_dir)
+        train, test = dataset.train_test_split(sized)
+        feat = build_feature_pipeline().fit(train)
+        train_t = feat.transform(train).select("features", "label").cache()
+        test_t = feat.transform(test).select("features", "label").cache()
+        hit = (train_t, test_t, train_t.count(), test_t.count())
+        _SHARED_VECTORIZED[key] = hit
+    return hit
+
+
 def train_and_evaluate(
     spark: SparkSession,
     sf_dir: str,
@@ -60,25 +83,33 @@ def train_and_evaluate(
     share_cache: bool = False,
 ) -> DataFrame:
     if share_cache:
-        sized, _ = _shared_training_set(spark, sf_dir)
-        data = None
-    else:
-        data = dataset.churn_training_set(spark, sf_dir).cache()
-        sized = _sized(data, data.count())
-    try:
-        train, test = dataset.train_test_split(sized)
+        train, test, n_train, n_test = _shared_vectorized_split(spark, sf_dir)
         estimator = models.make_estimator(model_key, profile)
-        pipe = Pipeline(stages=[*build_feature_pipeline().getStages(), estimator])
-        fitted = pipe.fit(train)
-        scored = fitted.transform(test).cache()
+        model = estimator.fit(train)
+        scored = model.transform(test).cache()
         try:
             m = evaluation.confusion_metrics(scored)
             roc = evaluation.auc(scored)
-            n_train, n_test = train.count(), test.count()
         finally:
             scored.unpersist()
-    finally:
-        if data is not None:
+    else:
+        data = dataset.churn_training_set(spark, sf_dir).cache()
+        try:
+            sized = _sized(data, data.count())
+            train, test = dataset.train_test_split(sized)
+            estimator = models.make_estimator(model_key, profile)
+            pipe = Pipeline(
+                stages=[*build_feature_pipeline().getStages(), estimator]
+            )
+            fitted = pipe.fit(train)
+            scored = fitted.transform(test).cache()
+            try:
+                m = evaluation.confusion_metrics(scored)
+                roc = evaluation.auc(scored)
+                n_train, n_test = train.count(), test.count()
+            finally:
+                scored.unpersist()
+        finally:
             data.unpersist()
     return spark.createDataFrame(
         [
