@@ -22,11 +22,38 @@ from .pipeline import build_feature_pipeline
 
 ROWS_PER_FIT_PARTITION = 20_000
 
-# Cached (sized training frame, row count) per (session, sf_dir), shared
-# by the four registry model jobs so features ⋈ label is computed once,
-# not four times. Only the registry path opts in (share_cache=True); the
-# default API path keeps its own cache + unpersist lifecycle.
-_SHARED_TRAINING: dict[tuple[int, str], tuple[DataFrame, int]] = {}
+# Cached (sized training frame, row count) per (application, sf_dir),
+# shared by the four registry model jobs so features ⋈ label is computed
+# once, not four times. Only the registry path opts in
+# (share_cache=True); the default API path keeps its own cache +
+# unpersist lifecycle. Keyed on applicationId, NOT id(spark): CPython
+# can reuse a stopped session's id() for a new session, which would
+# serve cached frames bound to a dead SparkContext (r2 ADVICE).
+_SHARED_TRAINING: dict[tuple[str, str], tuple[DataFrame, int]] = {}
+
+
+def _cache_key(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    return (spark.sparkContext.applicationId, sf_dir)
+
+
+def clear_shared_caches(unpersist: bool = True) -> None:
+    """Release the registry-path shared frames (call between sessions
+    or to free executor memory mid-session)."""
+    for frame, _ in _SHARED_TRAINING.values():
+        if unpersist:
+            try:
+                frame.unpersist()
+            except Exception:
+                pass  # session already stopped
+    _SHARED_TRAINING.clear()
+    for train_t, test_t, _, _ in _SHARED_VECTORIZED.values():
+        if unpersist:
+            try:
+                train_t.unpersist()
+                test_t.unpersist()
+            except Exception:
+                pass
+    _SHARED_VECTORIZED.clear()
 
 
 def _sized(data: DataFrame, n_rows: int) -> DataFrame:
@@ -42,7 +69,7 @@ def _sized(data: DataFrame, n_rows: int) -> DataFrame:
 def _shared_training_set(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, int]:
-    key = (id(spark), sf_dir)
+    key = _cache_key(spark, sf_dir)
     hit = _SHARED_TRAINING.get(key)
     if hit is None:
         data = dataset.churn_training_set(spark, sf_dir).cache()
@@ -52,17 +79,17 @@ def _shared_training_set(
     return hit
 
 
-# (fitted-feature train, test, n_train, n_test) per (session, sf_dir):
-# the four registry model jobs share one feature-pipeline fit and one
-# pair of cached vectorized splits — the standard fit-features-once,
-# sweep-estimators pattern. Results are bit-identical to fitting the
-# composed Pipeline per job (the feature stages fit on the same train
-# split either way).
-_SHARED_VECTORIZED: dict[tuple[int, str], tuple] = {}
+# (fitted-feature train, test, n_train, n_test) per (application,
+# sf_dir): the four registry model jobs share one feature-pipeline fit
+# and one pair of cached vectorized splits — the standard
+# fit-features-once, sweep-estimators pattern. Results are
+# bit-identical to fitting the composed Pipeline per job (the feature
+# stages fit on the same train split either way).
+_SHARED_VECTORIZED: dict[tuple[str, str], tuple] = {}
 
 
 def _shared_vectorized_split(spark: SparkSession, sf_dir: str) -> tuple:
-    key = (id(spark), sf_dir)
+    key = _cache_key(spark, sf_dir)
     hit = _SHARED_VECTORIZED.get(key)
     if hit is None:
         sized, _ = _shared_training_set(spark, sf_dir)
@@ -125,17 +152,26 @@ def train_and_evaluate(
 
 
 def features_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The fitted feature pipeline's output surface: per customer the
-    assembled vector (as array<double> for inspectability) + label.
-    Shares the registry's cached training frame with the model jobs."""
+    """The fitted feature pipeline's output surface as nonzero
+    (c_custkey, slot, value) coordinates — the sparse-COO projection of
+    the assembled vector. Shares the registry's cached training frame
+    with the model jobs.
+
+    Coordinates instead of one array<double> column for two reasons:
+    the driver's canonicalizer cannot sort array cells (pandas
+    ``sort_values`` raises on object lists — this entry crashed the r1
+    and r2 drivers), and the flat form is DuckDB-oracle-able: the
+    bucketize→index→one-hot vocabulary is deterministic (StringIndexer
+    ranks labels by frequency desc, ties alphabetically — reproduced
+    in SQL with row_number()), so every vector slot is a plain SQL
+    expression over the training table."""
     data, _ = _shared_training_set(spark, sf_dir)
     fitted = build_feature_pipeline().fit(data)
     out = fitted.transform(data)
     return out.select(
         "c_custkey",
-        vector_to_array("features").alias("features"),
-        F.col("label").cast("int").alias("label"),
-    )
+        F.posexplode(vector_to_array("features")).alias("slot", "value"),
+    ).where(F.col("value") != 0.0)
 
 
 # Registry entries run the small-data profile: the driver executes them
@@ -154,4 +190,55 @@ QUERIES = {
     "ml_feature_vectors": features_vectorized,
 }
 
-ORACLES: dict[str, str] = {}  # ML fits: rows-only checks by design
+
+def _feature_vectors_oracle() -> str:
+    """SQL replay of the full feature pipeline's vector layout.
+
+    Slot map (must mirror build_feature_pipeline's VectorAssembler
+    input order): continuous columns first, then 0/1 flags, then one
+    one-hot block per categorical sized n_distinct + 1 (StringIndexer
+    handleInvalid='keep' reserves an __other__ slot that training data
+    never sets). Block bases are scalar subqueries over the vocab CTEs
+    so the SQL stays correct if the data's category sets change."""
+    from ..operators.assembly import ASSEMBLY_ORACLE
+    from ..operators.labeling import LABEL_ORACLE
+
+    n_dense = len(dataset.CONTINUOUS) + len(dataset.FLAGS)
+    arms = [
+        f"SELECT c_custkey, {i} AS slot, CAST({col} AS DOUBLE) AS value"
+        f" FROM t WHERE CAST({col} AS DOUBLE) <> 0"
+        for i, col in enumerate(dataset.CONTINUOUS)
+    ]
+    arms += [
+        f"SELECT c_custkey, {len(dataset.CONTINUOUS) + j} AS slot,"
+        f" CAST(1 AS DOUBLE) AS value FROM t WHERE {col} = 1"
+        for j, col in enumerate(dataset.FLAGS)
+    ]
+    base = str(n_dense)
+    vocs = []
+    for c in dataset.CATEGORICAL:
+        vocs.append(
+            f"voc_{c} AS (SELECT {c} AS val,"
+            f" row_number() OVER (ORDER BY count(*) DESC, {c}) - 1 AS idx"
+            f" FROM t GROUP BY {c})"
+        )
+        arms.append(
+            f"SELECT t.c_custkey, CAST({base} + v.idx AS INTEGER) AS slot,"
+            f" CAST(1 AS DOUBLE) AS value"
+            f" FROM t JOIN voc_{c} v ON t.{c} = v.val"
+        )
+        base = f"{base} + (SELECT count(*) + 1 FROM voc_{c})"
+    newline = "\nUNION ALL\n"
+    return (
+        "WITH t AS (\n"
+        f"  SELECT a.*, l.label FROM ({ASSEMBLY_ORACLE}) a\n"
+        f"  JOIN ({LABEL_ORACLE}) l USING (c_custkey)\n"
+        "),\n" + ",\n".join(vocs) + "\n" + newline.join(arms)
+    )
+
+
+# Model fits stay rows-only by contract (iterative, not
+# SQL-expressible); the vectorization surface is fully oracle-able.
+ORACLES: dict[str, str] = {
+    "ml_feature_vectors": _feature_vectors_oracle(),
+}

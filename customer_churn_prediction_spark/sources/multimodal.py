@@ -27,11 +27,17 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 
+_EMBED_DIM = 8
+# Embedding dims land as emb_0..emb_7 scalar doubles, not one
+# array<float> column: fixed-width features as flat columns are both
+# the columnar-storage-friendly layout (each dim prunes/compresses
+# independently) and what the driver's canonicalizer can sort/hash
+# (pandas cannot sort object-list columns — r2 crash).
 FEATURE_SCHEMA = (
     "doc_id long, media_type string, n_bytes long, "
-    "byte_mean double, byte_mode int, fake_embedding array<float>"
+    "byte_mean double, byte_mode int, "
+    + ", ".join(f"emb_{i} double" for i in range(_EMBED_DIM))
 )
-_EMBED_DIM = 8
 
 
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -71,6 +77,8 @@ def _fake_features(payload: bytes) -> tuple[float, int, list[float]]:
     counts = np.bincount(arr, minlength=256)
     mode = int(np.flatnonzero(counts == counts.max())[0])  # tie → smallest
     hist = np.bincount(arr % _EMBED_DIM, minlength=_EMBED_DIM)
+    # mean and hist/n are exact: integer sums < 2^53 divided by n give
+    # the same double in numpy and in the DuckDB oracle's avg/count.
     return float(arr.mean()), mode, (hist / arr.size).tolist()
 
 
@@ -81,22 +89,24 @@ def extract_features(media: DataFrame) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             feats = [_fake_features(p) for p in pdf["media_bytes"]]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "media_type": pdf["media_type"],
-                    "n_bytes": [len(p) for p in pdf["media_bytes"]],
-                    "byte_mean": [f[0] for f in feats],
-                    "byte_mode": [f[1] for f in feats],
-                    "fake_embedding": [f[2] for f in feats],
-                }
-            )
+            cols = {
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "n_bytes": [len(p) for p in pdf["media_bytes"]],
+                "byte_mean": [f[0] for f in feats],
+                "byte_mode": [f[1] for f in feats],
+            }
+            for i in range(_EMBED_DIM):
+                cols[f"emb_{i}"] = [f[2][i] for f in feats]
+            yield pd.DataFrame(cols)
 
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry entry (rows-only): binary-column media pipeline."""
+    """Registry entry: binary-column media pipeline, oracle-paired (the
+    documents fixture is pure ASCII, so the DuckDB oracle can rebuild
+    the UTF-8 byte stream with per-char codepoints)."""
     return extract_features(media_table(spark, sf_dir))
 
 
@@ -163,8 +173,64 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
-    "multimodal_features": multimodal_features,  # rows-only (pandas path)
-    "multimodal_frames": multimodal_frames,  # rows-only (pandas path)
+    "multimodal_features": multimodal_features,
+    "multimodal_frames": multimodal_frames,
 }
 
-ORACLES: dict[str, str] = {}
+_MEDIA_TYPE_SQL = (
+    "CASE WHEN doc_id % 3 = 0 THEN 'image' "
+    "WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END"
+)
+
+# Oracle contract: the fixture text is ASCII (asserted in
+# tests/test_multimodal.py), so UTF-8 byte k == codepoint of char k and
+# DuckDB can replay the numpy byte math exactly — integer sums divided
+# by integer counts are the same double in both engines. Docs with
+# empty text would drop out of the per-byte aggregate (Spark emits a
+# zero row); the fixture has none.
+ORACLES = {
+    "multimodal_features": f"""
+WITH pos AS (
+  SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+  FROM documents
+),
+bytes AS (
+  SELECT doc_id, ascii(substring(text, CAST(i AS INT), 1)) AS byte
+  FROM pos
+),
+stats AS (
+  SELECT doc_id,
+         avg(byte) AS byte_mean,
+         {", ".join(
+             f"CAST(count(*) FILTER (WHERE byte % {_EMBED_DIM} = {i}) AS DOUBLE)"
+             f" / count(*) AS emb_{i}"
+             for i in range(_EMBED_DIM)
+         )}
+  FROM bytes GROUP BY doc_id
+),
+modes AS (
+  SELECT doc_id, byte AS byte_mode,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY count(*) DESC, byte) AS rn
+  FROM bytes GROUP BY doc_id, byte
+)
+SELECT d.doc_id, {_MEDIA_TYPE_SQL} AS media_type,
+       CAST(length(d.text) AS BIGINT) AS n_bytes,
+       s.byte_mean, CAST(m.byte_mode AS INTEGER) AS byte_mode,
+       {", ".join(f"s.emb_{i}" for i in range(_EMBED_DIM))}
+FROM documents d
+JOIN stats s USING (doc_id)
+JOIN modes m ON m.doc_id = d.doc_id AND m.rn = 1
+""",
+    # frame_sample slices payload into n evenly spaced step-wide frames
+    # (step = max(len // n, 1)); total sampled bytes close over the
+    # slice arithmetic: n * (len // n) when len >= n, else min(len, n).
+    "multimodal_frames": f"""
+SELECT doc_id,
+       CAST({_N_FRAMES} AS BIGINT) AS n_frames,
+       CAST(CASE WHEN length(text) >= {_N_FRAMES}
+                 THEN {_N_FRAMES} * (length(text) // {_N_FRAMES})
+                 ELSE least(length(text), {_N_FRAMES}) END
+            AS BIGINT) AS sampled_bytes
+FROM documents
+"""}

@@ -10,9 +10,22 @@ def test_media_schema_and_features(spark, sf_smoke):
     rows = feats.collect()
     assert len(rows) == media.count()
     r = rows[0]
-    assert len(r.fake_embedding) == 8
-    assert abs(sum(r.fake_embedding) - 1.0) < 1e-6  # histogram normalized
+    emb = [r[f"emb_{i}"] for i in range(8)]
+    assert abs(sum(emb) - 1.0) < 1e-6  # histogram normalized
     assert r.n_bytes > 0 and 0 < r.byte_mean < 256
+
+
+def test_documents_fixture_is_ascii(spark, sf_smoke):
+    # The multimodal_features oracle rebuilds bytes from codepoints —
+    # valid only while the fixture stays ASCII (documented contract).
+    d = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    from pyspark.sql import functions as F
+
+    bad = d.where(
+        F.col("text").isNull()
+        | (F.length("text") != F.octet_length("text"))
+    ).count()
+    assert bad == 0
 
 
 def test_decode_stub_raises():
