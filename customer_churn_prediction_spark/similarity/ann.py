@@ -132,9 +132,11 @@ def _sig_col(vcol: str):
 
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN with Hamming-1 multiprobe: candidates come from
-    a signature equi-join instead of a cross join. Rows-only check
-    (the bucketing is not naturally SQL-portable); recall vs the
-    brute-force tier is asserted in tests."""
+    a signature equi-join instead of a cross join. Oracle-paired: the
+    hyperplanes are md5-derived ±1 literals, so the signature is the
+    same plain SQL expression in DuckDB (sign threshold at 0 is safe —
+    a 64-term dot of continuous embeddings is never within float noise
+    of zero). Recall vs the brute-force tier is asserted in tests."""
     e = _embeddings(spark, sf_dir).withColumn("sig", _sig_col("v"))
     q = e.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -367,10 +369,24 @@ n AS (
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "embedding_neardup_pairs": embedding_neardup_pairs,
-    "ann_lsh_bucketed": ann_lsh_bucketed,  # rows-only
+    "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf": ann_ivf,
     "ann_ivf_kmeans": ann_ivf_kmeans,  # rows-only (iterative fit)
 }
+
+
+def _sig_sql() -> str:
+    """The DuckDB twin of ``_sig_col``: same md5-derived ±1 plane
+    literals, same sign threshold, same bit packing."""
+    bits = []
+    for j, plane in enumerate(_planes()):
+        plane_sql = "[" + ", ".join(str(c) for c in plane) + "]"
+        bits.append(
+            f"(CASE WHEN list_sum(list_transform(range(1, len(v) + 1), "
+            f"i -> v[i::INT] * ({plane_sql})[i::INT])) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+        )
+    return " + ".join(bits)
 
 ORACLES = {
     "ann_bruteforce_topk": f"""
@@ -437,3 +453,29 @@ SELECT query_id, neighbor_id, cosine_sim, rank FROM (
 WHERE rank <= {TOP_K}
 """,
 }
+
+ORACLES["ann_lsh_bucketed"] = f"""
+WITH {_E_SQL},
+sig AS (
+  SELECT vec_id, v, nrm, CAST({_sig_sql()} AS INTEGER) AS sig FROM n
+),
+probes AS (
+  SELECT vec_id AS query_id, qv, qn,
+         unnest([sig, {", ".join(f"xor(sig, {1 << j})" for j in range(N_PLANES))}]) AS sig
+  FROM (SELECT vec_id, v AS qv, nrm AS qn, sig FROM sig
+        WHERE vec_id < {N_QUERIES})
+),
+scored AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         round(list_sum(list_transform(range(1, len(p.qv) + 1),
+                        i -> p.qv[i::INT] * c.v[i::INT])) / (p.qn * c.nrm), 6)
+           AS cosine_sim
+  FROM sig c JOIN probes p USING (sig)
+  WHERE c.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id) AS rank
+  FROM scored)
+WHERE rank <= {TOP_K}
+"""

@@ -162,6 +162,24 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _short_doc_singletons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, doc_id, 1) for docs below one shingle. Docs too short
+    to band are absent from every bucket, and a keep-list built from
+    is_rep == 1 would otherwise silently DROP them (r2 ADVICE) — a
+    short doc is trivially unique, so it is its own group
+    representative. The length predicate pushes into the parquet scan;
+    NULL text counts as short (length(NULL) >= k is NULL → not banded)."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNull() | (F.length("text") < SHINGLE))
+        .select(
+            "doc_id",
+            F.col("doc_id").alias("group_rep"),
+            F.lit(1).cast("int").alias("is_rep"),
+        )
+    )
+
+
 def lsh_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear-cost LSH dedup: each doc is assigned the MIN doc_id among
     its bucket peers (its dedup-group representative) instead of
@@ -178,12 +196,13 @@ def lsh_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     bands = _lsh_bands(spark, sf_dir)
     w = Window.partitionBy("band", "band_sig")
-    return (
+    grouped = (
         bands.withColumn("bucket_rep", F.min("doc_id").over(w))
         .groupBy("doc_id")
         .agg(F.min("bucket_rep").alias("group_rep"))
         .withColumn("is_rep", (F.col("doc_id") == F.col("group_rep")).cast("int"))
     )
+    return grouped.unionByName(_short_doc_singletons(spark, sf_dir))
 
 
 def lsh_dedup_components(
@@ -192,8 +211,8 @@ def lsh_dedup_components(
     """Transitive dedup groups: min-id label propagation over the
     doc↔bucket bipartite graph until fixpoint — connected components
     without ever materializing pairwise edges (the iterative-algorithm
-    tier; rows-only, parity vs union-find over the pair list asserted
-    in tests).
+    tier; oracle-paired against a DuckDB WITH RECURSIVE reachability
+    closure, plus union-find parity asserted in tests).
 
     ``dedup_lsh_groups`` is one sweep (a doc adopts the smallest id
     among its DIRECT bucket peers); chains A~B~C where A and C share no
@@ -236,8 +255,13 @@ def lsh_dedup_components(
             if new_sum == prev_sum:
                 break
             prev_sum = new_sum
-        return labels.withColumn(
+        out = labels.withColumn(
             "is_rep", (F.col("doc_id") == F.col("label")).cast("int")
+        )
+        return out.unionByName(
+            _short_doc_singletons(spark, sf_dir).withColumnRenamed(
+                "group_rep", "label"
+            )
         )
     finally:
         bands.unpersist()
@@ -541,7 +565,7 @@ QUERIES = {
     "dedup_minhash_signatures": minhash_signatures,
     "dedup_minhash_lsh_pairs": minhash_lsh_pairs,
     "dedup_lsh_groups": lsh_dedup_groups,
-    "dedup_lsh_components": lsh_dedup_components,  # rows-only (iterative)
+    "dedup_lsh_components": lsh_dedup_components,
     "dedup_simhash": simhash_signatures,
     "dedup_simhash_pairs": simhash_pairs,
     "dedup_ngram_jaccard": ngram_jaccard_pairs,
@@ -572,6 +596,32 @@ SELECT b.doc_id, min(m.bucket_rep) AS group_rep,
             AS INTEGER) AS is_rep
 FROM bands b JOIN bucket_min m USING (band, band_sig)
 GROUP BY b.doc_id
+UNION ALL
+SELECT doc_id, doc_id AS group_rep, CAST(1 AS INTEGER) AS is_rep
+FROM documents WHERE text IS NULL OR length(text) < {SHINGLE}
+""",
+    # Transitive components: reachability closure over in-bucket edges,
+    # labeled by the minimum reachable doc_id. The recursive UNION
+    # dedups rows, so the walk terminates at the closure; every doc
+    # seeds itself, which also covers sub-shingle docs (no bands → no
+    # edges → singleton label).
+    "dedup_lsh_components": f"""
+WITH RECURSIVE sigs AS ({_SIGS_SQL}),
+bands AS ({_BANDS_SQL}),
+edges AS (
+  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id <> b.doc_id
+),
+walk(doc_id, reach) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT w.doc_id, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+)
+SELECT doc_id, min(reach) AS label,
+       CAST(CASE WHEN doc_id = min(reach) THEN 1 ELSE 0 END AS INTEGER)
+         AS is_rep
+FROM walk GROUP BY doc_id
 """,
     "dedup_minhash_lsh_pairs": f"""
 WITH sigs AS ({_SIGS_SQL}),
