@@ -60,6 +60,12 @@ def load_table(
         # expressions don't serialize on one task. inputFiles() is
         # plan-side metadata — no RDD materialization (the old
         # df.rdd.getNumPartitions() probe built a conversion per call).
+        # Known trade-off (r2 ADVICE): a many-tiny-file table that
+        # Spark COALESCES below core count passes this check and skips
+        # the fan-out; splits ≈ files holds for this repo's fixtures
+        # (file sizes ≪ maxPartitionBytes, one split per file). If
+        # small-file layouts become an input shape, probe the planned
+        # scan partition count instead.
         target = spark.sparkContext.defaultParallelism
         if len(df.inputFiles()) < target:
             df = df.repartition(target)

@@ -218,9 +218,18 @@ BUCKET_N = 16
 
 
 def _sf_tag(sf_dir: str) -> str:
+    # Basename + a short hash of the ABSOLUTE path: two datasets whose
+    # directories share a basename (/a/sf0.1 vs /b/sf0.1) must not
+    # collide in the managed-table namespace, or the tableExists()
+    # idempotency check would serve bucketed data from the wrong
+    # dataset (r2 ADVICE).
+    import hashlib
+    import os
     import re
 
-    return re.sub(r"[^0-9A-Za-z]+", "_", sf_dir.strip("/").rsplit("/", 1)[-1])
+    abspath = os.path.abspath(sf_dir)
+    base = re.sub(r"[^0-9A-Za-z]+", "_", abspath.strip("/").rsplit("/", 1)[-1])
+    return f"{base}_{hashlib.md5(abspath.encode()).hexdigest()[:8]}"
 
 
 def bucketed_ingest(

@@ -159,28 +159,56 @@ def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SAMPLE_FRACTION = 0.1
+STRATA_FRACTIONS = {"F": 0.05, "O": 0.2, "P": 0.5}
+
+
+def _hash_threshold(fraction: float) -> str:
+    """4-hex-char cut for ``md5-prefix < threshold`` sampling. The
+    achieved rate is round(fraction * 16^4) / 16^4 — within 1/65536 of
+    the requested fraction, and exactly the same rows in any engine."""
+    return format(round(fraction * 0x10000), "04x")
+
+
 def sampled_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O3/O4 sampling surface (rows-only: per-partition Bernoulli
-    draws are engine-specific, so no SQL oracle): seeded uniform
-    sample and seeded stratified sampleBy, reported as per-status
-    counts next to the exact totals. Both are single-pass map-side
-    filters — no shuffle beyond the final tiny aggregate."""
-    o = load_table(spark, sf_dir, "orders").select("o_orderstatus")
-    uniform = o.sample(fraction=0.1, seed=42)
-    strata = {"F": 0.05, "O": 0.2, "P": 0.5}
-    stratified = o.sampleBy("o_orderstatus", strata, seed=42)
-    exact = o.groupBy("o_orderstatus").agg(
-        F.count(F.lit(1)).alias("n_total")
+    """O3/O4 sampling surface: uniform and per-stratum sampling via a
+    deterministic md5-prefix filter (row is in-sample iff the first 4
+    hex chars of md5(key) fall below the fraction's threshold).
+
+    Unlike seeded ``df.sample`` — whose per-partition RNG draws are
+    engine- and partitioning-specific — the hash filter selects the
+    SAME rows in any engine and any partitioning, which makes it both
+    DuckDB-oracle-able and the scale-correct form: at 100 TB a sample
+    must be reproducible across retries, repartitions, and engine
+    versions, and a key-hash filter is the standard way (it also pushes
+    down as a pure map — no shuffle, no RNG state per task).
+
+    One scan, one aggregate: exact totals, uniform-sample counts, and
+    stratified counts come from conditional sums over the same pass
+    (the previous form was three aggregates + two joins)."""
+    uni_thr = _hash_threshold(SAMPLE_FRACTION)
+    strat_thr = F.lit("0000")  # statuses outside the strata map: rate 0
+    for status, frac in STRATA_FRACTIONS.items():
+        strat_thr = (
+            F.when(F.col("o_orderstatus") == status,
+                   F.lit(_hash_threshold(frac))).otherwise(strat_thr)
+        )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.substring(
+            F.md5(F.col("o_orderkey").cast("string")), 1, 4
+        ).alias("hk"),
+        strat_thr.alias("strat_thr"),
     )
-    u = uniform.groupBy("o_orderstatus").agg(
-        F.count(F.lit(1)).alias("n_uniform_10pct")
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(
+            F.when(F.col("hk") < uni_thr, 1).otherwise(0)
+        ).alias("n_uniform_10pct"),
+        F.sum(
+            F.when(F.col("hk") < F.col("strat_thr"), 1).otherwise(0)
+        ).alias("n_stratified"),
     )
-    s = stratified.groupBy("o_orderstatus").agg(
-        F.count(F.lit(1)).alias("n_stratified")
-    )
-    return exact.join(u, "o_orderstatus", "left").join(
-        s, "o_orderstatus", "left"
-    ).na.fill(0)
 
 
 _BUYERS_CTE = f"""
@@ -204,8 +232,13 @@ QUERIES = {
     "set_ops_buyers": set_ops_buyers,
     "distinct_pairs": distinct_pairs,
     "salted_join_revenue": salted_join_revenue,
-    "sampled_orders": sampled_orders,  # rows-only (engine-specific RNG)
+    "sampled_orders": sampled_orders,
 }
+
+_STRAT_THR_CASE = "CASE o_orderstatus " + " ".join(
+    f"WHEN '{s}' THEN '{_hash_threshold(f)}'"
+    for s, f in STRATA_FRACTIONS.items()
+) + " ELSE '0000' END"
 
 ORACLES = {
     "scan_filter_project": f"""
@@ -257,5 +290,19 @@ SELECT c.c_mktsegment, count(*) AS n_orders,
        round(sum(o.o_totalprice), 2) AS revenue
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment
+""",
+    "sampled_orders": f"""
+WITH base AS (
+  SELECT o_orderstatus,
+         substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) AS hk
+  FROM orders
+)
+SELECT o_orderstatus,
+       count(*) AS n_total,
+       CAST(count(*) FILTER (WHERE hk < '{_hash_threshold(SAMPLE_FRACTION)}')
+            AS BIGINT) AS n_uniform_10pct,
+       CAST(count(*) FILTER (WHERE hk < {_STRAT_THR_CASE})
+            AS BIGINT) AS n_stratified
+FROM base GROUP BY o_orderstatus
 """,
 }

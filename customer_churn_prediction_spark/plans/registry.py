@@ -50,32 +50,43 @@ def _modules():
     return _MODULES
 
 
-# Queries the round-1 driver snapshot never reached (CORRECTNESS_r01.json
-# stopped after the 50th registry entry; these were entries 51-66). They
-# are emitted FIRST so that any driver-side time or count budget covers
-# them this round; the previously-verified queries follow in module order.
+# Driver-budget rotation (the driver checks ~50 entries per round):
+# round 3 front-loads (a) the entries whose most recent driver row is
+# round 1 — the r2 PRIORITY list rotated them out, so their evidence
+# is two rounds old — and (b) the entries that changed this round
+# (canon-safe output rewrites + newly oracle-paired queries), so every
+# entry's latest green row is at most one round old after r3.
 PRIORITY = [
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_ngram_jaccard",
-    "dedup_lsh_verified",
-    "feature_bucketize",
-    "feature_assembly_bucketed",  # new in r2 — needs its first driver row
-    "dedup_lsh_groups",  # new in r2
-    "dedup_lsh_components",  # new in r2
-    "text_tfidf_topk",  # new in r2
-    "ann_ivf",
-    "ann_ivf_kmeans",  # new in r2
-    "ann_bruteforce_topk",
-    "embedding_neardup_pairs",
-    "ann_lsh_bucketed",
+    # changed/newly-oracled this round — need fresh rows first
     "ml_feature_vectors",
     "multimodal_features",
     "multimodal_frames",
-    "ml_rf_churn",
-    "ml_lr_churn",
-    "ml_fm_churn",
-    "ml_gbt_churn",
+    "sampled_orders",
+    "ann_lsh_bucketed",
+    "dedup_lsh_components",
+    "dedup_lsh_groups",
+    # latest green row is r1 — re-prove before the evidence goes stale
+    "range_join_events",
+    "date_functions",
+    "round_bround",
+    "md5_salted_key",
+    "string_functions",
+    "json_extract_events",
+    "text_sentences",
+    "stream_tumbling_counts",
+    "stream_sliding_counts",
+    "stream_session_windows",
+    "stream_dedup_events",
+    "stream_user_totals",
+    "rollup_daily_from_hourly",
+    "text_stats",
+    "text_lang_id",
+    "text_token_counts",
+    "text_fingerprint",
+    "corpus_curation",
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "dedup_minhash_lsh_pairs",
 ]
 
 

@@ -118,20 +118,23 @@ def streaming_hourly_rollup(events_stream: DataFrame) -> DataFrame:
 def maintain_rollup(events_stream: DataFrame, path: str, query_name: str
                     = "rollup_maintenance"):
     """Continuously-maintained rollup: each epoch lands the current
-    aggregate state into the date-partitioned layout via foreachBatch
-    with DYNAMIC partition overwrite — only days present in the epoch's
-    output are rewritten, and rewriting a partition from current state
-    is idempotent on replay (the exactly-once contract of
-    ``stream_to_batch_sink``).
+    aggregate state into the date-partitioned layout via foreachBatch,
+    and rewriting partitions from current state is idempotent on
+    replay (the exactly-once contract of ``stream_to_batch_sink``).
 
-    Runs in complete mode: a partition overwrite needs the FULL current
-    rows of each affected day (update mode emits only changed keys, so
-    an overwrite from it would drop that day's unchanged hours).
-    Complete-mode state here is the rollup itself — (hours × types),
-    bounded and small, which is exactly why hypertable-style continuous
-    aggregates are maintainable this way. At 100 TB-of-events scale the
-    same composition holds because state is proportional to the rollup
-    grain, not the event volume."""
+    Runs in complete mode, so each epoch's output carries EVERY day
+    seen so far and the dynamic partition overwrite rewrites the whole
+    rollup each epoch — not just the days the epoch touched (a
+    complete-mode batch has no changed-day marker to restrict by).
+    Likewise the streaming state is the full rollup: it grows with
+    stream lifetime as O(days × hours × types) — proportional to the
+    rollup GRAIN, never the event volume, which is what keeps
+    hypertable-style continuous aggregates maintainable. A long-lived
+    deployment bounds both by closing out old days: run the stream
+    with a watermark-bounded window (see ``stream_tumbling_counts``)
+    and fold closed days into the at-rest rollup with the batch
+    ``daily_rollup_direct``, keeping complete-mode state to the open
+    tail only."""
     from .windows import stream_to_batch_sink
 
     def _land(batch_df: DataFrame, epoch_id: int) -> None:
