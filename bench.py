@@ -3,7 +3,10 @@
 Runs the engine's headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
 line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: median_sec}, "spread": {name: [min_sec, max_sec]},
+"iters": N, "sf": ...}. Per-query numbers are medians over
+$SPARK_GRAFT_BENCH_ITERS (default 5) interleaved passes; "value" is
+the sum of medians.
 
 Query set: the flagship feature assembly in both physical forms (the
 join chain vs the two-aggregate rewrite), labeling, the heavy text /
@@ -22,6 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+N_ITERS = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "5"))
 
 BENCH_QUERIES = [
     "feature_assembly_onepass",
@@ -84,13 +88,28 @@ def main() -> None:
     force(queries["feature_assembly_bucketed"](spark, SF_DIR))
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = queries[name]
-        t0 = time.perf_counter()
-        force(fn(spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
+    # Median of N interleaved passes (r2 VERDICT: single-shot timings
+    # at sf0.1 sit on Spark's ~0.3 s/job scheduler floor, where run-to-
+    # run jitter reads as ±60% "regressions"). Interleaving the passes
+    # — all queries in pass 1, then pass 2, ... — decorrelates slow
+    # drift (GC, JIT recompiles) from any single query's samples.
+    samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
+    for _ in range(N_ITERS):
+        for name in BENCH_QUERIES:
+            fn = queries[name]
+            t0 = time.perf_counter()
+            force(fn(spark, SF_DIR))
+            samples[name].append(time.perf_counter() - t0)
 
+    import statistics
+
+    timings = {
+        name: round(statistics.median(v), 3) for name, v in samples.items()
+    }
+    spread = {
+        name: [round(min(v), 3), round(max(v), 3)]
+        for name, v in samples.items()
+    }
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -99,6 +118,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "iters": N_ITERS,
                 "sf": float(sf),
             }
         )

@@ -116,7 +116,7 @@ def streaming_hourly_rollup(events_stream: DataFrame) -> DataFrame:
 
 
 def maintain_rollup(events_stream: DataFrame, path: str, query_name: str
-                    = "rollup_maintenance"):
+                    = "rollup_maintenance", checkpoint: str | None = None):
     """Continuously-maintained rollup: each epoch lands the current
     aggregate state into the date-partitioned layout via foreachBatch,
     and rewriting partitions from current state is idempotent on
@@ -150,6 +150,7 @@ def maintain_rollup(events_stream: DataFrame, path: str, query_name: str
         _land,
         query_name,
         output_mode="complete",
+        checkpoint=checkpoint,
     )
 
 

@@ -165,18 +165,27 @@ def streaming_dedup(events_stream: DataFrame) -> DataFrame:
 
 
 def stream_to_batch_sink(result: DataFrame, batch_fn, query_name: str,
-                         output_mode: str = "update"):
+                         output_mode: str = "update",
+                         checkpoint: str | None = None):
     """foreachBatch bridge: reuse any BATCH sink (JDBC, salted export,
     bucketed table — sources/writers.py) as a streaming sink. Spark
     hands each micro-batch to ``batch_fn(df, epoch_id)``; exactly-once
     needs the sink to be idempotent on epoch_id (e.g. overwrite a
-    per-epoch partition), which is the standard contract."""
-    return (
+    per-epoch partition), which is the standard contract.
+
+    Pass ``checkpoint`` for a durable run: a restarted query with the
+    same checkpoint resumes from committed offsets with its
+    aggregation state restored (crash-resume is exercised in
+    tests/test_streaming.py); without it Spark uses a temp checkpoint
+    that dies with the query."""
+    writer = (
         result.writeStream.foreachBatch(batch_fn)
         .outputMode(output_mode)
         .queryName(query_name)
-        .start()
     )
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
 
 
 _SESSION_ORACLE = """

@@ -1,0 +1,73 @@
+"""Scale-curve measurement: headline queries at sf0.001/0.01/0.1.
+
+Evidence for SCALE.md's 100 TB claims: if a plan is scan-dominated and
+shuffle-linear, wall time should grow far slower than data volume
+while the fixed ~0.3 s/job scheduler floor amortizes. Prints one
+markdown table (median of N passes per cell, after a warm-up pass).
+
+Usage: python scripts/scale_curve.py [n_iters]
+"""
+
+from __future__ import annotations
+
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SFS = ["sf0.001", "sf0.01", "sf0.1"]
+CURVE_QUERIES = [
+    "feature_assembly_onepass",   # 2 hash aggs + broadcast dims
+    "feature_assembly",           # reference-faithful 12-join chain
+    "rfm_groupby",                # single partial+final hash agg
+    "dedup_lsh_groups",           # linear LSH dedup (window + agg)
+    "dedup_minhash_lsh_pairs",    # bucket expansion, 1 shuffle
+    "dedup_simhash_pairs",        # banded simhash self-join
+    "ann_ivf",                    # literal-broadcast assign + probe join
+    "text_tfidf_topk",            # explode + window DF counts
+    "stream_tumbling_counts",     # batch form of the tumbling window
+]
+
+
+def main() -> None:
+    n_iters = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    from customer_churn_prediction_spark.plans import get_queries
+    from customer_churn_prediction_spark.session import get_spark
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(
+        app_name="ccp-spark-scale-curve",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = get_queries()
+
+    def force(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    results: dict[str, dict[str, float]] = {q: {} for q in CURVE_QUERIES}
+    for sf in SFS:
+        sf_dir = f"/root/testdata/{sf}"
+        for name in CURVE_QUERIES:
+            force(queries[name](spark, sf_dir))  # warm codegen/scan
+            samples = []
+            for _ in range(n_iters):
+                t0 = time.perf_counter()
+                force(queries[name](spark, sf_dir))
+                samples.append(time.perf_counter() - t0)
+            results[name][sf] = round(statistics.median(samples), 3)
+
+    print(f"| query | {' | '.join(SFS)} | x(0.01→0.1) |")
+    print("|---|" + "---|" * (len(SFS) + 1))
+    for name in CURVE_QUERIES:
+        r = results[name]
+        growth = r["sf0.1"] / r["sf0.01"] if r["sf0.01"] else float("nan")
+        cells = " | ".join(f"{r[sf]:.3f}" for sf in SFS)
+        print(f"| {name} | {cells} | {growth:.2f}x |")
+
+
+if __name__ == "__main__":
+    main()

@@ -180,3 +180,57 @@ def test_continuous_rollup_maintenance_converges(spark, sf_smoke, tmp_path):
         assert "dt" in maintained.columns
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_rollup_crash_resume_idempotent(spark, sf_smoke, tmp_path):
+    """Checkpointed maintain_rollup survives a stop/restart cycle:
+    phase 1 lands half the events, the query 'dies', a new query on
+    the SAME checkpoint drains the rest with its aggregation state
+    restored, and the final rollup equals the uninterrupted batch
+    answer. A third restart with no new data must leave the landed
+    rollup byte-identical (the overwrite-from-state sink is idempotent
+    on replay)."""
+    from customer_churn_prediction_spark.streaming import rollup as r
+
+    src = tempfile.mkdtemp(prefix="events_resume_")
+    out = str(tmp_path / "rollup_out")
+    ckpt = str(tmp_path / "rollup_ckpt")
+    try:
+        events = load_table(spark, sf_smoke, "events")
+        first = events.where(F.col("event_id") % 2 == 0)
+        second = events.where(F.col("event_id") % 2 == 1)
+        first.write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+
+        def run_epoch(name):
+            q = r.maintain_rollup(
+                sw.as_stream(spark, src, schema), out, name, checkpoint=ckpt
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+
+        run_epoch("rollup_resume_1")
+        # "crash": query object discarded; more data arrives.
+        second.write.mode("append").parquet(src)
+        run_epoch("rollup_resume_2")
+
+        got = (
+            r.daily_from_rollup(spark.read.parquet(out))
+            .select(
+                F.date_format("day", "yyyy-MM-dd").alias("day"),
+                "event_type", "n_events", "value_sum",
+                "value_min", "value_max", "value_avg",
+            )
+            .toPandas()
+        )
+        want = r.daily_rollup_direct(spark, sf_smoke).toPandas()
+        assert canonical_rows(got) == canonical_rows(want)
+
+        before = canonical_rows(spark.read.parquet(out).toPandas())
+        run_epoch("rollup_resume_3")  # nothing new: replay must be a no-op
+        after = canonical_rows(spark.read.parquet(out).toPandas())
+        assert before == after
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
