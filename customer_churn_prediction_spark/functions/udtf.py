@@ -78,8 +78,26 @@ def sentences_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.length("sentence").cast("int").alias("n_chars"))
 
 
-# Rows-only: DuckDB's RE2 regex has no lookbehind, so the sentence
-# split is not oracle-portable; the UDTF↔expression equivalence is
-# asserted in tests/test_udtf.py instead.
 QUERIES: dict = {"text_sentences": sentences_exploded}
-ORACLES: dict = {}
+
+# DuckDB's RE2 has no lookbehind, but the lookbehind SPLIT has an
+# extraction twin RE2 can run: a sentence is either a (possibly empty)
+# terminator-ended segment or the unterminated tail — the pieces and
+# their order are identical to split-after-terminator.
+# tests/test_udtf.py asserts parity on punctuation-rich constructed
+# docs (the parquet fixture is single-sentence), and UDTF↔expression
+# equivalence separately.
+ORACLES: dict = {
+    "text_sentences": r"""
+WITH s AS (
+  SELECT doc_id,
+         list_filter(list_transform(
+           regexp_extract_all(text, '[^.!?]*[.!?]|[^.!?]+$'),
+           x -> trim(x)), x -> x <> '') AS parts
+  FROM documents
+)
+SELECT doc_id, unnest(parts) AS sentence,
+       CAST(generate_subscripts(parts, 1) - 1 AS INTEGER) AS pos,
+       CAST(length(unnest(parts)) AS INTEGER) AS n_chars
+FROM s
+"""}

@@ -346,10 +346,12 @@ def kmeans_refine(spark: SparkSession, sf_dir: str,
 
 
 def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-k over Lloyd-refined centroids (rows-only registry
-    entry: the iterative fit is not SQL-expressible; quality — lower
-    within-cluster inertia than the seed model — is asserted in
-    tests/test_similarity.py)."""
+    """IVF top-k over Lloyd-refined centroids. Oracle-paired: with a
+    FIXED iteration count and 6dp-rounded intermediates the fit is
+    deterministic, so the oracle unrolls the two Lloyd steps into a
+    CTE chain (``_kmeans_oracle``); quality — lower within-cluster
+    inertia than the seed model — is asserted in
+    tests/test_similarity.py."""
     cents = kmeans_refine(spark, sf_dir)
     return _ivf_topk(_embeddings(spark, sf_dir), cents)
 
@@ -371,7 +373,7 @@ QUERIES = {
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf": ann_ivf,
-    "ann_ivf_kmeans": ann_ivf_kmeans,  # rows-only (iterative fit)
+    "ann_ivf_kmeans": ann_ivf_kmeans,
 }
 
 
@@ -453,6 +455,94 @@ SELECT query_id, neighbor_id, cosine_sim, rank FROM (
 WHERE rank <= {TOP_K}
 """,
 }
+
+def _cos_sql(av: str, bv: str, an: str, bn: str) -> str:
+    return (
+        f"round(list_sum(list_transform(range(1, len({av}) + 1), "
+        f"i -> {av}[i::INT] * {bv}[i::INT])) / ({an} * {bn}), 6)"
+    )
+
+
+def _kmeans_oracle(iters: int = KMEANS_ITERS) -> str:
+    """SQL replay of ``kmeans_refine`` + the IVF query: Lloyd's
+    iterations are deterministic given the fixed seed centroids and the
+    per-iteration 6dp rounding, so a fixed ``iters`` unrolls into a CTE
+    chain — assignment (rank cosine to current centroids), update
+    (per-(cluster, dim) rounded mean), empty clusters carry forward —
+    followed by the standard probe/rank tail. This is the honest limit
+    of SQL-expressing an iterative fit: the ITERATION COUNT must be a
+    constant; convergence-driven loops stay engine-side."""
+    chains = []
+    prev = "cent0"
+    for k in range(1, iters + 1):
+        chains.append(f"""
+asg{k} AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT n.vec_id, c.cid,
+           row_number() OVER (PARTITION BY n.vec_id ORDER BY
+             {_cos_sql('n.v', 'c.cv', 'n.nrm', 'c.cn')} DESC, c.cid) AS rn
+    FROM n CROSS JOIN {prev} c)
+  WHERE rn = 1
+),
+upd{k} AS (
+  SELECT a.cluster AS cid, d.dim, round(avg(d.val), 6) AS val
+  FROM asg{k} a JOIN dims d USING (vec_id)
+  GROUP BY 1, 2
+),
+new{k} AS (
+  SELECT cid, list(val ORDER BY dim) AS cv,
+         sqrt(list_sum(list_transform(list(val ORDER BY dim),
+                                      x -> x * x))) AS cn
+  FROM upd{k} GROUP BY cid
+),
+cent{k} AS (
+  SELECT * FROM new{k}
+  UNION ALL
+  SELECT c.cid, c.cv, c.cn FROM {prev} c
+  WHERE c.cid NOT IN (SELECT cid FROM new{k})
+)""")
+        prev = f"cent{k}"
+    return f"""
+WITH {_E_SQL},
+dims AS (
+  SELECT vec_id, unnest(v) AS val,
+         CAST(generate_subscripts(v, 1) AS INTEGER) AS dim
+  FROM n
+),
+cent0 AS (
+  SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n
+  WHERE vec_id >= 100 AND vec_id < {100 + N_CENTROIDS}
+),
+{",".join(chains)},
+asg AS (
+  SELECT vec_id, v, nrm, centroid_id, c_sim,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY c_sim DESC, centroid_id) AS c_rank
+  FROM (
+    SELECT n.vec_id, n.v, n.nrm, c.cid AS centroid_id,
+           {_cos_sql('n.v', 'c.cv', 'n.nrm', 'c.cn')} AS c_sim
+    FROM n CROSS JOIN {prev} c)
+),
+assigned AS (SELECT vec_id, v, nrm, centroid_id FROM asg WHERE c_rank = 1),
+probes AS (
+  SELECT vec_id AS query_id, v AS qv, nrm AS qn, centroid_id
+  FROM asg WHERE vec_id < {N_QUERIES} AND c_rank <= {N_PROBE}
+),
+scored AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
+         {_cos_sql('p.qv', 'a.v', 'p.qn', 'a.nrm')} AS cosine_sim
+  FROM assigned a JOIN probes p USING (centroid_id)
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id) AS rank
+  FROM scored)
+WHERE rank <= {TOP_K}
+"""
+
+
+ORACLES["ann_ivf_kmeans"] = _kmeans_oracle()
 
 ORACLES["ann_lsh_bucketed"] = f"""
 WITH {_E_SQL},

@@ -19,3 +19,36 @@ def test_udtf_sql_scalar_call(spark):
     ).collect()
     assert [r.sentence for r in rows] == ["One.", "Two!", "Three"]
     assert [r.pos for r in rows] == [0, 1, 2]
+
+
+def test_sentences_oracle_parity_on_punctuated_docs(spark, tmp_path):
+    """The RE2 extraction oracle must agree with the Spark lookbehind
+    split on punctuation-heavy inputs (the parquet fixture is
+    single-sentence, so this constructed set carries the signal)."""
+    import duckdb
+
+    from .oracle_utils import canonical_rows
+
+    docs = [
+        (1, "One. Two! Three? Four"),
+        (2, "No terminator at all"),
+        (3, "Edge!? double terminators. "),
+        (4, "  leading space. trailing.  "),
+        (5, "..."),
+        (6, ""),
+        (7, "a.b.c"),
+    ]
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(docs, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(d + "/documents.parquet")
+
+    sdf = U.sentences_exploded(spark, d).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    odf = con.execute(U.ORACLES["text_sentences"]).df()
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert canonical_rows(sdf) == canonical_rows(odf)
