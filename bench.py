@@ -51,6 +51,9 @@ BENCH_QUERIES = [
     "text_tfidf_topk",
     "text_stats",
     "corpus_curation",
+    "corpus_sample_stratified",
+    "corpus_dedup_keep",
+    "multimodal_features",
     "ann_lsh_bucketed",
 ]
 

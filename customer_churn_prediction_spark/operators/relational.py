@@ -163,10 +163,15 @@ SAMPLE_FRACTION = 0.1
 STRATA_FRACTIONS = {"F": 0.05, "O": 0.2, "P": 0.5}
 
 
-def _hash_threshold(fraction: float) -> str:
+def hash_threshold(fraction: float) -> str:
     """4-hex-char cut for ``md5-prefix < threshold`` sampling. The
     achieved rate is round(fraction * 16^4) / 16^4 — within 1/65536 of
-    the requested fraction, and exactly the same rows in any engine."""
+    the requested fraction, and exactly the same rows in any engine.
+    fraction >= 1 returns 'g', which compares above every hex prefix
+    (byte-wise string compare, identical in Spark and DuckDB) → keep
+    all; the 5-char '10000' would sort BELOW 'abcd' and break."""
+    if fraction >= 1:
+        return "g"
     return format(round(fraction * 0x10000), "04x")
 
 
@@ -186,12 +191,12 @@ def sampled_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     One scan, one aggregate: exact totals, uniform-sample counts, and
     stratified counts come from conditional sums over the same pass
     (the previous form was three aggregates + two joins)."""
-    uni_thr = _hash_threshold(SAMPLE_FRACTION)
+    uni_thr = hash_threshold(SAMPLE_FRACTION)
     strat_thr = F.lit("0000")  # statuses outside the strata map: rate 0
     for status, frac in STRATA_FRACTIONS.items():
         strat_thr = (
             F.when(F.col("o_orderstatus") == status,
-                   F.lit(_hash_threshold(frac))).otherwise(strat_thr)
+                   F.lit(hash_threshold(frac))).otherwise(strat_thr)
         )
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderstatus",
@@ -236,7 +241,7 @@ QUERIES = {
 }
 
 _STRAT_THR_CASE = "CASE o_orderstatus " + " ".join(
-    f"WHEN '{s}' THEN '{_hash_threshold(f)}'"
+    f"WHEN '{s}' THEN '{hash_threshold(f)}'"
     for s, f in STRATA_FRACTIONS.items()
 ) + " ELSE '0000' END"
 
@@ -299,7 +304,7 @@ WITH base AS (
 )
 SELECT o_orderstatus,
        count(*) AS n_total,
-       CAST(count(*) FILTER (WHERE hk < '{_hash_threshold(SAMPLE_FRACTION)}')
+       CAST(count(*) FILTER (WHERE hk < '{hash_threshold(SAMPLE_FRACTION)}')
             AS BIGINT) AS n_uniform_10pct,
        CAST(count(*) FILTER (WHERE hk < {_STRAT_THR_CASE})
             AS BIGINT) AS n_stratified

@@ -63,8 +63,11 @@ PRIORITY = [
     "multimodal_frames",
     "sampled_orders",
     "ann_lsh_bucketed",
+    "ann_ivf_kmeans",
     "dedup_lsh_components",
     "dedup_lsh_groups",
+    "corpus_dedup_keep",
+    "corpus_sample_stratified",
     # latest green row is r1 — re-prove before the evidence goes stale
     "range_join_events",
     "date_functions",

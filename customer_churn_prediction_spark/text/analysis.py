@@ -171,6 +171,70 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Quality-weighted downsampling tiers: (tier, min_quality, keep_rate).
+# The standard curation move — keep everything above the quality bar,
+# thin the middle, keep a trace of the tail for distribution coverage.
+SAMPLE_TIERS = (
+    ("high", 0.6, 1.0),
+    ("mid", QUALITY_THRESHOLD, 0.5),
+    ("low", None, 0.1),
+)
+
+
+def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quality-stratified corpus sampling: each doc's
+    tier comes from the shared quality expression, membership from the
+    md5-prefix threshold filter (same portable sampler as
+    ``sampled_orders`` — reproducible across engines, retries, and
+    repartitions; a seeded RNG sample is neither). Output is the
+    per-tier budget accounting (docs and chars kept vs total) a
+    pipeline uses to steer token budgets. One scan, one aggregate."""
+    from ..operators.relational import hash_threshold
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_tokens = F.size(toks).cast("long")
+    n_chars = F.length("text").cast("long")
+    n_alnum = F.length(
+        F.regexp_replace("text", r"[^a-zA-Z0-9\s]", "")
+    ).cast("long")
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*_EN))).cast("long")
+    punct_ratio = (n_chars - n_alnum) / n_chars
+    quality = (
+        (F.lit(0.4) * F.least(n_tokens / F.lit(100.0), F.lit(1.0)))
+        + (F.lit(0.3) * (F.lit(1.0) - punct_ratio))
+        + (F.lit(0.3) * (stop_hits / n_tokens))
+    )
+    tier, thr = None, None
+    for name, min_q, rate in SAMPLE_TIERS:
+        t = F.lit(hash_threshold(rate))
+        if min_q is None:
+            tier = tier.otherwise(name)
+            thr = thr.otherwise(t)
+        elif tier is None:
+            tier = F.when(quality >= min_q, name)
+            thr = F.when(quality >= min_q, t)
+        else:
+            tier = tier.when(quality >= min_q, name)
+            thr = thr.when(quality >= min_q, t)
+    kept = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4) < thr
+    return (
+        d.select(
+            tier.alias("tier"),
+            n_chars.alias("n_chars"),
+            kept.alias("kept"),
+        )
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+            F.coalesce(
+                F.sum(F.when(F.col("kept"), F.col("n_chars"))), F.lit(0)
+            ).alias("chars_kept"),
+        )
+    )
+
+
 TFIDF_TOP_K = 5
 
 
@@ -240,7 +304,47 @@ QUERIES = {
     "text_fingerprint": doc_fingerprint,
     "text_tfidf_topk": tfidf_top_terms,
     "corpus_curation": corpus_curation,
+    "corpus_sample_stratified": corpus_sample_stratified,
 }
+
+
+def _sample_stratified_oracle() -> str:
+    from ..operators.relational import hash_threshold
+
+    tier_case, thr_case = [], []
+    for name, min_q, rate in SAMPLE_TIERS:
+        cond = f"WHEN q >= {min_q} THEN" if min_q is not None else "ELSE"
+        tier_case.append(f"{cond} '{name}'")
+        thr_case.append(f"{cond} '{hash_threshold(rate)}'")
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tokens,
+    CAST(length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS BIGINT) AS n_alnum,
+    {{stop_hits}} AS stop_hits
+  FROM documents
+),
+q AS (
+  SELECT doc_id, n_chars,
+    (0.4 * least(n_tokens / 100.0, 1.0))
+      + (0.3 * (1.0 - (n_chars - n_alnum) / CAST(n_chars AS DOUBLE)))
+      + (0.3 * (stop_hits / CAST(n_tokens AS DOUBLE))) AS q
+  FROM t
+),
+s AS (
+  SELECT n_chars,
+         CASE {' '.join(tier_case)} END AS tier,
+         CASE {' '.join(thr_case)} END AS thr,
+         substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS hk
+  FROM q
+)
+SELECT tier, count(*) AS n_total,
+       CAST(count(*) FILTER (WHERE hk < thr) AS BIGINT) AS n_kept,
+       CAST(COALESCE(sum(n_chars) FILTER (WHERE hk < thr), 0) AS BIGINT)
+         AS chars_kept
+FROM s GROUP BY tier
+""".format(stop_hits=_hits_sql(_EN))
 
 ORACLES = {
     "text_tfidf_topk": f"""
@@ -347,3 +451,5 @@ FROM scored WHERE quality_score >= {QUALITY_THRESHOLD}
 GROUP BY fingerprint
 """,
 }
+
+ORACLES["corpus_sample_stratified"] = _sample_stratified_oracle()

@@ -560,31 +560,7 @@ _SIMHASH_BANDS_SQL = " UNION ALL ".join(
     for b in range(SIMHASH_BANDS)
 )
 
-QUERIES = {
-    "dedup_exact": dedup_exact,
-    "dedup_minhash_signatures": minhash_signatures,
-    "dedup_minhash_lsh_pairs": minhash_lsh_pairs,
-    "dedup_lsh_groups": lsh_dedup_groups,
-    "dedup_lsh_components": lsh_dedup_components,
-    "dedup_simhash": simhash_signatures,
-    "dedup_simhash_pairs": simhash_pairs,
-    "dedup_ngram_jaccard": ngram_jaccard_pairs,
-    "dedup_lsh_verified": lsh_verified_pairs,
-}
-
-ORACLES = {
-    "dedup_exact": """
-WITH t AS (
-  SELECT doc_id,
-    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
-                            '\\s+', ' ', 'g'))) AS fingerprint
-  FROM documents
-)
-SELECT fingerprint, min(doc_id) AS keep_id, count(*) AS n_copies
-FROM t GROUP BY fingerprint
-""",
-    "dedup_minhash_signatures": _SIGS_SQL,
-    "dedup_lsh_groups": f"""
+_GROUPS_ORACLE = f"""
 WITH sigs AS ({_SIGS_SQL}),
 bands AS ({_BANDS_SQL}),
 bucket_min AS (
@@ -599,6 +575,75 @@ GROUP BY b.doc_id
 UNION ALL
 SELECT doc_id, doc_id AS group_rep, CAST(1 AS INTEGER) AS is_rep
 FROM documents WHERE text IS NULL OR length(text) < {SHINGLE}
+"""
+
+
+def corpus_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialization step after near-dup detection: the CLEANED
+    corpus — one row per surviving doc (its LSH dedup-group
+    representative) with the group size it stands for, joined back to
+    the source for per-doc accounting (chars kept). This is the op a
+    training-data pipeline actually ships — detection alone is only
+    half the dedup story.
+
+    Scale shape: group sizes via a window over the SAME groups frame
+    (a groupBy + join-back would re-run the signature pipeline on a
+    second DAG branch — the §4.1 duplication class), then one linear
+    equi-join into documents on doc_id. Short docs survive as their
+    own representatives (group_size 1)."""
+    from pyspark.sql import Window
+
+    groups = lsh_dedup_groups(spark, sf_dir)
+    reps = (
+        groups.withColumn(
+            "group_size", F.count(F.lit(1)).over(Window.partitionBy("group_rep"))
+        )
+        .where(F.col("is_rep") == 1)
+        .select("doc_id", "group_size")
+    )
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("n_chars")
+    )
+    return d.join(reps, "doc_id")
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_signatures": minhash_signatures,
+    "dedup_minhash_lsh_pairs": minhash_lsh_pairs,
+    "dedup_lsh_groups": lsh_dedup_groups,
+    "dedup_lsh_components": lsh_dedup_components,
+    "dedup_simhash": simhash_signatures,
+    "dedup_simhash_pairs": simhash_pairs,
+    "dedup_ngram_jaccard": ngram_jaccard_pairs,
+    "dedup_lsh_verified": lsh_verified_pairs,
+    "corpus_dedup_keep": corpus_dedup_keep,
+}
+
+ORACLES = {
+    "dedup_exact": """
+WITH t AS (
+  SELECT doc_id,
+    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                            '\\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+)
+SELECT fingerprint, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM t GROUP BY fingerprint
+""",
+    "dedup_minhash_signatures": _SIGS_SQL,
+    "dedup_lsh_groups": _GROUPS_ORACLE,
+    "corpus_dedup_keep": f"""
+WITH g AS ({_GROUPS_ORACLE}),
+sized AS (
+  SELECT doc_id, is_rep,
+         count(*) OVER (PARTITION BY group_rep) AS group_size
+  FROM g
+)
+SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+       CAST(s.group_size AS BIGINT) AS group_size
+FROM documents d JOIN sized s USING (doc_id)
+WHERE s.is_rep = 1
 """,
     # Transitive components: reachability closure over in-bucket edges,
     # labeled by the minimum reachable doc_id. The recursive UNION
