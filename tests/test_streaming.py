@@ -234,3 +234,97 @@ def test_rollup_crash_resume_idempotent(spark, sf_smoke, tmp_path):
         assert before == after
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_stateful_user_totals_crash_resume(spark, sf_smoke, tmp_path):
+    """applyInPandasWithState survives a stop/restart on the same
+    checkpoint: phase 2 processes ONLY the second half of the events,
+    so its emitted totals can equal the full-data batch aggregate only
+    if the per-user state from phase 1 was restored from the state
+    store."""
+    from customer_churn_prediction_spark.streaming import stateful as st
+
+    src = tempfile.mkdtemp(prefix="events_stateful_resume_")
+    ckpt = str(tmp_path / "ckpt")
+    try:
+        events = load_table(spark, sf_smoke, "events")
+        events.where(F.col("event_id") % 2 == 0).write.mode(
+            "overwrite"
+        ).parquet(src)
+        schema = spark.read.parquet(src).schema
+
+        def run(name, outdir):
+            # foreachBatch (not the memory sink, which cannot recover
+            # from a checkpoint): land each batch's update rows, with a
+            # fresh outdir per phase so phase-2 emissions are isolated.
+            def land(bdf, _eid):
+                bdf.write.mode("append").parquet(outdir)
+
+            q = (
+                st.streaming_user_totals(sw.as_stream(spark, src, schema))
+                .writeStream.foreachBatch(land)
+                .queryName(name)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+
+        run("stateful_resume_1", str(tmp_path / "phase1"))
+        events.where(F.col("event_id") % 2 == 1).write.mode(
+            "append"
+        ).parquet(src)
+        run("stateful_resume_2", str(tmp_path / "phase2"))
+
+        got = spark.read.parquet(str(tmp_path / "phase2")).toPandas()
+        assert len(got) > 0
+        final = got.sort_values("n_events").groupby("user_id").tail(1)
+        want = (
+            st.user_totals(spark, sf_smoke)
+            .toPandas()
+            .set_index("user_id")
+        )
+        for row in final.itertuples(index=False):
+            assert row.n_events == want.loc[row.user_id, "n_events"]
+            assert (
+                abs(row.value_sum - want.loc[row.user_id, "value_sum"])
+                <= 0.011  # two independent 2dp roundings of float sums
+            )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
+def test_hash_sampler_partitioning_invariant(spark, sf_dir):
+    """The md5-prefix sampler must select the same rows under any
+    physical partitioning (the property seeded df.sample lacks and the
+    reason the engine uses hash sampling)."""
+    from customer_churn_prediction_spark.operators.relational import (
+        sampled_orders,
+    )
+    from .oracle_utils import canonical_rows
+
+    base = sampled_orders(spark, sf_dir).toPandas()
+
+    import customer_churn_prediction_spark.catalog as cat
+
+    orig = cat.load_table
+
+    def shuffled_loader(spark_, sf, name, **kw):
+        df = orig(spark_, sf, name, **kw)
+        return df.repartition(17) if name == "orders" else df
+
+    cat.load_table = shuffled_loader
+    # relational.py imported load_table by name — patch there too.
+    import customer_churn_prediction_spark.operators.relational as rel
+
+    rel_orig = rel.load_table
+    rel.load_table = shuffled_loader
+    try:
+        repart = sampled_orders(spark, sf_dir).toPandas()
+    finally:
+        cat.load_table = orig
+        rel.load_table = rel_orig
+    assert canonical_rows(base) == canonical_rows(repart)
