@@ -149,12 +149,24 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise LSH output (the join form emits the same pairs); for
     corpora with mega-clusters use ``lsh_dedup_groups``, which is
     linear."""
-    buckets = (
+    return _pairs_from_buckets(_lsh_buckets(spark, sf_dir))
+
+
+def _lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-member (band, band_sig) buckets with their sorted doc-id
+    arrays — the single aggregation both the pair expansion and the
+    candidate-member set hang off. Consumers branching from this frame
+    share its shuffle via ReusedExchange, so the md5 signature pipeline
+    below the Exchange runs once no matter how many branches read it."""
+    return (
         _lsh_bands(spark, sf_dir)
         .groupBy("band", "band_sig")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .where(F.size("ids") > 1)
     )
+
+
+def _pairs_from_buckets(buckets: DataFrame) -> DataFrame:
     return (
         buckets.select(F.explode(F.expr(_PAIRS_FROM_IDS)).alias("p"))
         .select("p.doc_a", "p.doc_b")
@@ -463,12 +475,23 @@ def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     every shared shingle — the exact-but-O(pairs) baseline), the
     verification here is an array_intersect over the two docs'
     distinct-gram arrays: per candidate pair, zero explosion, no
-    per-shingle shuffle. At 100 TB: candidates ≪ all-pairs, the gram
-    table joins in by doc_id (sort-merge), and the intersect is pure
-    map work."""
-    cands = minhash_lsh_pairs(spark, sf_dir)
-    grams = load_table(spark, sf_dir, "documents", spread=True).select(
-        "doc_id", F.expr(_word_shingles_spark()).alias("grams")
+    per-shingle shuffle.
+
+    Gram arrays are computed ONLY for candidate members: the member
+    set falls out of the same bucket aggregation that feeds the pair
+    expansion (one ReusedExchange, no second signature pass), and a
+    semi-join prunes the documents scan before the md5 gram projection
+    runs. At 100 TB candidates ≪ corpus, so hashing every document's
+    3-grams on BOTH join branches — the previous shape — is the
+    difference between two corpus-wide hash passes and two passes over
+    the near-dup sliver."""
+    buckets = _lsh_buckets(spark, sf_dir)
+    cands = _pairs_from_buckets(buckets)
+    members = buckets.select(F.explode("ids").alias("doc_id")).distinct()
+    grams = (
+        load_table(spark, sf_dir, "documents", spread=True)
+        .join(members, "doc_id", "left_semi")
+        .select("doc_id", F.expr(_word_shingles_spark()).alias("grams"))
     )
     ga = grams.select(
         F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a")
