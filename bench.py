@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard",
     "dedup_lsh_verified",
+    "dedup_incremental",
     "dedup_simhash_pairs",
     "text_tfidf_topk",
     "text_stats",

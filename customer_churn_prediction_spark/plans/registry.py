@@ -68,6 +68,7 @@ PRIORITY = [
     "dedup_lsh_groups",
     "corpus_dedup_keep",
     "corpus_sample_stratified",
+    "dedup_incremental",
     # latest green row is r1 — re-prove before the evidence goes stale
     "range_join_events",
     "date_functions",

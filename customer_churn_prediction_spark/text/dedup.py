@@ -111,11 +111,14 @@ def _lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     (measured 2x the signature cost at sf0.1); the length predicate is
     equivalent (empty hash array ⟺ short text) and pushes into the
     parquet scan."""
-    sigs = _signatures_from(
-        load_table(spark, sf_dir, "documents", spread=True).where(
-            F.length("text") >= SHINGLE
-        )
-    )
+    return _bands_from(load_table(spark, sf_dir, "documents", spread=True))
+
+
+def _bands_from(d: DataFrame) -> DataFrame:
+    """Band rows for an arbitrary documents frame (see ``_lsh_bands``
+    for the semantics); callers pass pre-filtered slices so the
+    signature hashing runs only over the rows they need."""
+    sigs = _signatures_from(d.where(F.length("text") >= SHINGLE))
     band_arr = F.array(
         *[
             F.concat_ws(
@@ -583,6 +586,81 @@ _SIMHASH_BANDS_SQL = " UNION ALL ".join(
     for b in range(SIMHASH_BANDS)
 )
 
+# Incremental split: doc_id % MOD >= NEW_RESIDUE plays the incoming
+# batch (~20%); the rest is the already-ingested corpus.
+INCREMENTAL_MOD = 10
+INCREMENTAL_NEW_RESIDUE = 8
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the production shape for continual
+    ingestion: which docs of an incoming BATCH near-duplicate the
+    EXISTING corpus (the batch is never compared against itself here;
+    in-batch dedup is ``lsh_dedup_groups`` on the batch). Output is
+    the drop-list: one row per duplicated new doc with its best corpus
+    match (highest verified Jaccard, ties to the lowest corpus id).
+
+    Scale shape: each side's signature pass runs only over its slice
+    (the doc_id residue predicate pushes into both scans — one
+    corpus-worth of hashing total, split across the sides), candidates
+    come from the band equi-join, and gram verification is semi-join
+    pruned to candidate members exactly like ``lsh_verified_pairs``.
+    At 100 TB the corpus bands would be a MATERIALIZED bucketed table
+    maintained at ingest, making re-crawl dedup a single equi-join of
+    the new batch's bands against it — this query is that plan with
+    the corpus side computed inline."""
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    is_new = (F.col("doc_id") % INCREMENTAL_MOD) >= INCREMENTAL_NEW_RESIDUE
+    corpus_bands = _bands_from(d.where(~is_new))
+    batch_bands = _bands_from(d.where(is_new))
+    cands = (
+        batch_bands.alias("n")
+        .join(
+            corpus_bands.alias("c"),
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.band_sig") == F.col("c.band_sig")),
+        )
+        .select(
+            F.col("n.doc_id").alias("doc_id"),
+            F.col("c.doc_id").alias("dup_of"),
+        )
+        .distinct()
+    )
+    member_ids = (
+        cands.select("doc_id")
+        .union(cands.select(F.col("dup_of").alias("doc_id")))
+        .distinct()
+    )
+    grams = (
+        d.join(member_ids, "doc_id", "left_semi")
+        .select("doc_id", F.expr(_word_shingles_spark()).alias("grams"))
+    )
+    gn = grams.select(
+        F.col("doc_id").alias("doc_id"), F.col("grams").alias("grams_n")
+    )
+    gc = grams.select(
+        F.col("doc_id").alias("dup_of"), F.col("grams").alias("grams_c")
+    )
+    inter = F.size(F.array_intersect("grams_n", "grams_c"))
+    union = F.size("grams_n") + F.size("grams_c") - inter
+    verified = (
+        cands.join(gn, "doc_id")
+        .join(gc, "dup_of")
+        .select("doc_id", "dup_of", (inter / union).alias("jaccard"))
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("jaccard").desc(), F.col("dup_of")
+    )
+    return (
+        verified.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "dup_of", "jaccard")
+    )
+
+
 _GROUPS_ORACLE = f"""
 WITH sigs AS ({_SIGS_SQL}),
 bands AS ({_BANDS_SQL}),
@@ -641,6 +719,7 @@ QUERIES = {
     "dedup_ngram_jaccard": ngram_jaccard_pairs,
     "dedup_lsh_verified": lsh_verified_pairs,
     "corpus_dedup_keep": corpus_dedup_keep,
+    "dedup_incremental": dedup_incremental,
 }
 
 ORACLES = {
@@ -656,6 +735,33 @@ FROM t GROUP BY fingerprint
 """,
     "dedup_minhash_signatures": _SIGS_SQL,
     "dedup_lsh_groups": _GROUPS_ORACLE,
+    "dedup_incremental": f"""
+WITH sigs AS ({_SIGS_SQL}),
+bands AS ({_BANDS_SQL}),
+cands AS (
+  SELECT DISTINCT b.doc_id AS doc_id, a.doc_id AS dup_of
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig
+   AND a.doc_id % {INCREMENTAL_MOD} < {INCREMENTAL_NEW_RESIDUE}
+   AND b.doc_id % {INCREMENTAL_MOD} >= {INCREMENTAL_NEW_RESIDUE}
+),
+grams AS (SELECT doc_id, {_GRAMS_LIST_SQL} AS grams FROM documents),
+verified AS (
+  SELECT c.doc_id, c.dup_of,
+         len(list_intersect(gn.grams, gc.grams))
+           / CAST(len(gn.grams) + len(gc.grams)
+                  - len(list_intersect(gn.grams, gc.grams)) AS DOUBLE)
+           AS jaccard
+  FROM cands c
+  JOIN grams gn ON gn.doc_id = c.doc_id
+  JOIN grams gc ON gc.doc_id = c.dup_of
+)
+SELECT doc_id, dup_of, jaccard FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY jaccard DESC, dup_of) AS rn
+  FROM verified WHERE jaccard >= {JACCARD_THRESHOLD})
+WHERE rn = 1
+""",
     "corpus_dedup_keep": f"""
 WITH g AS ({_GROUPS_ORACLE}),
 sized AS (

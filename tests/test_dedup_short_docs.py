@@ -46,6 +46,7 @@ def _oracle(sql: str, sf_dir: str):
         "dedup_minhash_lsh_pairs",
         "dedup_lsh_groups",
         "dedup_lsh_components",
+        "dedup_incremental",
         "dedup_simhash",
         "dedup_simhash_pairs",
         "dedup_ngram_jaccard",
