@@ -28,6 +28,8 @@ CURVE_QUERIES = [
     "ann_ivf",                    # literal-broadcast assign + probe join
     "text_tfidf_topk",            # explode + window DF counts
     "stream_tumbling_counts",     # batch form of the tumbling window
+    "dedup_incremental",          # split-scan sigs + pruned gram verify
+    "corpus_dedup_keep",          # groups + window + linear join-back
 ]
 
 

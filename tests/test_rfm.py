@@ -17,3 +17,17 @@ def test_rfm_nonempty_at_smoke_sf(spark, sf_smoke):
     df = rfm.rfm_groupby(spark, sf_smoke)
     assert df.count() > 0
     assert df.columns == rfm._FINAL_COLS
+
+
+def test_approx_distinct_error_band(spark, sf_dir):
+    """HLL++ can't hash-match an oracle, but its estimate must sit
+    inside the configured relative-error band of the exact count it is
+    reported next to (rsd=0.02; allow 5 sigma)."""
+    from customer_churn_prediction_spark.operators.aggregates import (
+        approx_distinct_users,
+    )
+
+    for r in approx_distinct_users(spark, sf_dir).collect():
+        assert r.exact_users > 0
+        rel_err = abs(r.approx_users - r.exact_users) / r.exact_users
+        assert rel_err <= 0.10, (r.event_type, r.exact_users, r.approx_users)
