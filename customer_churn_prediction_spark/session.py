@@ -35,6 +35,18 @@ def get_spark(
     elif SparkSession.getActiveSession() is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         builder = builder.master(f"local[{cpus}]")
+    if SparkSession.getActiveSession() is None:
+        # Static conf — applies only when this call creates the JVM.
+        # The default 240 MB JIT code cache fills after a few dozen
+        # distinct whole-stage-codegen plans (a long bench session or a
+        # full registry pass); once full, HotSpot stops compiling and
+        # heavy generated expressions (e.g. the 60-bit SimHash fold)
+        # run interpreted at 2-3x the wall time. Standard Spark advice
+        # for codegen-heavy workloads is to raise it.
+        builder = builder.config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m",
+        )
 
     conf = {
         # Determinism: all date/timestamp math in UTC regardless of host tz.
