@@ -51,46 +51,44 @@ def _modules():
 
 
 # Driver-budget rotation (the driver checks ~50 entries per round):
-# round 3 front-loads (a) the entries whose most recent driver row is
-# round 1 — the r2 PRIORITY list rotated them out, so their evidence
-# is two rounds old — and (b) the entries that changed this round
-# (canon-safe output rewrites + newly oracle-paired queries), so every
-# entry's latest green row is at most one round old after r3.
+# round 4 front-loads (a) the 24 entries whose most recent driver row
+# is round 2 — the r3 PRIORITY rotated them out, so their evidence is
+# about to go two rounds stale — and (b) the queries changed or added
+# this round (oracle guards, the fixpoint components rewrite, the
+# error-band HLL pairing, the materialized-bands incremental dedup).
+# tests/test_registry_rotation.py asserts this list keeps every
+# entry's latest green row at most one round old.
 PRIORITY = [
-    # changed/newly-oracled this round — need fresh rows first
-    "ml_feature_vectors",
-    "multimodal_features",
-    "multimodal_frames",
-    "sampled_orders",
-    "ann_lsh_bucketed",
-    "ann_ivf_kmeans",
+    # latest green row is r2 — re-prove before the evidence goes stale
+    "eval_confusion",
+    "asof_join_clicks",
+    "dedup_lsh_verified",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "ann_bruteforce_topk",
+    "ann_ivf",
+    "embedding_neardup_pairs",
+    "text_tfidf_topk",
+    "feature_bucketize",
+    "groupby_count",
+    "avg_by_segment",
+    "grouping_sets_revenue",
+    "pivot_status_priority",
+    "percentile_quantity",
+    "latest_order_per_customer",
+    "purchase_gaps",
+    "running_spend",
+    "approx_distinct_users",
+    "ml_rf_churn",
+    "ml_gbt_churn",
+    "ml_lr_churn",
+    "ml_fm_churn",
+    # changed or added this round — need fresh rows
     "dedup_lsh_components",
-    "dedup_lsh_groups",
-    "corpus_dedup_keep",
-    "corpus_sample_stratified",
     "dedup_incremental",
-    # latest green row is r1 — re-prove before the evidence goes stale
-    "range_join_events",
-    "date_functions",
-    "round_bround",
-    "md5_salted_key",
-    "string_functions",
-    "json_extract_events",
-    "text_sentences",
-    "stream_tumbling_counts",
-    "stream_sliding_counts",
-    "stream_session_windows",
-    "stream_dedup_events",
-    "stream_user_totals",
-    "rollup_daily_from_hourly",
-    "text_stats",
-    "text_lang_id",
-    "text_token_counts",
-    "text_fingerprint",
-    "corpus_curation",
-    "dedup_exact",
-    "dedup_minhash_signatures",
-    "dedup_minhash_lsh_pairs",
+    "corpus_sample_stratified",
+    "sampled_orders",
 ]
 
 
