@@ -167,12 +167,15 @@ def hash_threshold(fraction: float) -> str:
     """4-hex-char cut for ``md5-prefix < threshold`` sampling. The
     achieved rate is round(fraction * 16^4) / 16^4 — within 1/65536 of
     the requested fraction, and exactly the same rows in any engine.
-    fraction >= 1 returns 'g', which compares above every hex prefix
-    (byte-wise string compare, identical in Spark and DuckDB) → keep
-    all; the 5-char '10000' would sort BELOW 'abcd' and break."""
-    if fraction >= 1:
+    Any fraction whose threshold rounds to 16^4 (that includes every
+    fraction >= 1, and e.g. 0.9999925) returns 'g', which compares
+    above every hex prefix (byte-wise string compare, identical in
+    Spark and DuckDB) → keep all; the 5-char '10000' would sort BELOW
+    'abcd' and silently turn a ~100% sample into ~6%."""
+    n = round(fraction * 0x10000)
+    if n >= 0x10000:
         return "g"
-    return format(round(fraction * 0x10000), "04x")
+    return format(n, "04x")
 
 
 def sampled_orders(spark: SparkSession, sf_dir: str) -> DataFrame:

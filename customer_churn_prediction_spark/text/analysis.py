@@ -30,32 +30,61 @@ def _tokens(col):
     return F.split(F.trim(F.lower(col)), r"\s+")
 
 
+def _quality(text_col):
+    """Single source of truth for the quality score and its parts
+    (ADVICE r3: the 0.4·length + 0.3·punct + 0.3·stopword expression
+    was duplicated across three queries and their oracles; a tweak to
+    one copy would silently de-sync query and oracle). The SQL twin is
+    ``_QUALITY_SQL`` below — change them in lockstep; three
+    oracle-paired registry queries assert they agree.
+
+    For a zero-char doc the punct ratio is 0/0: under Spark 4's
+    default ANSI mode a plain ``/`` THROWS DIVIDE_BY_ZERO at runtime —
+    one empty crawl page would kill a 100 TB job — so the ratios use
+    ``try_divide``, which yields NULL; the quality score is then NULL
+    and every ``>=`` comparison is falsy — the doc routes to the
+    lowest tier / is filtered out. The SQL twin uses NULLIF to
+    reproduce exactly that (DuckDB would otherwise produce IEEE NaN,
+    which its total order sorts ABOVE every threshold)."""
+    toks = _tokens(text_col)
+    n_tokens = F.size(toks).cast("long")
+    n_chars = F.length(text_col).cast("long")
+    n_alnum = F.length(
+        F.regexp_replace(text_col, r"[^a-zA-Z0-9\s]", "")
+    ).cast("long")
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*_EN))).cast("long")
+    punct_ratio = F.try_divide(n_chars - n_alnum, n_chars)
+    stop_ratio = F.try_divide(stop_hits, n_tokens)
+    quality = (
+        (F.lit(0.4) * F.least(n_tokens / F.lit(100.0), F.lit(1.0)))
+        + (F.lit(0.3) * (F.lit(1.0) - punct_ratio))
+        + (F.lit(0.3) * stop_ratio)
+    )
+    return {
+        "toks": toks,
+        "n_tokens": n_tokens,
+        "n_chars": n_chars,
+        "n_alnum": n_alnum,
+        "stop_hits": stop_hits,
+        "punct_ratio": punct_ratio,
+        "stop_ratio": stop_ratio,
+        "quality": quality,
+    }
+
+
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + quality scoring (length / punctuation /
     stopword ratios combined into a fixed-weight score)."""
     d = load_table(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
-    n_tokens = F.size(toks).cast("long")
-    n_chars = F.length("text").cast("long")
-    n_alnum = F.length(F.regexp_replace("text", r"[^a-zA-Z0-9\s]", "")).cast("long")
-    stop_hits = F.size(
-        F.filter(toks, lambda t: t.isin(*_EN))
-    ).cast("long")
-    punct_ratio = (n_chars - n_alnum) / n_chars
-    stop_ratio = stop_hits / n_tokens
-    length_score = F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+    q = _quality(F.col("text"))
     return d.select(
         "doc_id",
-        n_tokens.alias("n_tokens"),
-        n_chars.alias("n_chars_calc"),
-        stop_hits.alias("stopword_hits"),
-        punct_ratio.alias("punct_ratio"),
-        stop_ratio.alias("stopword_ratio"),
-        (
-            (F.lit(0.4) * length_score)
-            + (F.lit(0.3) * (F.lit(1.0) - punct_ratio))
-            + (F.lit(0.3) * stop_ratio)
-        ).alias("quality_score"),
+        q["n_tokens"].alias("n_tokens"),
+        q["n_chars"].alias("n_chars_calc"),
+        q["stop_hits"].alias("stopword_hits"),
+        q["punct_ratio"].alias("punct_ratio"),
+        q["stop_ratio"].alias("stopword_ratio"),
+        q["quality"].alias("quality_score"),
     )
 
 
@@ -103,7 +132,8 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ws_tokens.alias("ws_tokens"),
         bpe.alias("bpe_tokens"),
         n_chars.alias("n_chars_calc"),
-        (n_chars / bpe).alias("chars_per_token"),
+        # try_divide: a zero-token doc is NULL, not an ANSI-mode crash.
+        F.try_divide(n_chars, bpe).alias("chars_per_token"),
     )
 
 
@@ -134,20 +164,9 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same expression used by its standalone query, so this also
     pins the operators' composability."""
     d = load_table(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
-    n_tokens = F.size(toks).cast("long")
-    n_chars = F.length("text").cast("long")
-    n_alnum = F.length(
-        F.regexp_replace("text", r"[^a-zA-Z0-9\s]", "")
-    ).cast("long")
-    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*_EN))).cast("long")
-    punct_ratio = (n_chars - n_alnum) / n_chars
-    quality = (
-        (F.lit(0.4) * F.least(n_tokens / F.lit(100.0), F.lit(1.0)))
-        + (F.lit(0.3) * (F.lit(1.0) - punct_ratio))
-        + (F.lit(0.3) * (stop_hits / n_tokens))
-    )
-    en = stop_hits
+    q = _quality(F.col("text"))
+    toks, quality = q["toks"], q["quality"]
+    en = q["stop_hits"]
     de = F.size(F.filter(toks, lambda t: t.isin(*_DE))).cast("long")
     fr = F.size(F.filter(toks, lambda t: t.isin(*_FR))).cast("long")
     is_en = (
@@ -192,19 +211,8 @@ def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.relational import hash_threshold
 
     d = load_table(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
-    n_tokens = F.size(toks).cast("long")
-    n_chars = F.length("text").cast("long")
-    n_alnum = F.length(
-        F.regexp_replace("text", r"[^a-zA-Z0-9\s]", "")
-    ).cast("long")
-    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*_EN))).cast("long")
-    punct_ratio = (n_chars - n_alnum) / n_chars
-    quality = (
-        (F.lit(0.4) * F.least(n_tokens / F.lit(100.0), F.lit(1.0)))
-        + (F.lit(0.3) * (F.lit(1.0) - punct_ratio))
-        + (F.lit(0.3) * (stop_hits / n_tokens))
-    )
+    q = _quality(F.col("text"))
+    n_chars, quality = q["n_chars"], q["quality"]
     tier, thr = None, None
     for name, min_q, rate in SAMPLE_TIERS:
         t = F.lit(hash_threshold(rate))
@@ -297,6 +305,25 @@ def _hits_sql(words) -> str:
     )
 
 
+# SQL twins of _quality() — change in lockstep with the Python
+# expression above (three oracle-paired queries assert they agree).
+# NULLIF makes degenerate docs (0 chars / 0 tokens) produce NULL
+# exactly like Spark's divide-by-zero, instead of DuckDB's IEEE NaN,
+# whose total order sorts ABOVE every quality threshold (ADVICE r3).
+_QPARTS_SQL = f"""SELECT doc_id, text,
+    CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tokens,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS BIGINT) AS n_alnum,
+    {_hits_sql(_EN)} AS stop_hits
+  FROM documents"""
+
+_QUALITY_SQL = (
+    "(0.4 * least(n_tokens / 100.0, 1.0))"
+    " + (0.3 * (1.0 - (n_chars - n_alnum) / CAST(NULLIF(n_chars, 0) AS DOUBLE)))"
+    " + (0.3 * (stop_hits / CAST(NULLIF(n_tokens, 0) AS DOUBLE)))"
+)
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_lang_id": lang_id_heuristic,
@@ -317,20 +344,10 @@ def _sample_stratified_oracle() -> str:
         tier_case.append(f"{cond} '{name}'")
         thr_case.append(f"{cond} '{hash_threshold(rate)}'")
     return f"""
-WITH t AS (
-  SELECT doc_id,
-    CAST(length(text) AS BIGINT) AS n_chars,
-    CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tokens,
-    CAST(length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS BIGINT) AS n_alnum,
-    {{stop_hits}} AS stop_hits
-  FROM documents
-),
+WITH p AS ({_QPARTS_SQL}),
 q AS (
-  SELECT doc_id, n_chars,
-    (0.4 * least(n_tokens / 100.0, 1.0))
-      + (0.3 * (1.0 - (n_chars - n_alnum) / CAST(n_chars AS DOUBLE)))
-      + (0.3 * (stop_hits / CAST(n_tokens AS DOUBLE))) AS q
-  FROM t
+  SELECT doc_id, n_chars, {_QUALITY_SQL} AS q
+  FROM p
 ),
 s AS (
   SELECT n_chars,
@@ -344,7 +361,7 @@ SELECT tier, count(*) AS n_total,
        CAST(COALESCE(sum(n_chars) FILTER (WHERE hk < thr), 0) AS BIGINT)
          AS chars_kept
 FROM s GROUP BY tier
-""".format(stop_hits=_hits_sql(_EN))
+"""
 
 ORACLES = {
     "text_tfidf_topk": f"""
@@ -369,20 +386,12 @@ SELECT doc_id, term, tf, tfidf, rank FROM (
 WHERE rank <= {TFIDF_TOP_K}
 """,
     "text_stats": f"""
-WITH t AS (
-  SELECT doc_id,
-    CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tokens,
-    CAST(length(text) AS BIGINT) AS n_chars_calc,
-    CAST(length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS BIGINT) AS n_alnum,
-    {_hits_sql(_EN)} AS stopword_hits
-  FROM documents
-)
-SELECT doc_id, n_tokens, n_chars_calc, stopword_hits,
-  (n_chars_calc - n_alnum) / CAST(n_chars_calc AS DOUBLE) AS punct_ratio,
-  stopword_hits / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
-  (0.4 * least(n_tokens / 100.0, 1.0))
-    + (0.3 * (1.0 - (n_chars_calc - n_alnum) / CAST(n_chars_calc AS DOUBLE)))
-    + (0.3 * (stopword_hits / CAST(n_tokens AS DOUBLE))) AS quality_score
+WITH t AS ({_QPARTS_SQL})
+SELECT doc_id, n_tokens, n_chars AS n_chars_calc,
+  stop_hits AS stopword_hits,
+  (n_chars - n_alnum) / CAST(NULLIF(n_chars, 0) AS DOUBLE) AS punct_ratio,
+  stop_hits / CAST(NULLIF(n_tokens, 0) AS DOUBLE) AS stopword_ratio,
+  {_QUALITY_SQL} AS quality_score
 FROM t
 """,
     "text_lang_id": f"""
@@ -410,7 +419,7 @@ WITH t AS (
   FROM documents
 )
 SELECT doc_id, ws_tokens, bpe_tokens, n_chars_calc,
-       n_chars_calc / CAST(bpe_tokens AS DOUBLE) AS chars_per_token
+       n_chars_calc / CAST(NULLIF(bpe_tokens, 0) AS DOUBLE) AS chars_per_token
 FROM t
 """,
     "text_fingerprint": """
@@ -424,26 +433,20 @@ SELECT doc_id, md5(norm) AS fingerprint, CAST(length(norm) AS BIGINT) AS norm_le
 FROM t
 """,
     "corpus_curation": f"""
-WITH t AS (
-  SELECT doc_id, text,
-    CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tokens,
-    CAST(length(text) AS BIGINT) AS n_chars,
-    CAST(length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS BIGINT) AS n_alnum,
-    {_hits_sql(_EN)} AS en_hits,
+WITH p AS ({_QPARTS_SQL}),
+t AS (
+  SELECT p.*,
     {_hits_sql(_DE)} AS de_hits,
     {_hits_sql(_FR)} AS fr_hits,
     md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
                             '\\s+', ' ', 'g'))) AS fingerprint
-  FROM documents
+  FROM p
 ),
 scored AS (
-  SELECT doc_id, fingerprint,
-    (0.4 * least(n_tokens / 100.0, 1.0))
-      + (0.3 * (1.0 - (n_chars - n_alnum) / CAST(n_chars AS DOUBLE)))
-      + (0.3 * (en_hits / CAST(n_tokens AS DOUBLE))) AS quality_score
+  SELECT doc_id, fingerprint, {_QUALITY_SQL} AS quality_score
   FROM t
   WHERE NOT regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]')
-    AND en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0
+    AND stop_hits >= de_hits AND stop_hits >= fr_hits AND stop_hits > 0
 )
 SELECT fingerprint, min(doc_id) AS doc_id, count(*) AS n_copies,
        max(quality_score) AS quality_score

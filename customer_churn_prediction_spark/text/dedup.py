@@ -221,7 +221,7 @@ def lsh_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def lsh_dedup_components(
-    spark: SparkSession, sf_dir: str, max_iters: int = 10
+    spark: SparkSession, sf_dir: str, max_iters: int | None = None
 ) -> DataFrame:
     """Transitive dedup groups: min-id label propagation over the
     doc↔bucket bipartite graph until fixpoint — connected components
@@ -235,7 +235,13 @@ def lsh_dedup_components(
     (bucket-min of labels, then doc-min across buckets) over a CACHED
     bands frame, and convergence is detected with a count of changed
     labels — O(component diameter) rounds, typically 2-3 on near-dup
-    corpora. At 100 TB this is exactly large-scale connected
+    corpora. The loop runs to the sum-fixpoint by default (labels are
+    a strictly-decreasing positive integer sum, so termination is
+    guaranteed) — a fixed cap would silently under-merge a component
+    whose diameter exceeds it, diverging from the oracle's exact
+    recursive closure; ``max_iters`` exists only as an opt-in bound
+    for callers that prefer a round budget over exactness.
+    At 100 TB this is exactly large-scale connected
     components à la label propagation: state is one long per doc, and
     no step is quadratic in cluster size (the escape hatch pairwise
     LSH lacks)."""
@@ -257,7 +263,9 @@ def lsh_dedup_components(
         # the previous round's cache is released only after the new
         # frame is materialized by the sum action.
         prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-        for _ in range(max_iters - 1):
+        rounds = 0
+        while max_iters is None or rounds < max_iters - 1:
+            rounds += 1
             propagated = (
                 bands.join(labels, "doc_id")
                 .withColumn("bucket_rep", F.min("label").over(wb))
@@ -504,10 +512,14 @@ def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inter = F.size(F.array_intersect("grams_a", "grams_b"))
     union = F.size("grams_a") + F.size("grams_b") - inter
+    # try_divide: two banded docs can both have < 3 words (>= 5 chars,
+    # 1-2 tokens) → empty gram sets → 0/0, which under ANSI mode would
+    # kill the job; NULL drops the pair at the threshold instead, and
+    # the oracle's degenerate guard does the same.
     return (
         cands.join(ga, "doc_a")
         .join(gb, "doc_b")
-        .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
+        .select("doc_a", "doc_b", F.try_divide(inter, union).alias("jaccard"))
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
 
@@ -643,10 +655,14 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inter = F.size(F.array_intersect("grams_n", "grams_c"))
     union = F.size("grams_n") + F.size("grams_c") - inter
+    # try_divide: see lsh_verified_pairs — gram-less banded pairs are
+    # 0/0, an ANSI-mode crash as a plain division.
     verified = (
         cands.join(gn, "doc_id")
         .join(gc, "dup_of")
-        .select("doc_id", "dup_of", (inter / union).alias("jaccard"))
+        .select(
+            "doc_id", "dup_of", F.try_divide(inter, union).alias("jaccard")
+        )
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
     from pyspark.sql import Window
@@ -755,6 +771,11 @@ verified AS (
   FROM cands c
   JOIN grams gn ON gn.doc_id = c.doc_id
   JOIN grams gc ON gc.doc_id = c.dup_of
+  -- Degenerate guard: two banded docs can both have <3 words (>=5
+  -- chars but 1-2 tokens), making Jaccard 0/0. Spark yields NULL and
+  -- drops the pair at the threshold; DuckDB yields NaN, and NaN >=
+  -- 0.4 is TRUE in its total order. Drop such pairs here too.
+  WHERE len(gn.grams) + len(gc.grams) > 0
 )
 SELECT doc_id, dup_of, jaccard FROM (
   SELECT *, row_number() OVER (PARTITION BY doc_id
@@ -834,7 +855,8 @@ SELECT doc_a, doc_b,
 FROM cands c
 JOIN grams ga ON ga.doc_id = c.doc_a
 JOIN grams gb ON gb.doc_id = c.doc_b
-WHERE len(list_intersect(ga.grams, gb.grams))
+WHERE len(ga.grams) + len(gb.grams) > 0  -- 0/0: NULL in Spark, NaN here
+  AND len(list_intersect(ga.grams, gb.grams))
         / CAST(len(ga.grams) + len(gb.grams)
                - len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
       >= {JACCARD_THRESHOLD}

@@ -1,0 +1,94 @@
+"""Degenerate-document parity (ADVICE r3): empty / whitespace-only /
+sub-3-word docs hit division-by-zero paths where Spark yields NULL but
+DuckDB yields IEEE NaN — and NaN compares ABOVE every threshold in
+DuckDB's total order, so an unguarded oracle diverges exactly on the
+rows a real crawl corpus is full of. The main fixture happens to
+contain no such docs, so this fixture manufactures them:
+
+* zero-char and whitespace-only docs (quality score 0/0),
+* banded-but-gram-less docs — >= 5 chars (so they get MinHash bands
+  and become LSH candidates) but < 3 words (so their word-3-gram set
+  is empty and pairwise Jaccard is 0/0),
+* the same split across the incremental new/corpus residue classes.
+
+Each affected query is run against its committed oracle SQL on the
+synthetic corpus — the same comparison the driver applies.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from customer_churn_prediction_spark.catalog import TABLES
+from customer_churn_prediction_spark.plans import get_oracles, get_queries
+from customer_churn_prediction_spark.text.dedup import (
+    INCREMENTAL_MOD,
+    INCREMENTAL_NEW_RESIDUE,
+)
+
+from .conftest import SF_SMOKE
+from .oracle_utils import assert_matches_oracle
+
+# doc_id chosen so the identical banded-but-gram-less "hello" docs
+# land on BOTH sides of the incremental residue split (3 % 10 < 8 →
+# corpus side, 8 % 10 >= 8 → new side) and also form a plain candidate
+# pair for dedup_lsh_verified.
+_DOCS = [
+    (1, ""),
+    (2, "   "),
+    (3, "hello"),
+    (INCREMENTAL_NEW_RESIDUE, "hello"),
+    (11, "hi you"),  # >= 5 chars, 2 words: banded, zero grams
+    (12, "the cat sat on the mat and the dog sat too"),
+    (13, "the cat sat on the mat and the dog sat too"),
+    (INCREMENTAL_MOD + INCREMENTAL_NEW_RESIDUE,
+     "the cat sat on the mat and the dog sat too"),
+    (15, "completely different words about query engines and shuffles"),
+]
+
+AFFECTED = [
+    "text_stats",
+    "text_token_counts",
+    "corpus_curation",
+    "corpus_sample_stratified",
+    "dedup_lsh_verified",
+    "dedup_incremental",
+    "dedup_lsh_groups",
+    "dedup_lsh_components",
+]
+
+
+@pytest.fixture(scope="module")
+def degenerate_dir(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("degenerate_sf")
+    for t in TABLES:
+        src = os.path.join(SF_SMOKE, f"{t}.parquet")
+        if t != "documents" and os.path.exists(src):
+            os.symlink(src, root / f"{t}.parquet")
+    rows = [
+        (doc_id, text, "en", f"src{doc_id}", len(text))
+        for doc_id, text in _DOCS
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1)
+    staging = str(root / "_documents_staging")
+    df.write.mode("overwrite").parquet(staging)
+    part = next(
+        f for f in os.listdir(staging)
+        if f.endswith(".parquet") and not f.startswith("_")
+    )
+    shutil.move(os.path.join(staging, part), root / "documents.parquet")
+    shutil.rmtree(staging)
+    return str(root)
+
+
+@pytest.mark.parametrize("name", AFFECTED)
+def test_degenerate_docs_match_oracle(name, spark, degenerate_dir):
+    queries, oracles = get_queries(), get_oracles()
+    assert_matches_oracle(
+        queries[name](spark, degenerate_dir), oracles[name], degenerate_dir
+    )

@@ -83,3 +83,35 @@ def test_round_bround_match_decimal(spark, millis):
         x = Decimal(row.x)
         assert Decimal(row.r) == x.quantize(Decimal("0.01"), ROUND_HALF_UP)
         assert Decimal(row.b) == x.quantize(Decimal("0.01"), ROUND_HALF_EVEN)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.floats(min_value=0.0, max_value=1.5, allow_nan=False))
+def test_hash_threshold_always_comparable(fraction):
+    # ADVICE r3: fractions just below 1 used to round to the 5-char
+    # '10000', which string-compares below almost every 4-char prefix
+    # and silently turned a ~100% sample into ~6%.
+    from customer_churn_prediction_spark.operators.relational import (
+        hash_threshold,
+    )
+
+    thr = hash_threshold(fraction)
+    assert thr == "g" or (
+        len(thr) == 4 and all(c in "0123456789abcdef" for c in thr)
+    )
+    # 'g' sorts above every hex prefix; anything else must round-trip.
+    if thr != "g":
+        assert int(thr, 16) == round(fraction * 0x10000)
+    else:
+        assert round(fraction * 0x10000) >= 0x10000
+
+
+def test_hash_threshold_monotone():
+    from customer_churn_prediction_spark.operators.relational import (
+        hash_threshold,
+    )
+
+    fracs = [0.0, 0.05, 0.2, 0.5, 0.9999, 0.9999925, 1.0]
+    thrs = [hash_threshold(f) for f in fracs]
+    assert thrs == sorted(thrs)  # 'g' > all hex strings byte-wise
+    assert thrs[-1] == "g" and thrs[-2] == "g"
