@@ -43,15 +43,23 @@ def load_table(
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects. Read nanos as long and rebuild a microsecond
-        # timestamp with exact integer math (values are micro-aligned).
+        # events.ts has shipped as two physical layouts across testdata
+        # generations: TIMESTAMP(NANOS) — which Spark's vectorized reader
+        # rejects, so it is read as long (nanosAsLong) and rebuilt with
+        # exact integer math — and TIMESTAMP(MICROS) without
+        # isAdjustedToUTC, which arrives as TIMESTAMP_NTZ. Branch on the
+        # arrived dtype; both normalize to session-TZ (UTC) TIMESTAMP so
+        # every downstream `cast('timestamp')` literal compares equal.
         from pyspark.sql import functions as F
 
         if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type != "timestamp":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if spread:
