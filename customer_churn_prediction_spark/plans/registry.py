@@ -87,6 +87,7 @@ PRIORITY = [
     # changed or added this round — need fresh rows
     "dedup_lsh_components",
     "dedup_incremental",
+    "dedup_incremental_materialized",
     "corpus_sample_stratified",
     "sampled_orders",
 ]

@@ -30,7 +30,8 @@ EXPECTED = {
     "text_stats", "text_lang_id", "text_token_counts", "text_fingerprint",
     "text_tfidf_topk",
     "corpus_curation", "corpus_sample_stratified", "corpus_dedup_keep",
-    "dedup_exact", "dedup_incremental", "dedup_minhash_signatures",
+    "dedup_exact", "dedup_incremental", "dedup_incremental_materialized",
+    "dedup_minhash_signatures",
     "dedup_minhash_lsh_pairs", "dedup_lsh_groups", "dedup_lsh_components",
     "dedup_simhash", "dedup_simhash_pairs",
     "dedup_ngram_jaccard", "dedup_lsh_verified",
