@@ -56,17 +56,40 @@ def avg_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+APPROX_DISTINCT_RSD = 0.02
+
+
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 scale variant: approx_count_distinct (HLL++) next to the exact
     count. At 100 TB the approximate form avoids the exact-distinct
-    shuffle explosion; rows-only check (DuckDB's approx differs)."""
-    return (
+    shuffle explosion.
+
+    Oracle pairing (the estimate itself is engine-specific, but the
+    ERROR CONTRACT is not): emit ``within_band`` = |approx − exact| ≤
+    3·rsd·exact, computed in-query. The DuckDB oracle computes the
+    exact count and asserts the band holds (TRUE) — so a hash match
+    verifies both the exact path and that the sketch honors its
+    advertised accuracy, without ever comparing two different HLL
+    implementations bit-for-bit. 3·rsd on HLL++'s near-Gaussian error
+    is a ≥99.7% bound per group; the pytest error-band test
+    (tests/test_rfm.py) shows it holding with margin on this data."""
+    agg = (
         load_table(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(
             F.countDistinct("user_id").alias("exact_users"),
-            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            F.approx_count_distinct(
+                "user_id", APPROX_DISTINCT_RSD
+            ).alias("approx_users"),
         )
+    )
+    band = 3 * APPROX_DISTINCT_RSD * F.col("exact_users")
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (F.abs(F.col("approx_users") - F.col("exact_users")) <= band).alias(
+            "within_band"
+        ),
     )
 
 
@@ -153,7 +176,7 @@ QUERIES = {
     "groupby_sum": groupby_sum,
     "groupby_count": groupby_count,
     "avg_by_segment": avg_by_segment,
-    "approx_distinct_users": approx_distinct_users,  # rows-only
+    "approx_distinct_users": approx_distinct_users,
     "grouping_sets_revenue": grouping_sets_revenue,
     "pivot_status_priority": pivot_status_priority,
     "percentile_quantity": percentile_quantity,
@@ -172,6 +195,14 @@ FROM orders GROUP BY 1, 2
 SELECT c_mktsegment, round(avg(c_acctbal), 6) AS avg_acctbal,
        count(*) AS n_customers
 FROM customer GROUP BY 1
+""",
+    # The HLL estimate is engine-specific; the contract it must honor
+    # is not. The oracle recomputes the exact side and asserts the
+    # in-query error band came out TRUE for every group.
+    "approx_distinct_users": """
+SELECT event_type, count(DISTINCT user_id) AS exact_users,
+       TRUE AS within_band
+FROM events GROUP BY event_type
 """,
     "grouping_sets_revenue": f"""
 SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
