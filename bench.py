@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "corpus_dedup_keep",
     "multimodal_features",
     "ann_lsh_bucketed",
+    "ann_ivf_materialized",
     "ml_feature_vectors",
 ]
 
@@ -94,6 +95,7 @@ def main() -> None:
     # warm-up at the bench sf so the measured time is the query.
     force(queries["feature_assembly_bucketed"](spark, SF_DIR))
     force(queries["dedup_incremental_materialized"](spark, SF_DIR))
+    force(queries["ann_ivf_materialized"](spark, SF_DIR))
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # Median of N interleaved passes (r2 VERDICT: single-shot timings

@@ -88,6 +88,7 @@ PRIORITY = [
     "dedup_lsh_components",
     "dedup_incremental",
     "dedup_incremental_materialized",
+    "ann_ivf_materialized",
     "corpus_sample_stratified",
     "sampled_orders",
 ]

@@ -226,14 +226,12 @@ def _cells_expr(cent_rows) -> "F.Column":
     )
 
 
-def _ivf_topk(e: DataFrame, cent_rows) -> DataFrame:
-    """Shared IVF query body: assign, probe, rank (see ann_ivf)."""
+def _ivf_probes(e: DataFrame, cent_rows) -> DataFrame:
+    """Query-side probe rows: (query_id, qv, qn, centroid_id) for each
+    query's N_PROBE closest cells. The vec_id predicate pushes into the
+    scan, so the cell ranking runs only over the query rows."""
     cells = _cells_expr(cent_rows)
-    assigned = e.select(
-        "vec_id", "v", "nrm",
-        (-F.element_at(cells, 1)["nid"]).alias("centroid_id"),
-    )
-    probes = (
+    return (
         e.where(F.col("vec_id") < N_QUERIES)
         .select(
             F.col("vec_id").alias("query_id"),
@@ -246,6 +244,12 @@ def _ivf_topk(e: DataFrame, cent_rows) -> DataFrame:
             (-F.col("cell")["nid"]).alias("centroid_id"),
         )
     )
+
+
+def _probe_and_rank(assigned: DataFrame, probes: DataFrame) -> DataFrame:
+    """Candidate join + exact-cosine rank: the shared tail of every IVF
+    form. Probes broadcast (|queries|·N_PROBE rows); candidates come
+    from the centroid_id equi-join only."""
     cands = assigned.join(F.broadcast(probes), "centroid_id").where(
         F.col("vec_id") != F.col("query_id")
     )
@@ -262,6 +266,16 @@ def _ivf_topk(e: DataFrame, cent_rows) -> DataFrame:
         .where(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def _ivf_topk(e: DataFrame, cent_rows) -> DataFrame:
+    """Shared IVF query body: assign, probe, rank (see ann_ivf)."""
+    cells = _cells_expr(cent_rows)
+    assigned = e.select(
+        "vec_id", "v", "nrm",
+        (-F.element_at(cells, 1)["nid"]).alias("centroid_id"),
+    )
+    return _probe_and_rank(assigned, _ivf_probes(e, cent_rows))
 
 
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -289,6 +303,65 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (query, candidate) pair joins at most once (a redundant distinct
     was a whole extra shuffle, ~0.7 s at sf0.1)."""
     return _ivf_topk(_embeddings(spark, sf_dir), _centroids(spark, sf_dir))
+
+
+def ivf_lists_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MATERIALIZED inverted lists ``ann_ivf``'s docstring promises:
+    every vector assigned to its coarse cell ONCE at ingest and written
+    as a managed parquet table hive-PARTITIONED by ``centroid_id`` —
+    one directory per inverted list. Idempotent per sf_dir (same
+    tag/rebuild discipline as the bucketed ingests).
+
+    Partitioning (not bucketing) is the right at-rest layout here:
+    probes touch N_PROBE of N_CENTROIDS cells, so the win is partition
+    PRUNING — the scan reads only the probed lists' files — which
+    dynamic partition pruning applies at runtime from the broadcast
+    probe side (asserted in tests/test_similarity.py). At 100 TB with
+    k in the thousands, a probe reads thousandths of the corpus
+    instead of scanning it."""
+    import os
+    import shutil
+
+    from ..operators.assembly import _sf_tag
+
+    tag = _sf_tag(sf_dir)
+    table = f"ivf_lists_{tag}"
+    store = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))),
+        "spark-warehouse",
+    )
+    if not spark.catalog.tableExists(table):
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(os.path.join(store, table), ignore_errors=True)
+        e = _embeddings(spark, sf_dir)
+        cells = _cells_expr(_centroids(spark, sf_dir))
+        assigned = e.select(
+            "vec_id", "v", "nrm",
+            (-F.element_at(cells, 1)["nid"]).alias("centroid_id"),
+        )
+        (
+            assigned.write.mode("overwrite")
+            .partitionBy("centroid_id")
+            .option("path", os.path.join(store, table))
+            .format("parquet")
+            .saveAsTable(table)
+        )
+    return spark.table(table)
+
+
+def ann_ivf_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ann_ivf`` in its production shape: candidates come from the
+    at-rest partitioned inverted-list table (``ivf_lists_ingest``)
+    instead of an inline assignment pass — same output rows, same
+    oracle. Per query run, only the |queries|·N_PROBE probe rows are
+    computed; the corpus branch is a scan of the probed partitions
+    (runtime-pruned via dynamic partition pruning off the broadcast
+    probe side)."""
+    lists = ivf_lists_ingest(spark, sf_dir)
+    e = _embeddings(spark, sf_dir)
+    probes = _ivf_probes(e, _centroids(spark, sf_dir))
+    return _probe_and_rank(lists, probes)
 
 
 KMEANS_ITERS = 2
@@ -373,6 +446,7 @@ QUERIES = {
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf": ann_ivf,
+    "ann_ivf_materialized": ann_ivf_materialized,
     "ann_ivf_kmeans": ann_ivf_kmeans,
 }
 
@@ -455,6 +529,11 @@ SELECT query_id, neighbor_id, cosine_sim, rank FROM (
 WHERE rank <= {TOP_K}
 """,
 }
+
+# The materialized form computes the same relation as the inline form
+# (only the corpus side's physical source differs), so it shares the
+# oracle verbatim.
+ORACLES["ann_ivf_materialized"] = ORACLES["ann_ivf"]
 
 def _cos_sql(av: str, bv: str, an: str, bn: str) -> str:
     return (

@@ -37,7 +37,7 @@ EXPECTED = {
     "dedup_ngram_jaccard", "dedup_lsh_verified",
     # ANN
     "ann_bruteforce_topk", "embedding_neardup_pairs", "ann_lsh_bucketed",
-    "ann_ivf", "ann_ivf_kmeans",
+    "ann_ivf", "ann_ivf_materialized", "ann_ivf_kmeans",
     # ML
     "feature_bucketize", "ml_rf_churn", "ml_gbt_churn", "ml_lr_churn",
     "ml_fm_churn", "ml_feature_vectors",

@@ -58,3 +58,41 @@ def test_ann_ivf_kmeans_returns_ranked_topk(spark, sf_dir):
         assert ranks == list(range(1, len(rs) + 1))
         sims = [r.cosine_sim for r in sorted(rs, key=lambda r: r.rank)]
         assert sims == sorted(sims, reverse=True)
+
+
+def _fresh_ivf_ingest(spark, sf_dir):
+    import shutil
+
+    from customer_churn_prediction_spark.operators.assembly import _sf_tag
+
+    table = f"ivf_lists_{_sf_tag(sf_dir)}"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    shutil.rmtree(
+        warehouse.removeprefix("file:") + f"/{table}", ignore_errors=True
+    )
+    return ann.ivf_lists_ingest(spark, sf_dir)
+
+
+def test_ivf_materialized_matches_inline(spark, sf_dir):
+    """Same (query, neighbor, sim, rank) rows as the inline assignment."""
+    _fresh_ivf_ingest(spark, sf_dir)
+    got = ann.ann_ivf_materialized(spark, sf_dir)
+    want = ann.ann_ivf(spark, sf_dir)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_ivf_materialized_probe_prunes_partitions(spark, sf_dir):
+    """The inverted-list scan must be PRUNED to the probed cells at
+    runtime: the probe side broadcasts, and dynamic partition pruning
+    turns its centroid_ids into a PartitionFilter on the lists table —
+    the at-scale contract that a probe reads its lists' files only,
+    never the corpus."""
+    _fresh_ivf_ingest(spark, sf_dir)
+    df = ann.ann_ivf_materialized(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), (
+        "no dynamic partition pruning on the inverted-list scan:\n" + plan
+    )
