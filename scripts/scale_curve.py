@@ -18,6 +18,24 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
+
+# 4th decade: scripts/make_docs_x10.py writes a 10x documents corpus
+# (cipher-replicated so near-dup OUTPUT grows linearly by construction
+# — any super-linear runtime there is compute, not result volume).
+# Only the documents-table queries can run against it.
+X10_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".scale", "sf1docs",
+)
+DOC_ONLY_QUERIES = [
+    "dedup_lsh_groups",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash_pairs",
+    "text_tfidf_topk",
+    "dedup_incremental",
+    "corpus_dedup_keep",
+]
+
 CURVE_QUERIES = [
     "feature_assembly_onepass",   # 2 hash aggs + broadcast dims
     "feature_assembly",           # reference-faithful 12-join chain
@@ -62,6 +80,17 @@ def main() -> None:
                 samples.append(time.perf_counter() - t0)
             results[name][sf] = round(statistics.median(samples), 3)
 
+    have_x10 = os.path.isdir(X10_DIR)
+    if have_x10:
+        for name in DOC_ONLY_QUERIES:
+            force(queries[name](spark, X10_DIR))  # warm
+            samples = []
+            for _ in range(n_iters):
+                t0 = time.perf_counter()
+                force(queries[name](spark, X10_DIR))
+                samples.append(time.perf_counter() - t0)
+            results[name]["x10docs"] = round(statistics.median(samples), 3)
+
     print(f"| query | {' | '.join(SFS)} | x(0.01→0.1) |")
     print("|---|" + "---|" * (len(SFS) + 1))
     for name in CURVE_QUERIES:
@@ -69,6 +98,20 @@ def main() -> None:
         growth = r["sf0.1"] / r["sf0.01"] if r["sf0.01"] else float("nan")
         cells = " | ".join(f"{r[sf]:.3f}" for sf in SFS)
         print(f"| {name} | {cells} | {growth:.2f}x |")
+
+    if have_x10:
+        print()
+        print("| query | sf0.1 | x10 docs | x(0.1→x10) |")
+        print("|---|---|---|---|")
+        for name in DOC_ONLY_QUERIES:
+            r = results[name]
+            growth = (
+                r["x10docs"] / r["sf0.1"] if r["sf0.1"] else float("nan")
+            )
+            print(
+                f"| {name} | {r['sf0.1']:.3f} | {r['x10docs']:.3f} "
+                f"| {growth:.2f}x |"
+            )
 
 
 if __name__ == "__main__":
