@@ -89,6 +89,8 @@ PRIORITY = [
     "dedup_incremental",
     "dedup_incremental_materialized",
     "ann_ivf_materialized",
+    "text_chunks",
+    "corpus_pack",
     "corpus_sample_stratified",
     "sampled_orders",
 ]

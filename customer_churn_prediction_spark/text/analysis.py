@@ -297,6 +297,90 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_TOKENS = 64
+
+
+def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-budget document chunking — the context-window
+    splitting step every LLM training/embedding pipeline runs before
+    tokenization proper. Each doc becomes ceil(n_tokens/CHUNK_TOKENS)
+    rows of at most CHUNK_TOKENS whitespace tokens, chunk_id 0-based
+    in document order.
+
+    Scale shape: pure per-row map work — tokenize once into a
+    materialized array column (the two consumers below reference the
+    SAME attribute; inlining the split into both would be the §4.1
+    duplication class), then one posexplode. No shuffle at all: at
+    100 TB this runs scan-speed and parallelizes per file split.
+    NULL texts are dropped at the scan (a NULL-token chunk row is
+    meaningless); empty strings keep the engines' shared
+    one-empty-token artifact (split('') = [''] in both) so parity is
+    exact rather than special-cased."""
+    d = load_table(spark, sf_dir, "documents", spread=True).where(
+        F.col("text").isNotNull()
+    )
+    c = CHUNK_TOKENS
+    toks_df = d.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    return (
+        toks_df.select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, cast(floor((size(toks) - 1) "
+                    f"/ {c}) as int)), i -> slice(toks, i * {c} + 1, {c}))"
+                )
+            ).alias("chunk_id", "chunk_toks"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.array_join("chunk_toks", " ").alias("chunk_text"),
+            F.size("chunk_toks").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+PACK_BUDGET = 256
+
+
+def corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing — concatenate documents in a
+    deterministic order and cut training rows every PACK_BUDGET
+    tokens (the concatenate-and-split packing LLM pretraining uses to
+    avoid padding waste). A document belongs to the bin where it
+    STARTS (docs longer than the budget spill into following bins but
+    are accounted once, at their start — the bookkeeping convention
+    that keeps the op a pure window expression). Output is the
+    per-bin manifest (docs, tokens, first doc) a dataloader shards by.
+
+    Scale shape: packing is per-`source` (the crawl shard), so the
+    running token count is a window PARTITIONED by source — one
+    linear shuffle, embarrassingly parallel across shards, never a
+    global single-partition sort (the naive global-order form would
+    serialize the corpus through one task at 100 TB)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents", spread=True).where(
+        F.col("text").isNotNull()
+    )
+    n_tokens = F.size(_tokens(F.col("text"))).cast("long")
+    staged = d.select("doc_id", "source", n_tokens.alias("n_tokens"))
+    w = Window.partitionBy("source").orderBy("doc_id")
+    packed = staged.withColumn(
+        "cum_after", F.sum("n_tokens").over(w)
+    ).withColumn(
+        "bin_id",
+        F.floor(
+            (F.col("cum_after") - F.col("n_tokens")) / F.lit(PACK_BUDGET)
+        ).cast("long"),
+    )
+    return packed.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
 def _hits_sql(words) -> str:
     inlist = ", ".join(f"'{w}'" for w in words)
     return (
@@ -332,6 +416,8 @@ QUERIES = {
     "text_tfidf_topk": tfidf_top_terms,
     "corpus_curation": corpus_curation,
     "corpus_sample_stratified": corpus_sample_stratified,
+    "text_chunks": text_chunks,
+    "corpus_pack": corpus_pack,
 }
 
 
@@ -456,3 +542,43 @@ GROUP BY fingerprint
 }
 
 ORACLES["corpus_sample_stratified"] = _sample_stratified_oracle()
+
+# DuckDB list slicing toks[a:b] is 1-based with an inclusive,
+# auto-clamped end — exactly Spark's slice(toks, a, len) semantics.
+ORACLES["text_chunks"] = f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+idx AS (
+  SELECT doc_id, toks,
+         unnest(range(0, CAST(floor((len(toks) - 1) / {CHUNK_TOKENS}) AS BIGINT) + 1)) AS i
+  FROM t
+)
+SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+       array_to_string(toks[i * {CHUNK_TOKENS} + 1 : (i + 1) * {CHUNK_TOKENS}], ' ')
+         AS chunk_text,
+       CAST(len(toks[i * {CHUNK_TOKENS} + 1 : (i + 1) * {CHUNK_TOKENS}]) AS BIGINT)
+         AS n_tokens
+FROM idx
+"""
+
+ORACLES["corpus_pack"] = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents WHERE text IS NOT NULL
+),
+c AS (
+  SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) AS cum_after
+  FROM t
+)
+SELECT source,
+       CAST(floor((cum_after - n_tokens) / {PACK_BUDGET}.0) AS BIGINT) AS bin_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+       min(doc_id) AS first_doc
+FROM c GROUP BY 1, 2
+"""
