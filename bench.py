@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "corpus_curation",
     "corpus_sample_stratified",
     "corpus_dedup_keep",
+    "text_chunks",
+    "corpus_pack",
     "multimodal_features",
     "ann_lsh_bucketed",
     "ann_ivf_materialized",
