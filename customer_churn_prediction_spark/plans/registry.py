@@ -91,6 +91,7 @@ PRIORITY = [
     "ann_ivf_materialized",
     "text_chunks",
     "corpus_pack",
+    "text_redact",
     "corpus_sample_stratified",
     "sampled_orders",
 ]

@@ -340,6 +340,49 @@ def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PII patterns scrubbed before a corpus ships to training: emails,
+# international-ish phone numbers, and 13-19-digit card-like runs.
+# Deliberately simple regexes — the op's value is the Spark shape
+# (scan-speed expression-only rewrite + audit counts); swapping in a
+# production pattern set changes no plan.
+_PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    # card before phone: an unbroken 13-19-digit run also satisfies the
+    # looser phone pattern, and the earlier rewrite wins the span.
+    ("card", r"[0-9]{13,19}"),
+    ("phone", r"\+?[0-9][0-9()\-\s]{7,}[0-9]"),
+)
+
+
+def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the compliance scrub every shipped training
+    corpus runs: replace email/phone/card-shaped spans with typed
+    placeholders and emit per-doc audit counts (how many of each kind
+    were hit — the number a data-governance report aggregates).
+
+    Scale shape: a chain of regexp_replace/regexp_count expressions —
+    per-row map work in whole-stage codegen, zero shuffle, scan-speed
+    at 100 TB. Replacements apply in declaration order (email, then
+    card, then phone — each more specific pattern consumes its span
+    before a looser one can); audit counts are taken per kind on the
+    ORIGINAL text, so an ambiguous span (a bare digit run is both
+    card- and phone-shaped) is visible in BOTH counters even though
+    only the first pattern rewrites it."""
+    d = load_table(spark, sf_dir, "documents", spread=True).where(
+        F.col("text").isNotNull()
+    )
+    redacted = F.col("text")
+    counts = []
+    for kind, pat in _PII_PATTERNS:
+        counts.append(
+            F.regexp_count("text", F.lit(pat)).cast("long").alias(
+                f"n_{kind}"
+            )
+        )
+        redacted = F.regexp_replace(redacted, pat, f"<{kind}>")
+    return d.select("doc_id", redacted.alias("redacted_text"), *counts)
+
+
 PACK_BUDGET = 256
 
 
@@ -418,6 +461,7 @@ QUERIES = {
     "corpus_sample_stratified": corpus_sample_stratified,
     "text_chunks": text_chunks,
     "corpus_pack": corpus_pack,
+    "text_redact": text_redact,
 }
 
 
@@ -562,6 +606,28 @@ SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
          AS n_tokens
 FROM idx
 """
+
+def _redact_oracle() -> str:
+    """Built from the SAME _PII_PATTERNS table as the Spark query so
+    the pattern sets cannot de-sync. DuckDB's RE2 runs perl-style
+    leftmost/greedy like Java's regex for these patterns; 'g' makes
+    regexp_replace global to match Spark's default."""
+    redacted = "text"
+    counts = []
+    for kind, pat in _PII_PATTERNS:
+        redacted = f"regexp_replace({redacted}, '{pat}', '<{kind}>', 'g')"
+        counts.append(
+            f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)"
+            f" AS n_{kind}"
+        )
+    return (
+        f"SELECT doc_id, {redacted} AS redacted_text, "
+        + ", ".join(counts)
+        + " FROM documents WHERE text IS NOT NULL"
+    )
+
+
+ORACLES["text_redact"] = _redact_oracle()
 
 ORACLES["corpus_pack"] = f"""
 WITH t AS (

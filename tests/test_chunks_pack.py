@@ -89,3 +89,45 @@ def test_pack_conserves_tokens_and_bounds_bins(spark, sf_dir):
         assert bad.count() == 0, bad.collect()
     finally:
         packed.unpersist()
+
+
+def test_redact_scrubs_injected_pii(spark):
+    """The corpus fixture is PII-free (counts 0 there is the honest
+    oracle result), so redaction needs a signal-bearing check: inject
+    each pattern kind and assert the span is replaced and counted.
+    Runs the same expressions as the registry query on a local frame."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "contact me at jane.doe+x@example.co.uk for details"),
+        (2, "call +1 (555) 123-4567 tomorrow"),
+        (3, "card 4111111111111111 was used"),
+        (4, "clean text with no identifiers"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    redacted = F.col("text")
+    counts = []
+    for kind, pat in analysis._PII_PATTERNS:
+        counts.append(
+            F.regexp_count("text", F.lit(pat)).cast("long").alias(f"n_{kind}")
+        )
+        redacted = F.regexp_replace(redacted, pat, f"<{kind}>")
+    out = {
+        r.doc_id: r
+        for r in d.select(
+            "doc_id", redacted.alias("redacted_text"), *counts
+        ).collect()
+    }
+    assert out[1].n_email == 1 and "<email>" in out[1].redacted_text
+    assert "jane" not in out[1].redacted_text
+    assert out[2].n_phone == 1 and "<phone>" in out[2].redacted_text
+    assert "4567" not in out[2].redacted_text
+    assert out[3].n_card == 1 and "<card>" in out[3].redacted_text
+    assert "4111" not in out[3].redacted_text
+    # The bare digit run is also phone-shaped: the audit counts it in
+    # both columns, but the card pattern (declared first) owns the
+    # rewrite.
+    assert out[3].n_phone == 1 and "<phone>" not in out[3].redacted_text
+    r4 = out[4]
+    assert (r4.n_email, r4.n_phone, r4.n_card) == (0, 0, 0)
+    assert r4.redacted_text == rows[3][1]

@@ -30,7 +30,7 @@ EXPECTED = {
     "text_stats", "text_lang_id", "text_token_counts", "text_fingerprint",
     "text_tfidf_topk",
     "corpus_curation", "corpus_sample_stratified", "corpus_dedup_keep",
-    "text_chunks", "corpus_pack",
+    "text_chunks", "corpus_pack", "text_redact",
     "dedup_exact", "dedup_incremental", "dedup_incremental_materialized",
     "dedup_minhash_signatures",
     "dedup_minhash_lsh_pairs", "dedup_lsh_groups", "dedup_lsh_components",
