@@ -328,3 +328,59 @@ def test_hash_sampler_partitioning_invariant(spark, sf_dir):
         cat.load_table = orig
         rel.load_table = rel_orig
     assert canonical_rows(base) == canonical_rows(repart)
+
+
+def test_dedup_ingest_stream_equals_batch_form(spark, sf_dir, tmp_path):
+    """Streaming dedup-on-ingest: the new-doc slice arrives as TWO
+    separate files (two micro-batch epochs under availableNow), each
+    banded and joined against the materialized corpus-bands table.
+    Because candidates only pair a new doc with the corpus, the union
+    of per-epoch drop-lists must EXACTLY equal the batch
+    dedup_incremental output, however ingestion is sliced."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from customer_churn_prediction_spark.catalog import load_table
+    from customer_churn_prediction_spark.streaming import ingest
+    from customer_churn_prediction_spark.text import dedup
+    from customer_churn_prediction_spark.operators.assembly import _sf_tag
+
+    # Fresh bands table for this sf_dir.
+    table = f"corpus_bands_{_sf_tag(sf_dir)}"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    shutil.rmtree(
+        warehouse.removeprefix("file:") + f"/{table}", ignore_errors=True
+    )
+
+    new_docs = load_table(spark, sf_dir, "documents").where(
+        (F.col("doc_id") % dedup.INCREMENTAL_MOD)
+        >= dedup.INCREMENTAL_NEW_RESIDUE
+    )
+    stream_dir = str(tmp_path / "arrivals")
+    half = (F.col("doc_id") % 2 == 0)
+    new_docs.where(half).coalesce(1).write.mode("overwrite").parquet(
+        stream_dir
+    )
+    new_docs.where(~half).coalesce(1).write.mode("append").parquet(
+        stream_dir
+    )
+
+    out_dir = str(tmp_path / "droplist")
+    q = ingest.dedup_ingest_stream(
+        spark, sf_dir, stream_dir, out_dir,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(out_dir)
+            .select("doc_id", "dup_of", "jaccard")
+            .collect(),
+        )
+    )
+    want = sorted(map(tuple, dedup.dedup_incremental(spark, sf_dir).collect()))
+    assert got == want and len(got) > 0
