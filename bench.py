@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "multimodal_features",
     "ann_lsh_bucketed",
     "ann_ivf_materialized",
+    "ann_ivf_kmeans",
     "ml_feature_vectors",
 ]
 

@@ -72,12 +72,19 @@ def dedup_ingest_stream(
         )
         docs = corpus_docs.unionByName(batch)
         out = dedup._verified_best_match(docs, cands)
-        # Append is idempotent-enough for availableNow test runs; a
-        # live deployment overwrites a per-epoch partition for
-        # exactly-once (see stream_to_batch_sink's contract note).
-        out.withColumn("epoch_id", F.lit(epoch_id)).write.mode(
-            "append"
-        ).parquet(out_dir)
+        # Exactly-once: each epoch owns its partition directory, so a
+        # replayed epoch (post-crash re-delivery) OVERWRITES its own
+        # output instead of appending a duplicate — the same
+        # idempotence contract the rollup maintenance sink uses
+        # (dynamic mode touches only the partitions present in this
+        # epoch's frame).
+        (
+            out.withColumn("epoch_id", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
+            .parquet(out_dir)
+        )
 
     return (
         stream.writeStream.foreachBatch(epoch)
