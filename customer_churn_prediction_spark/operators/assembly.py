@@ -218,63 +218,44 @@ BUCKET_N = 16
 
 
 def _sf_tag(sf_dir: str) -> str:
-    # Basename + a short hash of the ABSOLUTE path: two datasets whose
-    # directories share a basename (/a/sf0.1 vs /b/sf0.1) must not
-    # collide in the managed-table namespace, or the tableExists()
-    # idempotency check would serve bucketed data from the wrong
-    # dataset (r2 ADVICE).
-    import hashlib
-    import os
-    import re
+    # Compatibility alias — the shared tag lives with the at-rest
+    # machinery in sources/writers.py.
+    from ..sources.writers import sf_tag
 
-    abspath = os.path.abspath(sf_dir)
-    base = re.sub(r"[^0-9A-Za-z]+", "_", abspath.strip("/").rsplit("/", 1)[-1])
-    return f"{base}_{hashlib.md5(abspath.encode()).hexdigest()[:8]}"
+    return sf_tag(sf_dir)
 
 
 def bucketed_ingest(
     spark: SparkSession, sf_dir: str, n_buckets: int = BUCKET_N
 ) -> tuple[DataFrame, DataFrame]:
     """Materialize orders + lineitem as order-key-bucketed managed
-    tables (idempotent per sf_dir): the flagship's one big fact⋈fact
-    shuffle is paid ONCE at ingest, after which every orders⋈lineitem
-    equi-join plans with zero Exchange (bucketed SMJ, pre-sorted by the
-    key at write). This is the at-rest layout a 100 TB deployment would
-    use; at that scale `n_buckets` is sized so each bucket is a few GB
-    (e.g. 4096), not this test default."""
-    import os
-    import shutil
+    tables (idempotent per sf_dir via ``writers.managed_ingest``): the
+    flagship's one big fact⋈fact shuffle is paid ONCE at ingest, after
+    which every orders⋈lineitem equi-join plans with zero Exchange
+    (bucketed SMJ, pre-sorted by the key at write). This is the
+    at-rest layout a 100 TB deployment would use; at that scale
+    `n_buckets` is sized so each bucket is a few GB (e.g. 4096), not
+    this test default."""
+    from ..sources.writers import managed_ingest, sf_tag, write_bucketed
 
-    from ..sources.writers import write_bucketed
-
-    tag = _sf_tag(sf_dir)
-    ot, lt = f"orders_obkt_{tag}", f"lineitem_obkt_{tag}"
-    # Pin table locations under the package's repo checkout: the
-    # default warehouse dir resolves against the DRIVER PROCESS's cwd,
-    # which a grading/ops harness may run anywhere — derived artifacts
-    # must land inside this repo.
-    store = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__)))),
-        "spark-warehouse",
+    tag = sf_tag(sf_dir)
+    orders = managed_ingest(
+        spark,
+        f"orders_obkt_{tag}",
+        lambda path: write_bucketed(
+            load_table(spark, sf_dir, "orders"), "o_orderkey",
+            f"orders_obkt_{tag}", n_buckets, path=path,
+        ),
     )
-    if not (spark.catalog.tableExists(ot) and spark.catalog.tableExists(lt)):
-        # The table directory outlives an in-memory catalog: a fresh
-        # session sees tableExists()==False while the previous
-        # session's files remain. These tables are derived artifacts —
-        # rebuild from scratch.
-        for name in (ot, lt):
-            spark.sql(f"DROP TABLE IF EXISTS {name}")
-            shutil.rmtree(os.path.join(store, name), ignore_errors=True)
-        write_bucketed(
-            load_table(spark, sf_dir, "orders"), "o_orderkey", ot, n_buckets,
-            path=os.path.join(store, ot),
-        )
-        write_bucketed(
-            load_table(spark, sf_dir, "lineitem"), "l_orderkey", lt,
-            n_buckets, path=os.path.join(store, lt),
-        )
-    return spark.table(ot), spark.table(lt)
+    lineitem = managed_ingest(
+        spark,
+        f"lineitem_obkt_{tag}",
+        lambda path: write_bucketed(
+            load_table(spark, sf_dir, "lineitem"), "l_orderkey",
+            f"lineitem_obkt_{tag}", n_buckets, path=path,
+        ),
+    )
+    return orders, lineitem
 
 
 def feature_assembly_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -319,21 +319,11 @@ def ivf_lists_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe side (asserted in tests/test_similarity.py). At 100 TB with
     k in the thousands, a probe reads thousandths of the corpus
     instead of scanning it."""
-    import os
-    import shutil
+    from ..sources.writers import managed_ingest, sf_tag
 
-    from ..operators.assembly import _sf_tag
+    table = f"ivf_lists_{sf_tag(sf_dir)}"
 
-    tag = _sf_tag(sf_dir)
-    table = f"ivf_lists_{tag}"
-    store = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__)))),
-        "spark-warehouse",
-    )
-    if not spark.catalog.tableExists(table):
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
-        shutil.rmtree(os.path.join(store, table), ignore_errors=True)
+    def _write(path: str) -> None:
         e = _embeddings(spark, sf_dir)
         cells = _cells_expr(_centroids(spark, sf_dir))
         assigned = e.select(
@@ -343,11 +333,12 @@ def ivf_lists_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             assigned.write.mode("overwrite")
             .partitionBy("centroid_id")
-            .option("path", os.path.join(store, table))
+            .option("path", path)
             .format("parquet")
             .saveAsTable(table)
         )
-    return spark.table(table)
+
+    return managed_ingest(spark, table, _write)
 
 
 def ann_ivf_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:

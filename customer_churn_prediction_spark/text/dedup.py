@@ -706,22 +706,11 @@ def corpus_bands_ingest(
     batch's bands equi-join straight into this table, with the corpus
     side a scan-only branch (zero Exchange, asserted in
     tests/test_dedup_materialized.py)."""
-    import os
-    import shutil
+    from ..sources.writers import managed_ingest, sf_tag, write_bucketed
 
-    from ..operators.assembly import _sf_tag
-    from ..sources.writers import write_bucketed
+    table = f"corpus_bands_{sf_tag(sf_dir)}"
 
-    tag = _sf_tag(sf_dir)
-    table = f"corpus_bands_{tag}"
-    store = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__)))),
-        "spark-warehouse",
-    )
-    if not spark.catalog.tableExists(table):
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
-        shutil.rmtree(os.path.join(store, table), ignore_errors=True)
+    def _write(path: str) -> None:
         d = load_table(spark, sf_dir, "documents", spread=True)
         corpus = d.where(
             (F.col("doc_id") % INCREMENTAL_MOD) < INCREMENTAL_NEW_RESIDUE
@@ -729,11 +718,9 @@ def corpus_bands_ingest(
         bands = _bands_from(corpus).select(
             "doc_id", _band_key().alias("band_key")
         )
-        write_bucketed(
-            bands, "band_key", table, n_buckets,
-            path=os.path.join(store, table),
-        )
-    return spark.table(table)
+        write_bucketed(bands, "band_key", table, n_buckets, path=path)
+
+    return managed_ingest(spark, table, _write)
 
 
 def _band_key():
