@@ -89,6 +89,7 @@ PRIORITY = [
     "dedup_incremental",
     "dedup_incremental_materialized",
     "ann_ivf_materialized",
+    "embedding_quantize",
     "text_chunks",
     "corpus_pack",
     "text_redact",

@@ -305,6 +305,32 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_topk(_embeddings(spark, sf_dir), _centroids(spark, sf_dir))
 
 
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage form a
+    100 TB ANN deployment actually keeps its vectors in (4× smaller
+    than float32, int8 dot-product kernels): scale = max|v|/127,
+    q_i = round(v_i/scale) ∈ [-127, 127]. Output is COO-shaped
+    (vec_id, dim, q, scale) — one row per component — because flat
+    relational rows are what the driver's canonicalizer and any
+    columnar sink handle exactly (the r3 lesson from the array-output
+    crashes); at rest this lands as an (id → 64×int8 + 1×float)
+    page. Expression-only (aggregate fold for the max, one
+    posexplode): scan-speed, no shuffle. round() is HALF_UP
+    (away-from-zero) in both engines, so q is bit-identical; a zero
+    vector quantizes to all zeros by the CASE guard instead of 0/0."""
+    e = _embeddings(spark, sf_dir)
+    scale = (
+        F.expr("aggregate(v, 0D, (a, x) -> greatest(a, abs(x)))") / 127.0
+    ).alias("scale")
+    staged = e.select("vec_id", scale, F.posexplode("v").alias("dim", "val"))
+    q = (
+        F.when(F.col("scale") == 0, F.lit(0))
+        .otherwise(F.round(F.col("val") / F.col("scale"), 0))
+        .cast("int")
+    )
+    return staged.select("vec_id", "dim", q.alias("q"), "scale")
+
+
 def ivf_lists_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MATERIALIZED inverted lists ``ann_ivf``'s docstring promises:
     every vector assigned to its coarse cell ONCE at ingest and written
@@ -439,6 +465,7 @@ QUERIES = {
     "ann_ivf": ann_ivf,
     "ann_ivf_materialized": ann_ivf_materialized,
     "ann_ivf_kmeans": ann_ivf_kmeans,
+    "embedding_quantize": embedding_quantize,
 }
 
 
@@ -525,6 +552,31 @@ WHERE rank <= {TOP_K}
 # (only the corpus side's physical source differs), so it shares the
 # oracle verbatim.
 ORACLES["ann_ivf_materialized"] = ORACLES["ann_ivf"]
+
+# unnest + generate_subscripts align positionally; posexplode's dim is
+# 0-based, DuckDB's subscripts 1-based — hence pos - 1. DuckDB round()
+# is away-from-zero like Spark's HALF_UP, so q matches bit-for-bit.
+ORACLES["embedding_quantize"] = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM e
+),
+x AS (
+  SELECT vec_id, scale, unnest(v) AS val,
+         generate_subscripts(v, 1) AS pos
+  FROM s
+)
+SELECT vec_id, CAST(pos - 1 AS INTEGER) AS dim,
+       CAST(CASE WHEN scale = 0 THEN 0 ELSE round(val / scale) END
+            AS INTEGER) AS q,
+       scale
+FROM x
+"""
 
 def _cos_sql(av: str, bv: str, an: str, bn: str) -> str:
     return (

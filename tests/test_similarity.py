@@ -96,3 +96,24 @@ def test_ivf_materialized_probe_prunes_partitions(spark, sf_dir):
     assert "dynamicpruning" in plan.lower(), (
         "no dynamic partition pruning on the inverted-list scan:\n" + plan
     )
+
+
+def test_quantize_reconstruction_error_bounded(spark, sf_dir):
+    """Dequantized components must sit within half a quantization step
+    of the original (|q*scale - v| <= scale/2), q within int8 range,
+    and per-vector row count = DIM."""
+    from pyspark.sql import functions as F
+
+    qdf = ann.embedding_quantize(spark, sf_dir)
+    orig = ann._embeddings(spark, sf_dir).select(
+        "vec_id", F.posexplode("v").alias("dim", "val")
+    )
+    j = qdf.join(orig, ["vec_id", "dim"])
+    bad = j.where(
+        (F.abs(F.col("q") * F.col("scale") - F.col("val"))
+         > F.col("scale") / 2 + 1e-12)
+        | (F.abs(F.col("q")) > 127)
+    )
+    assert bad.count() == 0, bad.limit(5).collect()
+    counts = qdf.groupBy("vec_id").count()
+    assert counts.where(F.col("count") != ann.DIM).count() == 0
