@@ -90,6 +90,7 @@ PRIORITY = [
     "dedup_incremental_materialized",
     "ann_ivf_materialized",
     "embedding_quantize",
+    "ann_bruteforce_int8",
     "text_chunks",
     "corpus_pack",
     "text_redact",

@@ -331,6 +331,69 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return staged.select("vec_id", "dim", q.alias("q"), "scale")
 
 
+def _quantized_vectors(e: DataFrame) -> DataFrame:
+    """(vec_id, qv int-array, scale) — the array-form twin of
+    ``embedding_quantize``'s COO output, kept internal for serving."""
+    scale = F.expr("aggregate(v, 0D, (a, x) -> greatest(a, abs(x))) / 127.0")
+    return e.select(
+        "vec_id",
+        scale.alias("scale"),
+        F.expr(
+            "transform(v, x -> if(scale = 0, 0, "
+            "cast(round(x / scale, 0) as int)))"
+        ).alias("qv"),
+    )
+
+
+def ann_bruteforce_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k over the QUANTIZED store — proof the int8 form
+    (``embedding_quantize``) actually serves search, not just shrinks
+    storage. Similarity is the int8 dot product rescaled by the two
+    scales and normalized by the int8 norms (so quantization error
+    shifts scores a little — recall vs the float baseline is asserted
+    in tests — but ranking is fully deterministic: the integer dot is
+    exact in both engines and the float rescale is the same double
+    math). Same plan shape as ``ann_bruteforce_topk``: broadcast query
+    side, per-partition scoring, one top-k window; the scan side at
+    rest would be the int8 page — 4× less IO than float32."""
+    q8 = _quantized_vectors(_embeddings(spark, sf_dir))
+    qn = q8.withColumn(
+        "nrm8",
+        F.sqrt(
+            F.expr(
+                "aggregate(transform(qv, x -> cast(x as double) * x), "
+                "0D, (a, x) -> a + x)"
+            )
+        ),
+    )
+    queries = qn.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("nrm8").alias("q_nrm8"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(qv, q_qv, (x, y) -> cast(x as bigint) * y), "
+        "0L, (a, x) -> a + x)"
+    )
+    pairs = qn.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(dot / (F.col("nrm8") * F.col("q_nrm8")), 6).alias(
+            "cosine_sim"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def ivf_lists_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MATERIALIZED inverted lists ``ann_ivf``'s docstring promises:
     every vector assigned to its coarse cell ONCE at ingest and written
@@ -466,6 +529,7 @@ QUERIES = {
     "ann_ivf_materialized": ann_ivf_materialized,
     "ann_ivf_kmeans": ann_ivf_kmeans,
     "embedding_quantize": embedding_quantize,
+    "ann_bruteforce_int8": ann_bruteforce_int8,
 }
 
 
@@ -576,6 +640,45 @@ SELECT vec_id, CAST(pos - 1 AS INTEGER) AS dim,
             AS INTEGER) AS q,
        scale
 FROM x
+"""
+
+# Integer dot is exact in both engines; the double rescale is the same
+# operation sequence, so scores hash-match at 6dp.
+ORACLES["ann_bruteforce_int8"] = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM e
+),
+q8 AS (
+  SELECT vec_id,
+         list_transform(v, x -> CAST(
+           CASE WHEN scale = 0 THEN 0 ELSE round(x / scale) END
+           AS INTEGER)) AS qv
+  FROM s
+),
+n8 AS (
+  SELECT vec_id, qv,
+         sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * x)))
+           AS nrm8
+  FROM q8
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_sum(list_transform(range(1, len(c.qv) + 1),
+                 i -> CAST(c.qv[i::INT] AS BIGINT) * q.qv[i::INT]))
+               / (c.nrm8 * q.nrm8), 6) AS cosine_sim
+  FROM n8 q JOIN n8 c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id) AS rank
+  FROM pairs)
+WHERE rank <= {TOP_K}
 """
 
 def _cos_sql(av: str, bv: str, an: str, bn: str) -> str:

@@ -117,3 +117,23 @@ def test_quantize_reconstruction_error_bounded(spark, sf_dir):
     assert bad.count() == 0, bad.limit(5).collect()
     counts = qdf.groupBy("vec_id").count()
     assert counts.where(F.col("count") != ann.DIM).count() == 0
+
+
+def test_int8_search_recall_vs_float_baseline(spark, sf_dir):
+    """Quantized search must recover nearly all of the float top-k:
+    int8 error moves near-tie neighbors, nothing else. Also the
+    oracle-shape invariants: k rows per query, sims in [-1, 1]."""
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in ann.ann_bruteforce_topk(spark, sf_dir).collect()
+    }
+    rows = ann.ann_bruteforce_int8(spark, sf_dir).collect()
+    got = {(r.query_id, r.neighbor_id) for r in rows}
+    assert all(-1.0 <= r.cosine_sim <= 1.0 for r in rows)
+    per_q = {}
+    for r in rows:
+        per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+    assert set(per_q) == set(range(ann.N_QUERIES))
+    assert all(c == ann.TOP_K for c in per_q.values())
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.8, f"int8 recall too low: {recall}"
