@@ -15,6 +15,7 @@ from customer_churn_prediction_spark.plans import registry
 # joins only, so whitelisting it silently disabled the guard there.)
 ALLOWED_NESTED_LOOP = {
     "ann_bruteforce_topk",     # 5-query broadcast side, non-equi on ids
+    "ann_bruteforce_int8",     # same plan over the quantized store
     "embedding_neardup_pairs",  # exact all-pairs baseline (LSH replaces)
     "text_tfidf_topk",          # 1-row broadcast scalar (corpus size)
 }
