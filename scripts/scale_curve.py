@@ -34,6 +34,9 @@ DOC_ONLY_QUERIES = [
     "text_tfidf_topk",
     "dedup_incremental",
     "corpus_dedup_keep",
+    "text_chunks",
+    "corpus_pack",
+    "text_redact",
 ]
 
 CURVE_QUERIES = [
@@ -48,6 +51,9 @@ CURVE_QUERIES = [
     "stream_tumbling_counts",     # batch form of the tumbling window
     "dedup_incremental",          # split-scan sigs + pruned gram verify
     "corpus_dedup_keep",          # groups + window + linear join-back
+    "text_chunks",                # zero-shuffle map (posexplode)
+    "corpus_pack",                # one window shuffle per source shard
+    "text_redact",                # zero-shuffle regex rewrite
 ]
 
 
