@@ -384,3 +384,48 @@ def test_dedup_ingest_stream_equals_batch_form(spark, sf_dir, tmp_path):
     )
     want = sorted(map(tuple, dedup.dedup_incremental(spark, sf_dir).collect()))
     assert got == want and len(got) > 0
+
+
+def test_dedup_ingest_epoch_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """The exactly-once contract of the ingest sink: re-delivering an
+    epoch after a crash OVERWRITES its own partition instead of
+    appending duplicates. Replay epoch 0 twice via a fresh run of the
+    availableNow query with the SAME output dir but a NEW checkpoint
+    (forcing full reprocessing) — the drop-list must be unchanged."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from customer_churn_prediction_spark.catalog import load_table
+    from customer_churn_prediction_spark.streaming import ingest
+    from customer_churn_prediction_spark.text import dedup
+    from customer_churn_prediction_spark.operators.assembly import _sf_tag
+
+    table = f"corpus_bands_{_sf_tag(sf_dir)}"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    shutil.rmtree(
+        warehouse.removeprefix("file:") + f"/{table}", ignore_errors=True
+    )
+
+    new_docs = load_table(spark, sf_dir, "documents").where(
+        (F.col("doc_id") % dedup.INCREMENTAL_MOD)
+        >= dedup.INCREMENTAL_NEW_RESIDUE
+    )
+    stream_dir = str(tmp_path / "arrivals")
+    new_docs.coalesce(1).write.mode("overwrite").parquet(stream_dir)
+    out_dir = str(tmp_path / "droplist")
+
+    def run(ckpt):
+        q = ingest.dedup_ingest_stream(
+            spark, sf_dir, stream_dir, out_dir,
+            checkpoint=str(tmp_path / ckpt),
+            query_name=f"dedup_ingest_{ckpt}",
+        )
+        q.awaitTermination(120)
+
+    run("ckpt1")
+    first = sorted(map(tuple, spark.read.parquet(out_dir).collect()))
+    run("ckpt2")  # fresh checkpoint => epoch 0 fully re-delivered
+    second = sorted(map(tuple, spark.read.parquet(out_dir).collect()))
+    assert first == second and len(first) > 0
