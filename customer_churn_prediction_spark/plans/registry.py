@@ -88,6 +88,7 @@ PRIORITY = [
     "dedup_lsh_components",
     "dedup_incremental",
     "dedup_incremental_materialized",
+    "dedup_cross_modal",
     "ann_ivf_materialized",
     "embedding_quantize",
     "ann_bruteforce_int8",

@@ -777,6 +777,70 @@ def dedup_incremental_materialized(
     return _verified_best_match(d, cands)
 
 
+def dedup_cross_modal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal near-dup detection — the union a modern pipeline
+    actually runs: word-gram similarity misses paraphrases and
+    translations that embedding cosine catches, and embeddings miss
+    boilerplate-with-token-edits that exact grams nail. One row per
+    pair flagged by EITHER detector, with provenance (by_text /
+    by_embedding) and both scores, so downstream keep-policies can
+    weigh the evidence.
+
+    Both sides are their bucketed scale forms: the text side is the
+    MinHash-banded verified pipeline (``lsh_verified_pairs``), the
+    embedding side pairs vectors through the random-hyperplane
+    signature equi-join with Hamming-1 multiprobe (same family as
+    ``ann_lsh_bucketed``; a pair can satisfy at most one probe, so no
+    distinct is needed) verified by exact cosine. The merge is a
+    full-outer join on the pair key. At scale N_PLANES grows with
+    corpus size (16 buckets is fixture-sized); every stage stays an
+    equi-join — no all-pairs anywhere."""
+    from ..similarity import ann as _ann
+
+    text_pairs = lsh_verified_pairs(spark, sf_dir)
+    e = _ann._embeddings(spark, sf_dir).withColumn(
+        "sig", _ann._sig_col("v")
+    )
+    a = e.select(
+        F.col("vec_id").alias("doc_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+        F.explode(
+            F.array(
+                F.col("sig"),
+                *[
+                    F.col("sig").bitwiseXOR(F.lit(1 << j))
+                    for j in range(_ann.N_PLANES)
+                ],
+            )
+        ).alias("probe"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("doc_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+        F.col("sig").alias("sigb"),
+    )
+    emb_pairs = (
+        a.join(
+            b,
+            (F.col("probe") == F.col("sigb"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select(
+            "doc_a", "doc_b",
+            _ann._cosine("va", "vb", "na", "nb").alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= _ann.NEARDUP_THRESHOLD)
+    )
+    merged = text_pairs.join(emb_pairs, ["doc_a", "doc_b"], "full_outer")
+    return merged.select(
+        "doc_a", "doc_b", "jaccard", "cosine_sim",
+        F.col("jaccard").isNotNull().cast("int").alias("by_text"),
+        F.col("cosine_sim").isNotNull().cast("int").alias("by_embedding"),
+    )
+
+
 _GROUPS_ORACLE = f"""
 WITH sigs AS ({_SIGS_SQL}),
 bands AS ({_BANDS_SQL}),
@@ -837,6 +901,7 @@ QUERIES = {
     "corpus_dedup_keep": corpus_dedup_keep,
     "dedup_incremental": dedup_incremental,
     "dedup_incremental_materialized": dedup_incremental_materialized,
+    "dedup_cross_modal": dedup_cross_modal,
 }
 
 ORACLES = {
@@ -983,3 +1048,62 @@ WHERE co.co / CAST(sa.n_sh + sb.n_sh - co.co AS DOUBLE) >= {JACCARD_THRESHOLD}
 # (only the corpus side's physical source differs), so it shares the
 # oracle verbatim.
 ORACLES["dedup_incremental_materialized"] = ORACLES["dedup_incremental"]
+
+
+def _cross_modal_oracle() -> str:
+    """Composes the text-verified-pairs oracle with the embedding
+    hyperplane-LSH pairs (signature + probe list from the SAME plane
+    literals as the Spark side, via similarity.ann's SQL builders)."""
+    from ..similarity import ann as _ann
+
+    sig = _ann._sig_sql()
+    cos = _ann._cos_sql("a.v", "b.v", "a.nrm", "b.nrm")
+    probe_list = ", ".join(
+        ["sig"] + [f"xor(sig, {1 << j})" for j in range(_ann.N_PLANES)]
+    )
+    return f"""
+WITH sigs AS ({_SIGS_SQL}),
+bands AS ({_BANDS_SQL}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+grams AS (SELECT doc_id, {_GRAMS_LIST_SQL} AS grams FROM documents),
+text_pairs AS (
+  SELECT doc_a, doc_b,
+         len(list_intersect(ga.grams, gb.grams))
+           / CAST(len(ga.grams) + len(gb.grams)
+                  - len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+           AS jaccard
+  FROM cands c
+  JOIN grams ga ON ga.doc_id = c.doc_a
+  JOIN grams gb ON gb.doc_id = c.doc_b
+  WHERE len(ga.grams) + len(gb.grams) > 0
+    AND len(list_intersect(ga.grams, gb.grams))
+          / CAST(len(ga.grams) + len(gb.grams)
+                 - len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+        >= {JACCARD_THRESHOLD}
+),
+{_ann._E_SQL.strip().lstrip()},
+emb_sigs AS (SELECT vec_id, v, nrm, ({sig}) AS sig FROM n),
+emb_probes AS (
+  SELECT vec_id, v, nrm, unnest([{probe_list}]) AS probe FROM emb_sigs
+),
+emb_pairs AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, {cos} AS cosine_sim
+  FROM emb_probes a JOIN emb_sigs b
+    ON a.probe = b.sig AND a.vec_id < b.vec_id
+  WHERE {cos} >= {_ann.NEARDUP_THRESHOLD}
+)
+SELECT COALESCE(t.doc_a, c.doc_a) AS doc_a,
+       COALESCE(t.doc_b, c.doc_b) AS doc_b,
+       t.jaccard, c.cosine_sim,
+       CAST(t.jaccard IS NOT NULL AS INTEGER) AS by_text,
+       CAST(c.cosine_sim IS NOT NULL AS INTEGER) AS by_embedding
+FROM text_pairs t
+FULL JOIN emb_pairs c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+"""
+
+
+ORACLES["dedup_cross_modal"] = _cross_modal_oracle()
