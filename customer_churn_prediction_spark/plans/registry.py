@@ -51,52 +51,54 @@ def _modules():
 
 
 # Driver-budget rotation (the driver checks ~50 entries per round):
-# round 4 front-loads (a) the 24 entries whose most recent driver row
-# is round 2 — the r3 PRIORITY rotated them out, so their evidence is
+# round 5 front-loads (a) the 32 entries whose most recent driver row
+# is round 3 — the r4 PRIORITY rotated them out, so their evidence is
 # about to go two rounds stale — and (b) the queries changed or added
-# this round (oracle guards, the fixpoint components rewrite, the
-# error-band HLL pairing, the materialized-bands incremental dedup).
+# this round (the int8 zero-norm/lateral-alias fixes, the metric-band
+# oracle pairing for the four ml_* fits, and any new r5 operators).
 # tests/test_registry_rotation.py asserts this list keeps every
 # entry's latest green row at most one round old.
 PRIORITY = [
-    # latest green row is r2 — re-prove before the evidence goes stale
-    "eval_confusion",
-    "asof_join_clicks",
-    "dedup_lsh_verified",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "ann_bruteforce_topk",
-    "ann_ivf",
-    "embedding_neardup_pairs",
-    "text_tfidf_topk",
-    "feature_bucketize",
-    "groupby_count",
-    "avg_by_segment",
-    "grouping_sets_revenue",
-    "pivot_status_priority",
-    "percentile_quantity",
-    "latest_order_per_customer",
-    "purchase_gaps",
-    "running_spend",
-    "approx_distinct_users",
+    # latest green row is r3 — re-prove before the evidence goes stale
+    "set_ops_buyers",
+    "distinct_pairs",
+    "salted_join_revenue",
+    "groupby_sum",
+    "range_join_events",
+    "date_functions",
+    "round_bround",
+    "md5_salted_key",
+    "string_functions",
+    "json_extract_events",
+    "text_sentences",
+    "stream_tumbling_counts",
+    "stream_sliding_counts",
+    "stream_session_windows",
+    "stream_dedup_events",
+    "stream_user_totals",
+    "rollup_daily_from_hourly",
+    "text_stats",
+    "text_lang_id",
+    "text_token_counts",
+    "text_fingerprint",
+    "corpus_curation",
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "dedup_minhash_lsh_pairs",
+    "dedup_lsh_groups",
+    "corpus_dedup_keep",
+    "ann_lsh_bucketed",
+    "ann_ivf_kmeans",
+    "ml_feature_vectors",
+    "multimodal_features",
+    "multimodal_frames",
+    # changed or added this round — need fresh rows
+    "ann_bruteforce_int8",
+    "embedding_quantize",
     "ml_rf_churn",
     "ml_gbt_churn",
     "ml_lr_churn",
     "ml_fm_churn",
-    # changed or added this round — need fresh rows
-    "dedup_lsh_components",
-    "dedup_incremental",
-    "dedup_incremental_materialized",
-    "dedup_cross_modal",
-    "ann_ivf_materialized",
-    "embedding_quantize",
-    "ann_bruteforce_int8",
-    "text_chunks",
-    "corpus_pack",
-    "text_redact",
-    "corpus_sample_stratified",
-    "sampled_orders",
 ]
 
 

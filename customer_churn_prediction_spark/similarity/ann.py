@@ -333,11 +333,23 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _quantized_vectors(e: DataFrame) -> DataFrame:
     """(vec_id, qv int-array, scale) — the array-form twin of
-    ``embedding_quantize``'s COO output, kept internal for serving."""
-    scale = F.expr("aggregate(v, 0D, (a, x) -> greatest(a, abs(x))) / 127.0")
-    return e.select(
+    ``embedding_quantize``'s COO output, kept internal for serving.
+
+    ``scale`` is materialized in its own select stage BEFORE the
+    transform() expression references it, so the lambda sees an
+    ordinary column attribute — not a lateral column alias, whose
+    resolution depends on ``spark.sql.lateralColumnAlias.enabled``
+    and silently changes if the input ever gains a ``scale`` column."""
+    staged = e.select(
         "vec_id",
-        scale.alias("scale"),
+        "v",
+        (
+            F.expr("aggregate(v, 0D, (a, x) -> greatest(a, abs(x)))") / 127.0
+        ).alias("scale"),
+    )
+    return staged.select(
+        "vec_id",
+        "scale",
         F.expr(
             "transform(v, x -> if(scale = 0, 0, "
             "cast(round(x / scale, 0) as int)))"
@@ -355,7 +367,14 @@ def ann_bruteforce_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact in both engines and the float rescale is the same double
     math). Same plan shape as ``ann_bruteforce_topk``: broadcast query
     side, per-partition scoring, one top-k window; the scan side at
-    rest would be the int8 page — 4× less IO than float32."""
+    rest would be the int8 page — 4× less IO than float32.
+
+    Zero-norm guard: an all-zero vector quantizes to all zeros (the
+    CASE guard in ``embedding_quantize``), so nrm8 = 0 and the cosine
+    is undefined — Spark's x/0 → NULL while DuckDB follows IEEE
+    (±inf/NaN), so such rows would break oracle parity. Both engines
+    therefore drop nrm8 = 0 rows from query AND candidate sides —
+    the same row-exclusion contract, not an engine-specific NULL."""
     q8 = _quantized_vectors(_embeddings(spark, sf_dir))
     qn = q8.withColumn(
         "nrm8",
@@ -365,7 +384,7 @@ def ann_bruteforce_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "0D, (a, x) -> a + x)"
             )
         ),
-    )
+    ).where(F.col("nrm8") > 0)
     queries = qn.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("qv").alias("q_qv"),
@@ -667,12 +686,15 @@ n8 AS (
            AS nrm8
   FROM q8
 ),
+nz AS (
+  SELECT * FROM n8 WHERE nrm8 > 0
+),
 pairs AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          round(list_sum(list_transform(range(1, len(c.qv) + 1),
                  i -> CAST(c.qv[i::INT] AS BIGINT) * q.qv[i::INT]))
                / (c.nrm8 * q.nrm8), 6) AS cosine_sim
-  FROM n8 q JOIN n8 c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+  FROM nz q JOIN nz c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
 )
 SELECT query_id, neighbor_id, cosine_sim, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id

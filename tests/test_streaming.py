@@ -372,7 +372,8 @@ def test_dedup_ingest_stream_equals_batch_form(spark, sf_dir, tmp_path):
         spark, sf_dir, stream_dir, out_dir,
         checkpoint=str(tmp_path / "ckpt"),
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "availableNow drain timed out"
+    assert q.exception() is None
 
     got = sorted(
         map(
@@ -422,7 +423,8 @@ def test_dedup_ingest_epoch_replay_is_idempotent(spark, sf_dir, tmp_path):
             checkpoint=str(tmp_path / ckpt),
             query_name=f"dedup_ingest_{ckpt}",
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "availableNow drain timed out"
+        assert q.exception() is None
 
     run("ckpt1")
     first = sorted(map(tuple, spark.read.parquet(out_dir).collect()))
