@@ -3,10 +3,16 @@
 Runs the engine's headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
 line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: median_sec}, "spread": {name: [min_sec, max_sec]},
-"iters": N, "sf": ...}. Per-query numbers are medians over
-$SPARK_GRAFT_BENCH_ITERS (default 5) interleaved passes; "value" is
-the sum of medians.
+"queries": {name: median_sec}, "iters": N, "sf": ...}. Per-query
+numbers are medians over $SPARK_GRAFT_BENCH_ITERS (default 5)
+interleaved passes; "value" is the sum of medians.
+
+The stdout line is deliberately COMPACT (no per-query spread): the
+driver records a fixed-size tail of stdout, and BENCH_r04's 36-query
+line with embedded spreads outgrew it ("parsed": null — the r4
+headline total was lost). The full result including "spread"
+{name: [min_sec, max_sec]} is ALSO written to bench_out.json next to
+this script, so the detail survives regardless of the tail buffer.
 
 Query set: the flagship feature assembly in both physical forms (the
 join chain vs the two-aggregate rewrite), labeling, the heavy text /
@@ -63,6 +69,16 @@ BENCH_QUERIES = [
     "ann_ivf_materialized",
     "ann_ivf_kmeans",
     "ml_feature_vectors",
+    # r4 additions, first benched in r5 (VERDICT r4 item 3). The
+    # float/int8 brute-force pair is deliberately adjacent: same plan
+    # shape, different element width — their delta is the measured
+    # cost/benefit of serving from the quantized store.
+    "ann_bruteforce_topk",
+    "ann_bruteforce_int8",
+    "embedding_quantize",
+    "text_redact",
+    "dedup_simhash",
+    "dedup_cross_modal",
 ]
 
 
@@ -124,19 +140,22 @@ def main() -> None:
         for name, v in samples.items()
     }
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "spread": spread,
-                "iters": N_ITERS,
-                "sf": float(sf),
-            }
-        )
+    result = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "iters": N_ITERS,
+        "sf": float(sf),
+    }
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_out.json"
     )
+    with open(out_path, "w") as fh:
+        json.dump({**result, "spread": spread}, fh, indent=1)
+    # ONE compact line on stdout, last, so a fixed-size tail capture
+    # always contains the complete parseable object.
+    print(json.dumps(result, separators=(",", ":")))
 
 
 if __name__ == "__main__":
