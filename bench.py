@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     # cost/benefit of serving from the quantized store.
     "ann_bruteforce_topk",
     "ann_bruteforce_int8",
+    "ann_bruteforce_int8_stored",
     "embedding_quantize",
     "text_redact",
     "dedup_simhash",
@@ -115,6 +116,7 @@ def main() -> None:
     force(queries["feature_assembly_bucketed"](spark, SF_DIR))
     force(queries["dedup_incremental_materialized"](spark, SF_DIR))
     force(queries["ann_ivf_materialized"](spark, SF_DIR))
+    force(queries["ann_bruteforce_int8_stored"](spark, SF_DIR))
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # Median of N interleaved passes (r2 VERDICT: single-shot timings

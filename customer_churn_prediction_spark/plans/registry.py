@@ -94,6 +94,7 @@ PRIORITY = [
     "multimodal_frames",
     # changed or added this round — need fresh rows
     "ann_bruteforce_int8",
+    "ann_bruteforce_int8_stored",
     "embedding_quantize",
     "ml_rf_churn",
     "ml_gbt_churn",

@@ -16,6 +16,7 @@ from customer_churn_prediction_spark.plans import registry
 ALLOWED_NESTED_LOOP = {
     "ann_bruteforce_topk",     # 5-query broadcast side, non-equi on ids
     "ann_bruteforce_int8",     # same plan over the quantized store
+    "ann_bruteforce_int8_stored",  # same plan, at-rest int8 scan side
     "embedding_neardup_pairs",  # exact all-pairs baseline (LSH replaces)
     "text_tfidf_topk",          # 1-row broadcast scalar (corpus size)
 }

@@ -40,6 +40,7 @@ EXPECTED = {
     "ann_bruteforce_topk", "embedding_neardup_pairs", "ann_lsh_bucketed",
     "ann_ivf", "ann_ivf_materialized", "ann_ivf_kmeans",
     "embedding_quantize", "ann_bruteforce_int8",
+    "ann_bruteforce_int8_stored",
     # ML
     "feature_bucketize", "ml_rf_churn", "ml_gbt_churn", "ml_lr_churn",
     "ml_fm_churn", "ml_feature_vectors",
