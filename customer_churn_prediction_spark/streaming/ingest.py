@@ -38,11 +38,20 @@ def dedup_ingest_stream(
     out_dir: str,
     checkpoint: str,
     query_name: str = "dedup_ingest",
+    max_files_per_trigger: int | None = None,
+    fault=None,
 ):
     """Start the dedup-on-ingest query (availableNow trigger: drain
     everything currently in ``stream_dir`` then stop — the batch-ish
     trigger a scheduled re-crawl job uses; a live deployment would use
-    a processing-time trigger instead, same plan)."""
+    a processing-time trigger instead, same plan).
+
+    ``max_files_per_trigger`` bounds each epoch to N arrival files
+    (epoch-slicing control; availableNow respects it). ``fault`` is a
+    crash-injection hook for recovery tests: called with the epoch_id
+    AFTER the sink write and BEFORE Spark commits the offset — the
+    worst-case crash window, where a non-idempotent sink would
+    duplicate the epoch on restart."""
     from ..text import dedup
 
     corpus_bands = dedup.corpus_bands_ingest(spark, sf_dir)
@@ -54,7 +63,10 @@ def dedup_ingest_stream(
         )
         .select("doc_id", "text")
     )
-    stream = spark.readStream.schema(DOCS_SCHEMA).parquet(stream_dir)
+    reader = spark.readStream.schema(DOCS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(stream_dir)
 
     def epoch(batch_df: DataFrame, epoch_id: int) -> None:
         batch = batch_df.select("doc_id", "text")
@@ -85,6 +97,8 @@ def dedup_ingest_stream(
             .partitionBy("epoch_id")
             .parquet(out_dir)
         )
+        if fault is not None:
+            fault(epoch_id)
 
     return (
         stream.writeStream.foreachBatch(epoch)

@@ -116,7 +116,8 @@ def streaming_hourly_rollup(events_stream: DataFrame) -> DataFrame:
 
 
 def maintain_rollup(events_stream: DataFrame, path: str, query_name: str
-                    = "rollup_maintenance", checkpoint: str | None = None):
+                    = "rollup_maintenance", checkpoint: str | None = None,
+                    fault=None):
     """Continuously-maintained rollup: each epoch lands the current
     aggregate state into the date-partitioned layout via foreachBatch,
     and rewriting partitions from current state is idempotent on
@@ -134,7 +135,12 @@ def maintain_rollup(events_stream: DataFrame, path: str, query_name: str
     with a watermark-bounded window (see ``stream_tumbling_counts``)
     and fold closed days into the at-rest rollup with the batch
     ``daily_rollup_direct``, keeping complete-mode state to the open
-    tail only."""
+    tail only.
+
+    ``fault`` is the same crash-injection hook as
+    ``ingest.dedup_ingest_stream``'s: called with the epoch_id after
+    the partition overwrite and before the offset commit, so recovery
+    tests can force a replay of a fully-landed epoch."""
     from .windows import stream_to_batch_sink
 
     def _land(batch_df: DataFrame, epoch_id: int) -> None:
@@ -144,6 +150,8 @@ def maintain_rollup(events_stream: DataFrame, path: str, query_name: str
             .partitionBy("dt")
             .parquet(path)
         )
+        if fault is not None:
+            fault(epoch_id)
 
     return stream_to_batch_sink(
         streaming_hourly_rollup(events_stream),

@@ -39,6 +39,24 @@ DOC_ONLY_QUERIES = [
     "text_redact",
 ]
 
+# ANN-tier 4th decade: scripts/make_embeddings_x10.py replicates the
+# embeddings 10x with per-replica signed dimension permutations
+# (orthogonal → within-replica cosine structure exact, cross-replica
+# similarity chance-level), so per-query output is constant while the
+# candidate corpus grows 10x. Only embeddings-table queries run here.
+X10E_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".scale", "sf1emb",
+)
+EMB_ONLY_QUERIES = [
+    "ann_lsh_bucketed",
+    "ann_ivf",
+    "ann_ivf_materialized",
+    "ann_bruteforce_topk",
+    "ann_bruteforce_int8",
+    "ann_bruteforce_int8_stored",
+]
+
 CURVE_QUERIES = [
     "feature_assembly_onepass",   # 2 hash aggs + broadcast dims
     "feature_assembly",           # reference-faithful 12-join chain
@@ -97,6 +115,23 @@ def main() -> None:
                 samples.append(time.perf_counter() - t0)
             results[name]["x10docs"] = round(statistics.median(samples), 3)
 
+    have_x10e = os.path.isdir(X10E_DIR)
+    emb_results: dict[str, dict[str, float]] = {}
+    if have_x10e:
+        for name in EMB_ONLY_QUERIES:
+            emb_results[name] = {}
+            for tag, d in (("sf0.1", "/root/testdata/sf0.1"),
+                           ("x10emb", X10E_DIR)):
+                force(queries[name](spark, d))  # warm (incl. ingests)
+                samples = []
+                for _ in range(n_iters):
+                    t0 = time.perf_counter()
+                    force(queries[name](spark, d))
+                    samples.append(time.perf_counter() - t0)
+                emb_results[name][tag] = round(
+                    statistics.median(samples), 3
+                )
+
     print(f"| query | {' | '.join(SFS)} | x(0.01→0.1) |")
     print("|---|" + "---|" * (len(SFS) + 1))
     for name in CURVE_QUERIES:
@@ -116,6 +151,20 @@ def main() -> None:
             )
             print(
                 f"| {name} | {r['sf0.1']:.3f} | {r['x10docs']:.3f} "
+                f"| {growth:.2f}x |"
+            )
+
+    if have_x10e:
+        print()
+        print("| query | sf0.1 | x10 emb | x(0.1→x10) |")
+        print("|---|---|---|---|")
+        for name in EMB_ONLY_QUERIES:
+            r = emb_results[name]
+            growth = (
+                r["x10emb"] / r["sf0.1"] if r["sf0.1"] else float("nan")
+            )
+            print(
+                f"| {name} | {r['sf0.1']:.3f} | {r['x10emb']:.3f} "
                 f"| {growth:.2f}x |"
             )
 
