@@ -80,6 +80,11 @@ BENCH_QUERIES = [
     "text_redact",
     "dedup_simhash",
     "dedup_cross_modal",
+    # r5 additions
+    "dedup_semantic",
+    "text_repetition",
+    "corpus_mix",
+    "contamination_check",
 ]
 
 

@@ -100,6 +100,10 @@ PRIORITY = [
     "ml_gbt_churn",
     "ml_lr_churn",
     "ml_fm_churn",
+    "dedup_semantic",
+    "text_repetition",
+    "corpus_mix",
+    "contamination_check",
 ]
 
 

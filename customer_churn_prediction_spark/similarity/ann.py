@@ -585,6 +585,66 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_topk(_embeddings(spark, sf_dir), cents)
 
 
+SEMDEDUP_THRESHOLD = 0.4
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) near-duplicate removal — the
+    SemDeDup recipe (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embeddings coarsely, then look for near-duplicates ONLY within a
+    cluster, dropping every document that has an earlier (lower-id)
+    within-cluster neighbor above the cosine threshold. This completes
+    the dedup family: exact (bytes), MinHash/SimHash/n-gram (lexical),
+    cross-modal, and now semantic (two docs saying the same thing in
+    different words land in the same embedding neighborhood even when
+    they share no shingles).
+
+    Spark shape: cluster assignment is the same literal-broadcast pure
+    map as ``ann_ivf`` (no shuffle), and the candidate search is a
+    self-EQUI-join on ``centroid_id`` — pairwise cost is quadratic
+    only within a cell, which is the knob production tunes (k grows
+    with corpus size so cells stay bounded; at 100 TB the assigned
+    table is the materialized ``ivf_lists_ingest`` layout and each
+    cell's pairs co-locate in one partition). No all-pairs anywhere.
+
+    Output is the drop-list: (vec_id, dup_of, cosine_sim) where
+    ``dup_of`` is the best-matching earlier neighbor (max cosine, tie
+    → min id) — the greedy keep-first-seen variant, deterministic by
+    construction."""
+    e = _embeddings(spark, sf_dir)
+    cells = _cells_expr(_centroids(spark, sf_dir))
+    assigned = e.select(
+        "vec_id", "v", "nrm",
+        (-F.element_at(cells, 1)["nid"]).alias("centroid_id"),
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("a_id"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"), "centroid_id",
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("b_id"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"), "centroid_id",
+    )
+    scored = (
+        a.join(b, "centroid_id")
+        .where(F.col("b_id") < F.col("a_id"))
+        .select(
+            F.col("a_id").alias("vec_id"),
+            F.col("b_id").alias("dup_of"),
+            _cosine("va", "vb", "na", "nb").alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= SEMDEDUP_THRESHOLD)
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("dup_of")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "dup_of", "cosine_sim")
+    )
+
+
 _E_SQL = """
 e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -607,6 +667,7 @@ QUERIES = {
     "embedding_quantize": embedding_quantize,
     "ann_bruteforce_int8": ann_bruteforce_int8,
     "ann_bruteforce_int8_stored": ann_bruteforce_int8_stored,
+    "dedup_semantic": semantic_dedup,
 }
 
 
@@ -765,6 +826,41 @@ WHERE rank <= {TOP_K}
 # (only the scan side's physical source differs), so it shares the
 # oracle verbatim — the ann_ivf_materialized precedent.
 ORACLES["ann_bruteforce_int8_stored"] = ORACLES["ann_bruteforce_int8"]
+
+# Same assignment CTEs as the ann_ivf oracle, then the within-cell
+# pairwise threshold + best-earlier-match window.
+ORACLES["dedup_semantic"] = f"""
+WITH {_E_SQL},
+cents AS (
+  SELECT vec_id AS centroid_id, v AS cv, nrm AS cn
+  FROM n WHERE vec_id >= 100 AND vec_id < {100 + N_CENTROIDS}
+),
+asg AS (
+  SELECT vec_id, v, nrm, centroid_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY c_sim DESC, centroid_id) AS c_rank
+  FROM (
+    SELECT n.vec_id, n.v, n.nrm, c.centroid_id,
+           round(list_sum(list_transform(range(1, len(n.v) + 1),
+                          i -> n.v[i::INT] * c.cv[i::INT])) / (n.nrm * c.cn), 6)
+             AS c_sim
+    FROM n CROSS JOIN cents c)
+),
+assigned AS (SELECT vec_id, v, nrm, centroid_id FROM asg WHERE c_rank = 1),
+hits AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS dup_of,
+         round(list_sum(list_transform(range(1, len(a.v) + 1),
+                        i -> a.v[i::INT] * b.v[i::INT])) / (a.nrm * b.nrm), 6)
+           AS cosine_sim
+  FROM assigned a JOIN assigned b
+    ON a.centroid_id = b.centroid_id AND b.vec_id < a.vec_id
+)
+SELECT vec_id, dup_of, cosine_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cosine_sim DESC, dup_of) AS rn
+  FROM hits WHERE cosine_sim >= {SEMDEDUP_THRESHOLD})
+WHERE rn = 1
+"""
 
 def _cos_sql(av: str, bv: str, an: str, bn: str) -> str:
     return (

@@ -383,6 +383,154 @@ def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", redacted.alias("redacted_text"), *counts)
 
 
+# Target language mix for corpus_mix — the per-domain weights a
+# pretraining recipe pins (shares sum to 1; a lang absent from the map
+# gets share 0 → dropped).
+MIX_TARGETS = (
+    ("en", 0.7), ("de", 0.1), ("fr", 0.1), ("es", 0.05), ("zh", 0.05),
+)
+
+
+def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted domain mixing — resample the corpus toward a TARGET
+    distribution (here per-lang; per-source works identically): the
+    mixing step every pretraining recipe runs after curation, where
+    each domain's keep-rate is derived FROM the data,
+    rate_d = min(1, target_share_d · N / n_d), instead of being a
+    fixed constant like the quality-tier sampler's.
+
+    Spark shape: pass 1 is a column-pruned scan aggregating per-domain
+    counts (a handful of rows), the global N is a window sum over that
+    tiny frame, and the derived rates broadcast-join back onto the
+    scan for the deterministic md5-threshold count — the same
+    engine-independent sampler as ``corpus_sample_stratified``, but
+    with the threshold COMPUTED in-plan (integer compare against
+    round(rate·16⁴)) rather than precomputed in Python, since the rate
+    depends on the data. Two passes over the table, both pure
+    map+aggregate; no full-data shuffle.
+
+    A domain whose target exceeds its share caps at rate 1 (keep all):
+    a keep/drop sampler cannot upsample — the repetition factor for
+    true upsampling is ``target_share · N / n`` read off the ``rate``
+    column where it saturates."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents", spread=True).select(
+        "lang",
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+        ).cast("long").alias("hk"),
+    )
+    target = F.lit(0.0)
+    for lang, share in MIX_TARGETS:
+        target = F.when(F.col("lang") == lang, F.lit(share)).otherwise(
+            target
+        )
+    stats = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total")
+    )
+    stats = stats.withColumn(
+        "corpus_n", F.sum("n_total").over(Window.partitionBy())
+    )
+    rates = stats.select(
+        "lang",
+        "n_total",
+        target.alias("target_share"),
+        F.least(
+            F.lit(1.0),
+            F.round(target * F.col("corpus_n") / F.col("n_total"), 6),
+        ).alias("rate"),
+    ).withColumn("thr", F.round(F.col("rate") * 65536, 0).cast("long"))
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .groupBy("lang")
+        .agg(
+            F.first("n_total").alias("n_total"),
+            F.first("target_share").alias("target_share"),
+            F.first("rate").alias("rate"),
+            F.sum(
+                F.when(F.col("hk") < F.col("thr"), 1).otherwise(0)
+            ).cast("long").alias("n_kept"),
+        )
+    )
+
+
+REPETITION_DUP_TOKEN_MAX = 0.70
+REPETITION_TOP_TOKEN_MAX = 0.30
+REPETITION_TOP_BIGRAM_MAX = 0.18
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filter — the Gopher rules (Rae et al.
+    2021 §A1.1): boilerplate, keyword-stuffed spam and degenerate
+    generations betray themselves through repeated tokens/n-grams.
+    Per doc: duplicate-token fraction (1 − distinct/total), most-
+    frequent-token fraction, most-frequent-bigram fraction, and the
+    combined ``repetitive`` verdict against the published thresholds
+    (0.70 / 0.30 / 0.18).
+
+    Scale shape: EXPRESSION-ONLY — the counts fold over the token
+    array in whole-stage codegen (array_distinct + filter-count per
+    distinct token), zero shuffle, scan-speed at 100 TB. Per-row cost
+    is O(distinct × len) — bounded by document length, embarrassingly
+    parallel; a corpus of pathological multi-MB docs would swap this
+    for the explode + groupBy form (two shuffles, same answer).
+
+    Empty docs: token/bigram ratios go NULL through try_divide (the
+    same ANSI-safe route as ``_quality``) and the verdict coalesces to
+    false — an empty doc is not repetitive; the ORACLE mirrors with
+    NULLIF."""
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    staged = d.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    staged = staged.select(
+        "doc_id",
+        "toks",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.expr("size(array_distinct(toks))").cast("long").alias(
+            "n_distinct"
+        ),
+        F.expr(
+            "CASE WHEN size(toks) >= 2 THEN "
+            "transform(sequence(1, size(toks) - 1), "
+            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+            " ELSE CAST(array() AS array<string>) END"
+        ).alias("bigrams"),
+    )
+    counted = staged.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.size("bigrams").cast("long").alias("n_bigrams"),
+        F.expr(
+            "array_max(transform(array_distinct(toks), "
+            "t -> size(filter(toks, x -> x = t))))"
+        ).cast("long").alias("top_token_cnt"),
+        F.expr(
+            "array_max(transform(array_distinct(bigrams), "
+            "g -> size(filter(bigrams, x -> x = g))))"
+        ).cast("long").alias("top_bigram_cnt"),
+    )
+    dup_frac = F.round(
+        F.try_divide(F.col("n_tokens") - F.col("n_distinct"), F.col("n_tokens")), 6
+    )
+    top_tok = F.round(F.try_divide("top_token_cnt", "n_tokens"), 6)
+    top_big = F.round(F.try_divide("top_bigram_cnt", "n_bigrams"), 6)
+    ratios = counted.select(
+        "doc_id",
+        "n_tokens",
+        dup_frac.alias("dup_token_frac"),
+        top_tok.alias("top_token_frac"),
+        top_big.alias("top_bigram_frac"),
+    )
+    verdict = F.coalesce(
+        (F.col("dup_token_frac") > REPETITION_DUP_TOKEN_MAX)
+        | (F.col("top_token_frac") > REPETITION_TOP_TOKEN_MAX)
+        | (F.col("top_bigram_frac") > REPETITION_TOP_BIGRAM_MAX),
+        F.lit(False),
+    )
+    return ratios.withColumn("repetitive", verdict)
+
+
 PACK_BUDGET = 256
 
 
@@ -462,6 +610,8 @@ QUERIES = {
     "text_chunks": text_chunks,
     "corpus_pack": corpus_pack,
     "text_redact": text_redact,
+    "text_repetition": text_repetition,
+    "corpus_mix": corpus_mix,
 }
 
 
@@ -647,4 +797,88 @@ SELECT source,
        CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
        min(doc_id) AS first_doc
 FROM c GROUP BY 1, 2
+"""
+
+# DuckDB twin of text_repetition: same tokenization, same fold shape
+# (list_distinct + per-distinct filter-count), NULLIF where Spark uses
+# try_divide. duckdb's range(1, n) is empty for n <= 1, so the Spark
+# CASE guard (sequence() would descend) needs no SQL counterpart —
+# both sides yield zero bigrams for single-token docs.
+ORACLES["text_repetition"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+),
+b AS (
+  SELECT doc_id, toks,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+         list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
+  FROM t
+),
+c AS (
+  SELECT doc_id, n_tokens, n_distinct,
+         CAST(len(bigrams) AS BIGINT) AS n_bigrams,
+         CAST(list_max(list_transform(list_distinct(toks),
+              tk -> len(list_filter(toks, x -> x = tk)))) AS BIGINT)
+           AS top_token_cnt,
+         CAST(list_max(list_transform(list_distinct(bigrams),
+              g -> len(list_filter(bigrams, x -> x = g)))) AS BIGINT)
+           AS top_bigram_cnt
+  FROM b
+),
+r AS (
+  SELECT doc_id, n_tokens,
+    round((n_tokens - n_distinct)
+          / CAST(NULLIF(n_tokens, 0) AS DOUBLE), 6) AS dup_token_frac,
+    round(top_token_cnt
+          / CAST(NULLIF(n_tokens, 0) AS DOUBLE), 6) AS top_token_frac,
+    round(top_bigram_cnt
+          / CAST(NULLIF(n_bigrams, 0) AS DOUBLE), 6) AS top_bigram_frac
+  FROM c
+)
+SELECT doc_id, n_tokens, dup_token_frac, top_token_frac,
+       top_bigram_frac,
+       COALESCE(dup_token_frac > {REPETITION_DUP_TOKEN_MAX}
+                OR top_token_frac > {REPETITION_TOP_TOKEN_MAX}
+                OR top_bigram_frac > {REPETITION_TOP_BIGRAM_MAX},
+                false) AS repetitive
+FROM r
+"""
+
+# DuckDB twin of corpus_mix. Decimal literals CAST to DOUBLE so the
+# rate math is the same IEEE sequence as Spark's; the hex md5 prefix
+# parses via the '0x' string cast (= Spark's conv(hk, 16, 10)).
+_MIX_CASE = "CASE lang " + " ".join(
+    f"WHEN '{lang}' THEN CAST({share} AS DOUBLE)"
+    for lang, share in MIX_TARGETS
+) + " ELSE CAST(0.0 AS DOUBLE) END"
+
+ORACLES["corpus_mix"] = f"""
+WITH d AS (
+  SELECT lang,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+              AS BIGINT) AS hk
+  FROM documents
+),
+stats AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_total FROM d GROUP BY lang
+),
+rates AS (
+  SELECT lang, n_total,
+         {_MIX_CASE} AS target_share,
+         least(1.0, round({_MIX_CASE}
+               * (SELECT CAST(sum(n_total) AS DOUBLE) FROM stats)
+               / n_total, 6)) AS rate
+  FROM stats
+),
+r2 AS (
+  SELECT *, CAST(round(rate * 65536) AS BIGINT) AS thr FROM rates
+)
+SELECT d.lang, r.n_total, r.target_share, r.rate,
+       CAST(count(*) FILTER (WHERE d.hk < r.thr) AS BIGINT) AS n_kept
+FROM d JOIN r2 r USING (lang)
+GROUP BY d.lang, r.n_total, r.target_share, r.rate
 """

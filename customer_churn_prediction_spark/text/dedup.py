@@ -888,6 +888,68 @@ def corpus_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.join(reps, "doc_id")
 
 
+CONTAM_BENCH_MOD = 10
+CONTAM_BENCH_RESIDUE = 7
+CONTAM_OVERLAP_MIN = 0.3
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection — the decontamination pass a
+    training corpus runs before release: flag every training document
+    whose word-3-gram overlap with an EVAL-SET document exceeds a
+    threshold (the n-gram membership test used since GPT-2/GPT-3-era
+    dataset reports). Here the eval set is the deterministic
+    ``doc_id % 10 == 7`` slice standing in for a held-out benchmark;
+    a real deployment swaps in the benchmark's own text and keeps the
+    plan unchanged.
+
+    Spark shape: the eval side is SMALL by nature (benchmarks are KBs,
+    corpora are TBs), so its exploded gram set is broadcast — the
+    check is one map-side hash join over the corpus gram stream plus
+    one aggregation; the corpus is scanned once, never shuffled on
+    text. Overlap is counted against the BENCHMARK's gram count
+    (n_shared / n_bench): the question is how much of the eval doc
+    leaked, not how big the training doc is. Same struct-carried-size
+    trick as ``ngram_jaccard_pairs`` so the bench gram pipeline
+    evaluates once."""
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    grams = d.select(
+        "doc_id", F.expr(_word_shingles_spark()).alias("grams")
+    )
+    is_bench = (
+        F.col("doc_id") % CONTAM_BENCH_MOD == CONTAM_BENCH_RESIDUE
+    )
+    bench = (
+        grams.where(is_bench)
+        .select(
+            F.col("doc_id").alias("bench_id"),
+            F.explode(
+                F.expr(
+                    "transform(grams, x -> "
+                    "named_struct('shingle', x, 'n_bench', size(grams)))"
+                )
+            ).alias("g"),
+        )
+        .select("bench_id", "g.shingle", "g.n_bench")
+    )
+    corpus = grams.where(~is_bench).select(
+        "doc_id", F.explode("grams").alias("shingle")
+    )
+    co = (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id", "bench_id", "n_bench")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    frac = F.round(F.col("n_shared") / F.col("n_bench"), 6)
+    return (
+        co.select(
+            "doc_id", "bench_id", "n_shared",
+            frac.alias("overlap_frac"),
+        )
+        .where(F.col("overlap_frac") >= CONTAM_OVERLAP_MIN)
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_signatures": minhash_signatures,
@@ -902,6 +964,7 @@ QUERIES = {
     "dedup_incremental": dedup_incremental,
     "dedup_incremental_materialized": dedup_incremental_materialized,
     "dedup_cross_modal": dedup_cross_modal,
+    "contamination_check": contamination_check,
 }
 
 ORACLES = {
@@ -1107,3 +1170,34 @@ FULL JOIN emb_pairs c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
 
 
 ORACLES["dedup_cross_modal"] = _cross_modal_oracle()
+
+# DuckDB twin of contamination_check: same gram hashes, overlap
+# counted against the benchmark doc's distinct-gram count. Zero-gram
+# bench docs (< 3 tokens) produce no exploded rows on either side, so
+# the n_bench divisor is never 0.
+ORACLES["contamination_check"] = f"""
+WITH grams AS (
+  SELECT doc_id, {_GRAMS_LIST_SQL} AS grams FROM documents
+),
+bex AS (
+  SELECT doc_id AS bench_id, CAST(len(grams) AS BIGINT) AS n_bench,
+         unnest(grams) AS shingle
+  FROM grams
+  WHERE doc_id % {CONTAM_BENCH_MOD} = {CONTAM_BENCH_RESIDUE}
+),
+cex AS (
+  SELECT doc_id, unnest(grams) AS shingle
+  FROM grams
+  WHERE doc_id % {CONTAM_BENCH_MOD} <> {CONTAM_BENCH_RESIDUE}
+),
+co AS (
+  SELECT c.doc_id, b.bench_id, b.n_bench,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM cex c JOIN bex b USING (shingle)
+  GROUP BY 1, 2, 3
+)
+SELECT doc_id, bench_id, n_shared,
+       round(n_shared / CAST(n_bench AS DOUBLE), 6) AS overlap_frac
+FROM co
+WHERE round(n_shared / CAST(n_bench AS DOUBLE), 6) >= {CONTAM_OVERLAP_MIN}
+"""
