@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "text_repetition",
     "corpus_mix",
     "contamination_check",
+    "text_logprob",
 ]
 
 

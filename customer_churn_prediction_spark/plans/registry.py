@@ -104,6 +104,7 @@ PRIORITY = [
     "text_repetition",
     "corpus_mix",
     "contamination_check",
+    "text_logprob",
 ]
 
 

@@ -383,6 +383,54 @@ def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", redacted.alias("redacted_text"), *counts)
 
 
+def text_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring — the CCNet/perplexity-bucket
+    quality signal (Wenzek et al. 2020): score each document by the
+    mean negative log-probability of its tokens under a unigram model
+    fit on the corpus itself (add-one smoothed). Gibberish and
+    boilerplate-heavy docs score high (their tokens are rare or the
+    doc is dominated by atypically-distributed tokens); the score is
+    the usual axis for keep/thin/drop bucketing next to
+    ``text_repetition`` and the quality score.
+
+    Spark shape: pass 1 builds the vocabulary — explode tokens,
+    ONE (token) hash aggregate (map-side partial combine carries most
+    of the weight); the per-doc pass joins the token stream to the
+    vocab on the token key and averages per doc — a shuffle join whose
+    build side is the vocab table (dictionary-sized, not corpus-sized;
+    at 100 TB it lands broadcast-able after a frequency cutoff).
+    log() is the same natural log in both engines; the mean is over a
+    6dp-rounded per-token logprob so the float fold is order-stable."""
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    toks = d.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    from pyspark.sql import Window
+
+    totals = vocab.withColumn(
+        "n_corpus", F.sum("tf").over(Window.partitionBy())
+    ).withColumn("n_vocab", F.count(F.lit(1)).over(Window.partitionBy()))
+    # add-one smoothing: p(t) = (tf + 1) / (N + |V|)
+    scored_vocab = totals.select(
+        "tok",
+        F.round(
+            -F.log((F.col("tf") + 1) / (F.col("n_corpus") + F.col("n_vocab"))),
+            6,
+        ).alias("nll"),
+    )
+    return (
+        toks.join(scored_vocab, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.avg("nll"), 6).alias("mean_nll"),
+        )
+    )
+
+
 # Target language mix for corpus_mix — the per-domain weights a
 # pretraining recipe pins (shares sum to 1; a lang absent from the map
 # gets share 0 → dropped).
@@ -612,6 +660,7 @@ QUERIES = {
     "text_redact": text_redact,
     "text_repetition": text_repetition,
     "corpus_mix": corpus_mix,
+    "text_logprob": text_logprob,
 }
 
 
@@ -881,4 +930,32 @@ SELECT d.lang, r.n_total, r.target_share, r.rate,
        CAST(count(*) FILTER (WHERE d.hk < r.thr) AS BIGINT) AS n_kept
 FROM d JOIN r2 r USING (lang)
 GROUP BY d.lang, r.n_total, r.target_share, r.rate
+"""
+
+# DuckDB twin of text_logprob: same tokenization, same add-one
+# unigram model. Corpus totals CAST to DOUBLE so the probability is
+# the identical double division of exact integers in both engines;
+# per-token nll rounds to 6dp before the mean.
+ORACLES["text_logprob"] = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+),
+vocab AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY tok
+),
+tot AS (
+  SELECT CAST(sum(tf) AS DOUBLE) AS n_corpus,
+         CAST(count(*) AS DOUBLE) AS n_vocab
+  FROM vocab
+),
+sv AS (
+  SELECT tok, round(-ln((tf + 1) / (n_corpus + n_vocab)), 6) AS nll
+  FROM vocab CROSS JOIN tot
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(nll), 6) AS mean_nll
+FROM toks JOIN sv USING (tok)
+GROUP BY doc_id
 """
