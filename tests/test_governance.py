@@ -1,0 +1,77 @@
+"""Cross-operator semantics for the corpus-governance tier — checks
+that relate the new operators to the rest of the engine instead of
+restating their own definitions (the oracle tests already pin those).
+"""
+
+from pyspark.sql import functions as F
+
+from customer_churn_prediction_spark.similarity import ann
+from customer_churn_prediction_spark.text import analysis
+
+
+def test_semantic_dedup_pairs_are_true_neardups(spark, sf_dir):
+    """SEMDEDUP_THRESHOLD == NEARDUP_THRESHOLD, so every semantic
+    drop pair must appear in the exact all-pairs near-dup baseline
+    (cluster-scoping can only REMOVE pairs, never invent similarity):
+    dedup_semantic ⊆ embedding_neardup_pairs as unordered pairs."""
+    assert ann.SEMDEDUP_THRESHOLD == ann.NEARDUP_THRESHOLD
+    sem = {
+        (min(r.vec_id, r.dup_of), max(r.vec_id, r.dup_of))
+        for r in ann.semantic_dedup(spark, sf_dir).collect()
+    }
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in ann.embedding_neardup_pairs(spark, sf_dir).collect()
+    }
+    assert sem, "fixture should contain semantic near-dups"
+    assert sem <= exact, sorted(sem - exact)[:5]
+
+
+def test_semantic_dedup_drops_later_doc_of_each_pair(spark, sf_dir):
+    """Greedy keep-first-seen: the dropped doc is always the LATER id
+    and a doc never names itself."""
+    rows = ann.semantic_dedup(spark, sf_dir).collect()
+    assert all(r.dup_of < r.vec_id for r in rows)
+
+
+def test_corpus_mix_hits_target_shares(spark, sf_dir):
+    """The mixing rates must actually move the distribution: for every
+    non-saturated language (rate < 1) the achieved share of the kept
+    corpus should be near its target share once rescaled by the total
+    kept mass (the md5 sampler is deterministic, not exact — tolerance
+    is 3 binomial sigmas on the kept count); saturated languages
+    (rate == 1) keep everything they have."""
+    rows = {r.lang: r for r in analysis.corpus_mix(spark, sf_dir).collect()}
+    targets = dict(analysis.MIX_TARGETS)
+    assert set(rows) == set(targets)
+    total_kept = sum(r.n_kept for r in rows.values())
+    assert total_kept > 0
+    for lang, r in rows.items():
+        if r.rate >= 1.0:
+            assert r.n_kept == r.n_total, (lang, r)
+            continue
+        expect = r.n_total * r.rate
+        sigma = max(1.0, (expect * (1 - r.rate)) ** 0.5)
+        # 3 binomial sigmas around rate*n — the tightest distribution
+        # claim that holds at sf0.01's ~30-70 rows per language (a
+        # fixed relative tolerance is either vacuous at sf0.1 or flaky
+        # here; the md5 sampler behaves binomially by construction).
+        assert abs(r.n_kept - expect) <= 3 * sigma, (lang, r, expect)
+
+
+def test_text_repetition_flags_are_consistent_with_ratios(spark, sf_dir):
+    """The verdict column is exactly the documented predicate over the
+    emitted ratio columns (no hidden inputs), and a healthy natural
+    corpus is mostly non-repetitive."""
+    rows = analysis.text_repetition(spark, sf_dir).collect()
+    assert rows
+    n_flagged = 0
+    for r in rows:
+        expected = bool(
+            (r.dup_token_frac or 0) > analysis.REPETITION_DUP_TOKEN_MAX
+            or (r.top_token_frac or 0) > analysis.REPETITION_TOP_TOKEN_MAX
+            or (r.top_bigram_frac or 0) > analysis.REPETITION_TOP_BIGRAM_MAX
+        )
+        assert r.repetitive == expected, r
+        n_flagged += r.repetitive
+    assert n_flagged < len(rows) * 0.5
