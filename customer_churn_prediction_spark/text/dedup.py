@@ -909,9 +909,16 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     one aggregation; the corpus is scanned once, never shuffled on
     text. Overlap is counted against the BENCHMARK's gram count
     (n_shared / n_bench): the question is how much of the eval doc
-    leaked, not how big the training doc is. Same struct-carried-size
-    trick as ``ngram_jaccard_pairs`` so the bench gram pipeline
-    evaluates once."""
+    leaked, not how big the training doc is.
+
+    BOTH explodes go through the struct-carried transform (not a bare
+    ``explode(grams)``) — same reason as ``ngram_jaccard_pairs``, plus
+    one more: ``InferFiltersFromGenerate`` adds ``size(grams) > 0 AND
+    isnotnull(grams)`` for a plain explode, and those predicates push
+    BELOW the spread repartition, inlining the full md5 gram pipeline
+    TWICE into the single-task scan stage (measured 13.7 s vs 0.6 s
+    for the corpus side at sf0.1). The non-trivial generator blocks
+    the inference and keeps the hashing after the fan-out."""
     d = load_table(spark, sf_dir, "documents", spread=True)
     grams = d.select(
         "doc_id", F.expr(_word_shingles_spark()).alias("grams")
@@ -932,8 +939,15 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("bench_id", "g.shingle", "g.n_bench")
     )
-    corpus = grams.where(~is_bench).select(
-        "doc_id", F.explode("grams").alias("shingle")
+    corpus = (
+        grams.where(~is_bench)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr("transform(grams, x -> named_struct('shingle', x))")
+            ).alias("g"),
+        )
+        .select("doc_id", "g.shingle")
     )
     co = (
         corpus.join(F.broadcast(bench), "shingle")
