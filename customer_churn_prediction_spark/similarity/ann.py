@@ -588,7 +588,44 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEMDEDUP_THRESHOLD = 0.4
 
 
-def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _assign_cells_vectorized(e: DataFrame, cent_rows) -> DataFrame:
+    """Coarse-cell assignment as an Arrow-batched numpy matmul — the
+    kernel production IVF/SemDeDup uses once k grows past a few dozen.
+    The expression form (``_cells_expr``) evaluates a zip_with fold
+    per (row, centroid), allocating a temp array each time: O(N·k)
+    allocations. Here each Arrow batch does ONE (n×d)·(d×k) matmul
+    and an argmax — same asymptotics, ~8× less wall at k=80 (SCALE.md
+    §10.2). Ties are broken toward the lowest centroid id (numpy
+    argmax takes the first maximum; centroids arrive id-sorted), the
+    same order the expression form's struct sort uses. Used by the
+    scale path; the registry query keeps the expression form, whose
+    exact fold order the DuckDB oracle replays."""
+    import numpy as np
+
+    cents = sorted(cent_rows, key=lambda r: r.vec_id)
+    cmat = np.array([list(c.v) for c in cents], dtype=np.float64)
+    cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    ids = np.array([int(c.vec_id) for c in cents], dtype=np.int64)
+
+    def assign(batches):
+        for pdf in batches:
+            v = np.array(pdf["v"].tolist(), dtype=np.float64)
+            nrm = np.maximum(pdf["nrm"].to_numpy(), 1e-300)
+            sims = (v / nrm[:, None]) @ cmat.T
+            pdf["centroid_id"] = ids[np.argmax(sims, axis=1)]
+            yield pdf[["vec_id", "v", "nrm", "centroid_id"]]
+
+    return e.mapInPandas(
+        assign, "vec_id long, v array<double>, nrm double, centroid_id long"
+    )
+
+
+def semantic_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    cent_rows: list | None = None,
+    vectorized_assign: bool = False,
+) -> DataFrame:
     """Semantic (embedding-space) near-duplicate removal — the
     SemDeDup recipe (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embeddings coarsely, then look for near-duplicates ONLY within a
@@ -610,13 +647,32 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output is the drop-list: (vec_id, dup_of, cosine_sim) where
     ``dup_of`` is the best-matching earlier neighbor (max cosine, tie
     → min id) — the greedy keep-first-seen variant, deterministic by
-    construction."""
+    construction.
+
+    ``cent_rows`` overrides the fixture's fixed 8-centroid model —
+    THE scale knob: with k held fixed, 10× data grows every cell 10×
+    and within-cell pairs ~100× (measured 13.3× wall on the ×10
+    corpus); re-seeding with k ∝ N holds cell size constant and the
+    growth collapses to ~linear (SCALE.md §10.2). Production fits k
+    from corpus size for exactly this reason.
+
+    ``vectorized_assign=True`` swaps the expression-literal assignment
+    for the Arrow/numpy matmul (``_assign_cells_vectorized``) — at
+    large k the per-centroid zip_with fold allocates a temp array per
+    (row, centroid) and dominates (measured 21.4 s at k=80/×10 vs
+    2.7 s vectorized); the registry entry keeps the expression path,
+    whose float fold the DuckDB oracle replays exactly."""
     e = _embeddings(spark, sf_dir)
-    cells = _cells_expr(_centroids(spark, sf_dir))
-    assigned = e.select(
-        "vec_id", "v", "nrm",
-        (-F.element_at(cells, 1)["nid"]).alias("centroid_id"),
-    )
+    if vectorized_assign:
+        assigned = _assign_cells_vectorized(
+            e, cent_rows or _centroids(spark, sf_dir)
+        )
+    else:
+        cells = _cells_expr(cent_rows or _centroids(spark, sf_dir))
+        assigned = e.select(
+            "vec_id", "v", "nrm",
+            (-F.element_at(cells, 1)["nid"]).alias("centroid_id"),
+        )
     a = assigned.select(
         F.col("vec_id").alias("a_id"), F.col("v").alias("va"),
         F.col("nrm").alias("na"), "centroid_id",

@@ -37,6 +37,11 @@ DOC_ONLY_QUERIES = [
     "text_chunks",
     "corpus_pack",
     "text_redact",
+    # r5 governance tier
+    "text_repetition",
+    "corpus_mix",
+    "contamination_check",
+    "text_logprob",
 ]
 
 # ANN-tier 4th decade: scripts/make_embeddings_x10.py replicates the
@@ -55,6 +60,7 @@ EMB_ONLY_QUERIES = [
     "ann_bruteforce_topk",
     "ann_bruteforce_int8",
     "ann_bruteforce_int8_stored",
+    "dedup_semantic",
 ]
 
 CURVE_QUERIES = [

@@ -75,3 +75,24 @@ def test_text_repetition_flags_are_consistent_with_ratios(spark, sf_dir):
         assert r.repetitive == expected, r
         n_flagged += r.repetitive
     assert n_flagged < len(rows) * 0.5
+
+
+def test_semantic_dedup_vectorized_assign_matches_expression(spark, sf_dir):
+    """The Arrow/numpy matmul assignment must reproduce the
+    expression-path drop-list exactly (same centroids, same tie
+    order): cell membership can only differ if two centroid cosines
+    collide within float-sum reassociation error, which the fixture
+    doesn't contain — a mismatch here means an implementation bug,
+    not a tie."""
+    expr_rows = sorted(
+        map(tuple, ann.semantic_dedup(spark, sf_dir).collect())
+    )
+    vec_rows = sorted(
+        map(
+            tuple,
+            ann.semantic_dedup(
+                spark, sf_dir, vectorized_assign=True
+            ).collect(),
+        )
+    )
+    assert expr_rows == vec_rows and len(expr_rows) > 0
