@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "corpus_mix",
     "contamination_check",
     "text_logprob",
+    "ann_recall_eval",
 ]
 
 

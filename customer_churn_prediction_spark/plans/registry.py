@@ -105,6 +105,7 @@ PRIORITY = [
     "corpus_mix",
     "contamination_check",
     "text_logprob",
+    "ann_recall_eval",
 ]
 
 

@@ -588,6 +588,44 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEMDEDUP_THRESHOLD = 0.4
 
 
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality evaluation as a first-class query: per-query
+    recall of the LSH-bucketed ANN against the exact brute-force
+    top-k — the metric an embedding-serving deployment monitors when
+    it tunes planes/probes (recall was previously asserted only inside
+    tests; a 100 TB index rebuild wants it as a queryable report).
+
+    One left join of the two result sets on (query_id, neighbor_id);
+    both sides are the engine's own registry queries, so this also
+    pins their composability. Scale: |queries|·k rows per side —
+    evaluation is always run over a sampled query set, never the
+    corpus."""
+    exact = ann_bruteforce_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ann_lsh_bucketed(spark, sf_dir).select(
+        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
+    )
+    hits = exact.join(
+        approx,
+        (F.col("query_id") == F.col("aq"))
+        & (F.col("neighbor_id") == F.col("an")),
+        "left",
+    )
+    return (
+        hits.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.sum(
+                F.when(F.col("an").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("n_hit"),
+        )
+        .withColumn(
+            "recall", F.round(F.col("n_hit") / F.col("n_exact"), 6)
+        )
+    )
+
+
 def _assign_cells_vectorized(e: DataFrame, cent_rows) -> DataFrame:
     """Coarse-cell assignment as an Arrow-batched numpy matmul — the
     kernel production IVF/SemDeDup uses once k grows past a few dozen.
@@ -724,6 +762,7 @@ QUERIES = {
     "ann_bruteforce_int8": ann_bruteforce_int8,
     "ann_bruteforce_int8_stored": ann_bruteforce_int8_stored,
     "dedup_semantic": semantic_dedup,
+    "ann_recall_eval": ann_recall_eval,
 }
 
 
@@ -1030,4 +1069,22 @@ SELECT query_id, neighbor_id, cosine_sim, rank FROM (
                                ORDER BY cosine_sim DESC, neighbor_id) AS rank
   FROM scored)
 WHERE rank <= {TOP_K}
+"""
+
+# Recall eval composes the two result relations; both CTEs nest the
+# existing oracles verbatim (DuckDB supports WITH inside a subquery),
+# so this oracle can never drift from the queries it grades.
+ORACLES["ann_recall_eval"] = f"""
+WITH exact AS (
+  SELECT query_id, neighbor_id FROM ({ORACLES["ann_bruteforce_topk"]})
+),
+approx AS (
+  SELECT query_id, neighbor_id FROM ({ORACLES["ann_lsh_bucketed"]})
+)
+SELECT e.query_id,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+       round(count(a.neighbor_id) / CAST(count(*) AS DOUBLE), 6) AS recall
+FROM exact e LEFT JOIN approx a USING (query_id, neighbor_id)
+GROUP BY e.query_id
 """

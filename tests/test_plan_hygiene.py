@@ -17,6 +17,7 @@ ALLOWED_NESTED_LOOP = {
     "ann_bruteforce_topk",     # 5-query broadcast side, non-equi on ids
     "ann_bruteforce_int8",     # same plan over the quantized store
     "ann_bruteforce_int8_stored",  # same plan, at-rest int8 scan side
+    "ann_recall_eval",          # composes ann_bruteforce_topk (NLJ side)
     "embedding_neardup_pairs",  # exact all-pairs baseline (LSH replaces)
     "text_tfidf_topk",          # 1-row broadcast scalar (corpus size)
 }
