@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "contamination_check",
     "text_logprob",
     "ann_recall_eval",
+    "user_event_sequences",
 ]
 
 

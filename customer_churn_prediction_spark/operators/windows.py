@@ -89,10 +89,58 @@ def running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEQ_LEN = 8
+
+
+def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event sequences — the input shape a sequential /
+    behavioral model trains on (the dataloader step that turns an
+    event log into ordered training rows): the last ``SEQ_LEN`` events
+    per user, most recent first, both as flat (user, pos, event)
+    coordinates AND a packed pipe-joined string (flat rows are what
+    the driver canonicalizer and columnar sinks handle; the packed
+    string is the tokenizer-ready form and doubles as a sequence
+    fingerprint).
+
+    One shuffle (the per-user window); ordering is (ts, event_id)
+    DESC so ties are deterministic in any engine and any partitioning.
+    The packed column is built from the SAME window by collecting the
+    visible frame per row and taking the pos=1 row — no second
+    aggregation, no join-back."""
+    from ..catalog import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = e.select(
+        "user_id", "event_id", "ts", "event_type",
+        F.row_number().over(w).cast("long").alias("pos"),
+    ).where(F.col("pos") <= SEQ_LEN)
+    # Packed form from the ranked frame itself: sort the collected
+    # (pos, event_type) structs so the result is partition-invariant.
+    packed = (
+        ranked.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("seq_len"),
+            F.expr(
+                "concat_ws('|', transform(sort_array(collect_list("
+                "named_struct('pos', pos, 'et', event_type))), s -> s.et))"
+            ).alias("seq"),
+        )
+    )
+    return (
+        ranked.select("user_id", "pos", "event_type")
+        .join(packed, "user_id")
+        .select("user_id", "pos", "event_type", "seq_len", "seq")
+    )
+
+
 QUERIES = {
     "latest_order_per_customer": latest_order_per_customer,
     "purchase_gaps": purchase_gaps,
     "running_spend": running_spend,
+    "user_event_sequences": user_event_sequences,
 }
 
 ORACLES = {
@@ -132,3 +180,23 @@ SELECT o_custkey AS c_custkey, o_orderkey,
 FROM orders WHERE {_WINDOW_PRED_SQL}
 """,
 }
+
+# DuckDB twin of user_event_sequences: same (ts, event_id) DESC
+# ranking, packed string via string_agg ordered by pos.
+ORACLES["user_event_sequences"] = f"""
+WITH ranked AS (
+  SELECT user_id, event_type,
+         CAST(row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts DESC, event_id DESC)
+              AS BIGINT) AS pos
+  FROM events
+),
+kept AS (SELECT * FROM ranked WHERE pos <= {SEQ_LEN}),
+packed AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS seq_len,
+         string_agg(event_type, '|' ORDER BY pos) AS seq
+  FROM kept GROUP BY user_id
+)
+SELECT k.user_id, k.pos, k.event_type, p.seq_len, p.seq
+FROM kept k JOIN packed p USING (user_id)
+"""

@@ -106,6 +106,7 @@ PRIORITY = [
     "contamination_check",
     "text_logprob",
     "ann_recall_eval",
+    "user_event_sequences",
 ]
 
 
