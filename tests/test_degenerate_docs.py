@@ -47,6 +47,9 @@ _DOCS = [
     (INCREMENTAL_MOD + INCREMENTAL_NEW_RESIDUE,
      "the cat sat on the mat and the dog sat too"),
     (15, "completely different words about query engines and shuffles"),
+    # doc_id % 10 == 7 → contamination_check's benchmark side; a
+    # near-dup of docs 12/13 so the decontamination join has a hit.
+    (17, "the cat sat on the mat and the dog sat too"),
 ]
 
 AFFECTED = [
@@ -58,6 +61,14 @@ AFFECTED = [
     "dedup_incremental",
     "dedup_lsh_groups",
     "dedup_lsh_components",
+    # r5 governance tier: empty docs exercise the NULL-ratio routes
+    # (repetition fractions, logprob over the ['']-token), the
+    # single-token doc the zero-bigram branch, and doc 17 the
+    # benchmark-overlap hit path.
+    "text_repetition",
+    "text_logprob",
+    "corpus_mix",
+    "contamination_check",
 ]
 
 
