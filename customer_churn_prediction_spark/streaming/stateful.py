@@ -59,6 +59,63 @@ def streaming_user_totals(events_stream: DataFrame) -> DataFrame:
     )
 
 
+_SEQ_OUT_SCHEMA = "user_id long, seq_len long, seq string"
+_SEQ_STATE_SCHEMA = (
+    "ts array<long>, ids array<long>, types array<string>"
+)
+
+
+def _seq_update(key, pdf_iter, state: GroupState):
+    import pandas as pd  # local import: runs inside the Arrow worker
+
+    from ..operators.windows import SEQ_LEN
+
+    if state.exists:
+        ts, ids, types = state.get
+        rows = list(zip(ts, ids, types))
+    else:
+        rows = []
+    for pdf in pdf_iter:
+        micros = (pdf["ts"].astype("int64") // 1000).tolist()
+        rows.extend(zip(micros, pdf["event_id"].tolist(),
+                        pdf["event_type"].tolist()))
+    # Keep the top-K by (ts, event_id) DESC — identical order contract
+    # to the batch window's row_number.
+    rows = sorted(rows, key=lambda r: (r[0], r[1]), reverse=True)[:SEQ_LEN]
+    state.update((
+        [r[0] for r in rows], [r[1] for r in rows], [r[2] for r in rows],
+    ))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "seq_len": [len(rows)],
+            "seq": ["|".join(r[2] for r in rows)],
+        }
+    )
+
+
+def streaming_user_sequences(events_stream: DataFrame) -> DataFrame:
+    """Streaming form of ``operators.windows.user_event_sequences``:
+    the last-K per-user event sequence maintained as custom state and
+    re-emitted whenever a micro-batch touches the user — a continual
+    dataloader feed (the serving side reads fresh training sequences
+    without rescanning the log).
+
+    State is EXACTLY K (ts, id, type) triples per user — bounded by
+    the sequence length, not the event volume, which is what makes
+    per-key custom state viable at 100 TB of events (the unbounded
+    alternative, keeping every event, is the anti-pattern
+    applyInPandasWithState invites). Convergence to the batch window
+    form is asserted in tests/test_streaming.py."""
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _seq_update,
+        outputStructType=_SEQ_OUT_SCHEMA,
+        stateStructType=_SEQ_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 QUERIES = {
     "stream_user_totals": user_totals,
 }

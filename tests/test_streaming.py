@@ -577,3 +577,63 @@ def test_joint_crash_recovery_both_exactly_once_sinks(
         )
     )
     assert got_roll == want_roll and len(got_roll) > 0
+
+
+def test_streaming_user_sequences_converges_to_batch(
+    spark, sf_smoke, tmp_path
+):
+    """The stateful last-K sequence accumulator converges to the batch
+    window form: after draining the stream, the LAST emitted row per
+    user equals user_event_sequences' packed (user_id, seq_len, seq)."""
+    import shutil
+
+    from customer_churn_prediction_spark.operators import windows as ow
+    from customer_churn_prediction_spark.streaming import stateful as st
+
+    src = _events_dir(spark, sf_smoke)
+    out = str(tmp_path / "seq_updates")
+    try:
+        static = spark.read.parquet(src)
+        stream = sw.as_stream(spark, src, static.schema)
+
+        def land(df, epoch_id):
+            df.withColumn("epoch", F.lit(epoch_id)).write.mode(
+                "append"
+            ).parquet(out)
+
+        q = (
+            st.streaming_user_sequences(stream)
+            .writeStream.foreachBatch(land)
+            .outputMode("update")
+            .queryName("seq_smoke")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        updates = spark.read.parquet(out)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy(F.col("epoch").desc())
+        got = sorted(
+            map(
+                tuple,
+                updates.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .select("user_id", "seq_len", "seq")
+                .collect(),
+            )
+        )
+        want = sorted(
+            map(
+                tuple,
+                ow.user_event_sequences(spark, sf_smoke)
+                .select("user_id", "seq_len", "seq")
+                .distinct()
+                .collect(),
+            )
+        )
+        assert got == want and len(got) > 0
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
