@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "text_logprob",
     "ann_recall_eval",
     "user_event_sequences",
+    "corpus_keep_decision",
 ]
 
 

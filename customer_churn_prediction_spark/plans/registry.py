@@ -107,6 +107,7 @@ PRIORITY = [
     "text_logprob",
     "ann_recall_eval",
     "user_event_sequences",
+    "corpus_keep_decision",
 ]
 
 

@@ -959,3 +959,123 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
 FROM toks JOIN sv USING (tok)
 GROUP BY doc_id
 """
+
+# Recipe-pinned LM-score ceiling for the composed keep decision: docs
+# whose mean token nll exceeds it are "too surprising" under the
+# corpus unigram model (gibberish / far off-distribution). On the
+# fixture this sits near the 90th percentile, so the gate actually
+# discriminates.
+NLL_MAX = 3.41
+
+
+def corpus_keep_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed per-document governance decision — the single
+    boolean a training-data pipeline ultimately materializes: keep a
+    TRAINING doc (benchmark-residue docs are the eval set, out of
+    scope) iff it passes the quality score, is not repetitive, scores
+    inside the LM band, and does not overlap the benchmark. Each gate
+    is the SAME expression/operator its standalone query uses, so this
+    also pins the governance tier's composability — and the oracle
+    nests the committed oracles of the parts as CTEs, so it cannot
+    drift from them.
+
+    Plan shape: three joins of one-row-per-doc frames on doc_id (the
+    contamination side is an aggregated broadcast-sized drop set) —
+    no new shuffle class beyond its parts."""
+    from ..text import dedup as _dedup
+
+    is_bench = (
+        F.col("doc_id") % _dedup.CONTAM_BENCH_MOD
+        == _dedup.CONTAM_BENCH_RESIDUE
+    )
+    d = load_table(spark, sf_dir, "documents", spread=True).where(~is_bench)
+    q = _quality(F.col("text"))
+    base = d.select(
+        "doc_id",
+        F.coalesce(
+            q["quality"] >= QUALITY_THRESHOLD, F.lit(False)
+        ).alias("quality_ok"),
+    )
+    rep = text_repetition(spark, sf_dir).select(
+        "doc_id", (~F.col("repetitive")).alias("repetition_ok")
+    )
+    nll = text_logprob(spark, sf_dir).select(
+        "doc_id",
+        F.coalesce(F.col("mean_nll") <= NLL_MAX, F.lit(False)).alias(
+            "nll_ok"
+        ),
+    )
+    contam = (
+        contamination_check_import(spark, sf_dir)
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    out = (
+        base.join(rep, "doc_id")
+        .join(nll, "doc_id", "left")
+        .join(F.broadcast(contam), "doc_id", "left")
+        .select(
+            "doc_id",
+            "quality_ok",
+            "repetition_ok",
+            F.coalesce("nll_ok", F.lit(False)).alias("nll_ok"),
+            (~F.coalesce("hit", F.lit(False))).alias("decontam_ok"),
+        )
+    )
+    return out.withColumn(
+        "keep",
+        F.col("quality_ok") & F.col("repetition_ok") & F.col("nll_ok")
+        & F.col("decontam_ok"),
+    )
+
+
+def contamination_check_import(spark: SparkSession, sf_dir: str):
+    from ..text.dedup import contamination_check
+
+    return contamination_check(spark, sf_dir)
+
+
+QUERIES["corpus_keep_decision"] = corpus_keep_decision
+
+# Oracle for the composed decision: the parts' committed oracles nest
+# as CTE subqueries (the ann_recall_eval precedent), so this oracle is
+# definitionally in sync with what it composes. No import cycle:
+# dedup.py never imports analysis.
+def _keep_decision_oracle() -> str:
+    from .dedup import CONTAM_BENCH_MOD, CONTAM_BENCH_RESIDUE
+    from .dedup import ORACLES as _DEDUP_ORACLES
+
+    return f"""
+WITH rep AS (
+  SELECT doc_id, repetitive FROM ({ORACLES["text_repetition"]})
+),
+nll AS (
+  SELECT doc_id, mean_nll FROM ({ORACLES["text_logprob"]})
+),
+contam AS (
+  SELECT DISTINCT doc_id FROM ({_DEDUP_ORACLES["contamination_check"]})
+),
+q AS (
+  SELECT doc_id, {_QUALITY_SQL} AS quality
+  FROM ({_QPARTS_SQL})
+  WHERE doc_id % {CONTAM_BENCH_MOD} <> {CONTAM_BENCH_RESIDUE}
+),
+flags AS (
+  SELECT q.doc_id,
+         COALESCE(q.quality >= {QUALITY_THRESHOLD}, false) AS quality_ok,
+         NOT r.repetitive AS repetition_ok,
+         COALESCE(n.mean_nll <= {NLL_MAX}, false) AS nll_ok,
+         c.doc_id IS NULL AS decontam_ok
+  FROM q
+  JOIN rep r USING (doc_id)
+  LEFT JOIN nll n USING (doc_id)
+  LEFT JOIN contam c USING (doc_id)
+)
+SELECT doc_id, quality_ok, repetition_ok, nll_ok, decontam_ok,
+       (quality_ok AND repetition_ok AND nll_ok AND decontam_ok) AS keep
+FROM flags
+"""
+
+
+ORACLES["corpus_keep_decision"] = _keep_decision_oracle()

@@ -69,6 +69,7 @@ AFFECTED = [
     "text_logprob",
     "corpus_mix",
     "contamination_check",
+    "corpus_keep_decision",
 ]
 
 

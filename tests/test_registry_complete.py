@@ -38,7 +38,7 @@ EXPECTED = {
     "dedup_ngram_jaccard", "dedup_lsh_verified", "dedup_cross_modal",
     "dedup_semantic", "text_repetition", "corpus_mix",
     "contamination_check", "text_logprob", "ann_recall_eval",
-    "user_event_sequences",
+    "user_event_sequences", "corpus_keep_decision",
     # ANN
     "ann_bruteforce_topk", "embedding_neardup_pairs", "ann_lsh_bucketed",
     "ann_ivf", "ann_ivf_materialized", "ann_ivf_kmeans",
