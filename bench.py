@@ -89,6 +89,10 @@ BENCH_QUERIES = [
     "ann_recall_eval",
     "user_event_sequences",
     "corpus_keep_decision",
+    # model-monitoring tier (drift / gains / separation)
+    "drift_psi",
+    "score_band_lift",
+    "eval_ks",
 ]
 
 

@@ -37,6 +37,7 @@ def _modules():
         from ..streaming import stateful as stream_stateful
         from ..streaming import windows as stream_windows
         from ..ml import jobs as ml_jobs
+        from ..ml import monitoring as ml_monitoring
         from ..ml import pipeline as ml_pipeline
         from ..similarity import ann
         from ..sources import multimodal
@@ -46,7 +47,8 @@ def _modules():
         _MODULES = [rfm, assembly, labeling, relational, aggregates,
                     windows, asof, scalars, fn_udtf, stream_windows,
                     stream_stateful, stream_rollup, text_analysis,
-                    text_dedup, ann, ml_pipeline, ml_jobs, multimodal]
+                    text_dedup, ann, ml_pipeline, ml_jobs, ml_monitoring,
+                    multimodal]
     return _MODULES
 
 
@@ -108,6 +110,9 @@ PRIORITY = [
     "ann_recall_eval",
     "user_event_sequences",
     "corpus_keep_decision",
+    "drift_psi",
+    "score_band_lift",
+    "eval_ks",
 ]
 
 
