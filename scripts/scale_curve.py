@@ -78,6 +78,10 @@ CURVE_QUERIES = [
     "text_chunks",                # zero-shuffle map (posexplode)
     "corpus_pack",                # one window shuffle per source shard
     "text_redact",                # zero-shuffle regex rewrite
+    # monitoring tier (late r5): one conditional-agg scan each
+    "drift_psi",
+    "score_band_lift",
+    "eval_ks",
 ]
 
 
