@@ -1,0 +1,173 @@
+"""Exact duplicate-span detection (Lee et al. 2022's ExactSubstr,
+word-gram form): per document, how much of it is covered by word
+k-grams that occur more than once in the corpus.
+
+Where the MinHash/SimHash tier asks "which documents are near-dups of
+each other", this asks the finer question "which PARTS of every
+document are copied from anywhere" — boilerplate headers, license
+blocks, templated sentences — the signal used to cut repeated
+substrings out of LLM training data. The suffix-array construction of
+the paper is replaced by the Spark-native equivalent: positional
+k-gram hashing + a corpus-frequency window + per-document interval
+union, all linear shuffles.
+
+Plan shape (scales to 100 TB):
+  1. one scan; per doc ONE split/md5 expression emits
+     (n_tokens, [(pos, gram_hash)…]) — the struct ride-along keeps the
+     tokenizer from being re-inlined per use (§4.1 hygiene);
+     ``explode_outer`` keeps sub-k docs with a NULL occurrence so the
+     output covers every document without a second documents scan.
+  2. corpus frequency via a count window keyed by gram (one shuffle) —
+     a gram is duplicated if it occurs ≥2 times anywhere (across OR
+     within documents).
+  3. per-doc interval union of the fixed-length spans: sorted by
+     position, each dup start covers ``min(K, next_start - start)``
+     tokens — a lead() window keyed by (doc, is_dup), then one
+     per-doc aggregate.
+No pairwise expansion anywhere: cost is O(total tokens) rows through
+3 linear shuffles, vs the suffix array's O(corpus log corpus) single
+machine sort. Staged for registry round 6 (driver budget full in r5);
+oracle parity is enforced by tests/test_spans.py in the meantime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+# Word-gram width. The paper uses 50 BPE tokens; 5 words keeps the
+# fixture corpus (short synthetic docs) meaningfully covered while the
+# plan is width-independent.
+DUP_SPAN_K = 5
+
+
+def _pos_grams_spark() -> str:
+    """One expression -> struct(n_tokens, occ: array<struct<pos,gram>>).
+
+    gram = 60-bit md5-derived BIGINT of the space-joined k words
+    (same hash family as the shingle tier, dedup.py:419) so the
+    frequency-window shuffle key is 8 bytes.
+    """
+    toks = "split(trim(lower(text)), '\\\\s+')"
+    words = ", ".join(
+        f"element_at({toks}, i + {j})" for j in range(DUP_SPAN_K)
+    )
+    return (
+        f"named_struct("
+        f"'n_tokens', size({toks}), "
+        f"'occ', if(size({toks}) >= {DUP_SPAN_K}, "
+        f"transform(sequence(1, size({toks}) - {DUP_SPAN_K - 1}), "
+        f"i -> named_struct('pos', i, "
+        f"'gram', cast(conv(substring(md5(concat_ws(' ', {words})), 1, 15), "
+        f"16, 10) as bigint))), "
+        f"cast(array() as array<struct<pos:int,gram:bigint>>)))"
+    )
+
+
+def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document: duplicated k-gram starts, covered tokens, and the
+    covered fraction (0 for clean or sub-k docs)."""
+    return dup_span_frame(load_table(spark, sf_dir, "documents", spread=True))
+
+
+def dup_span_frame(d: DataFrame) -> DataFrame:
+    """Core plan over any (doc_id, text) frame."""
+    occ = (
+        d.select("doc_id", F.expr(_pos_grams_spark()).alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.n_tokens").alias("n_tokens"),
+            F.explode_outer("s.occ").alias("g"),
+        )
+        .select("doc_id", "n_tokens", F.col("g.pos").alias("pos"),
+                F.col("g.gram").alias("gram"))
+    )
+    w_gram = Window.partitionBy("gram")
+    marked = occ.withColumn(
+        "is_dup",
+        F.col("gram").isNotNull() & (F.count(F.lit(1)).over(w_gram) > 1),
+    )
+    w_doc = Window.partitionBy("doc_id", "is_dup").orderBy("pos")
+    covered_term = F.when(
+        F.col("is_dup"),
+        F.least(
+            F.lit(DUP_SPAN_K),
+            F.coalesce(
+                F.lead("pos").over(w_doc) - F.col("pos"),
+                F.lit(DUP_SPAN_K),
+            ),
+        ),
+    )
+    return (
+        marked.withColumn("covered_term", covered_term)
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_tokens").alias("n_tokens"),
+            F.sum(F.col("is_dup").cast("long")).alias("dup_starts"),
+            F.coalesce(F.sum("covered_term"), F.lit(0)).cast("long").alias(
+                "covered_tokens"
+            ),
+            F.round(
+                F.coalesce(
+                    F.try_divide(
+                        F.sum("covered_term"),
+                        F.max("n_tokens"),
+                    ),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+_TOKS = "string_split_regex(trim(lower(text)), '\\s+')"
+_GRAM_WORDS = " || ' ' || ".join(
+    f"t[pos + {j}]" for j in range(DUP_SPAN_K)
+)
+
+DUP_SPAN_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+),
+pos_rows AS (
+  SELECT doc_id, len(t) AS n_tokens, t,
+         unnest(range(1, len(t) - {DUP_SPAN_K - 2})) AS pos
+  FROM base WHERE len(t) >= {DUP_SPAN_K}
+),
+occ AS (
+  SELECT doc_id, n_tokens, pos,
+         CAST(('0x' || substring(md5({_GRAM_WORDS}), 1, 15)) AS BIGINT)
+           AS gram
+  FROM pos_rows
+),
+marked AS (
+  SELECT *, count(*) OVER (PARTITION BY gram) > 1 AS is_dup FROM occ
+),
+spans AS (
+  SELECT doc_id, pos,
+         least({DUP_SPAN_K},
+               coalesce(lead(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                          - pos, {DUP_SPAN_K})) AS covered
+  FROM marked WHERE is_dup
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_starts,
+         CAST(sum(covered) AS BIGINT) AS covered_tokens
+  FROM spans GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(len(b.t) AS BIGINT) AS n_tokens,
+       coalesce(a.dup_starts, 0) AS dup_starts,
+       coalesce(a.covered_tokens, 0) AS covered_tokens,
+       round(coalesce(a.covered_tokens / nullif(CAST(len(b.t) AS DOUBLE), 0),
+                      0.0), 6) AS dup_fraction
+FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id
+"""
+
+# Staged registry surface — wire into plans/registry._MODULES (plus
+# PRIORITY) in round 6 when driver-budget slots rotate free.
+QUERIES = {"text_dup_spans": dup_span_stats}
+ORACLES = {"text_dup_spans": DUP_SPAN_ORACLE}
