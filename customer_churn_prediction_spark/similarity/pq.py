@@ -1,0 +1,362 @@
+"""Product quantization (PQ): codebook training, encoding, and
+asymmetric-distance (ADC) search.
+
+Completes the embedding-store ladder: float32 → int8 scalar
+quantization (ann.py:308, 4× smaller) → PQ codes (this module,
+DIM×4 bytes → M bytes per vector = 64× smaller here), the layout an
+embedding corpus at 100 TB actually serves from (Jégou et al., "Product
+Quantization for Nearest Neighbor Search", TPAMI 2011).
+
+* **Training** (``train_pq``) — per-subspace Lloyd, all M subspaces in
+  ONE distributed pass per iteration: explode each vector into
+  (m, subvector) rows, assign by argmin L2 against the codebook
+  literals (a map — the model rides in the plan, no join), update via
+  one (m, code, dim) hash aggregate. Only M·K·SUBDIM aggregated rows
+  (1024 here) reach the driver per iteration — the same model-fetch
+  shape as MLlib k-means and ann.py's ``kmeans_refine``. Seeds are the
+  subvectors of fixed vec_ids (the IVF seed discipline), so the fit is
+  deterministic; per-iteration 6dp rounding makes refits bit-stable.
+* **Encoding** (``embedding_pq``) — pure map: per subspace, the argmin
+  over 16 rounded literal distances; codes emitted as flat INT columns
+  plus the reconstruction MSE. Zero shuffles.
+* **ADC search** (``ann_pq_adc``) — the query stays EXACT (asymmetric):
+  a 6dp-rounded lookup table LUT[q][m][code] = ||q_m − C[m][code]||²
+  is computed engine-side (5·M·K = 320 values), collected, and folded
+  back into the plan as literals; each stored vector's approximate
+  distance is M array lookups + a fixed-order sum — a zero-join,
+  zero-broadcast map over the code table, then the usual per-query
+  top-k window. At scale this is the plan that never touches the
+  float store: scan M bytes/vector, no shuffle until the k·|Q| result
+  rows.
+
+Determinism for oracle parity: every distance is rounded to 6dp
+before any argmin/rank (ties break to the lowest code/id), centroid
+means round to 6dp per iteration, and every multi-term sum is written
+as an explicit left-assoc chain in BOTH engines. The DuckDB oracle
+derives the codebook itself by unrolling the fixed iteration count
+into a CTE chain (the ``_kmeans_oracle`` pattern, ann.py:967).
+
+Staged for registry round 6 (driver budget full in r5);
+tests/test_pq.py enforces oracle parity meanwhile.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .ann import DIM, N_QUERIES, TOP_K, _embeddings
+
+PQ_M = 4               # subspaces
+PQ_SUBDIM = DIM // PQ_M
+PQ_K = 16              # centroids per subspace -> 4-bit codes
+PQ_ITERS = 2
+PQ_SEED_BASE = 100     # vec_id in [100, 116) seed the codebooks
+
+
+def _cb_literal(cb: list[list[list[float]]]) -> str:
+    """codebook[m][j][d] -> a nested SQL array literal."""
+    subs = []
+    for m in range(PQ_M):
+        cents = ", ".join(
+            "array(" + ", ".join(f"{x!r}D" for x in cb[m][j]) + ")"
+            for j in range(PQ_K)
+        )
+        subs.append(f"array({cents})")
+    return "array(" + ", ".join(subs) + ")"
+
+
+def _dists_expr(sv_sql: str, cb_m_sql: str) -> str:
+    """16 rounded L2² distances of one subvector to one sub-codebook."""
+    return (
+        f"transform({cb_m_sql}, c -> round(aggregate("
+        f"zip_with({sv_sql}, c, (x, y) -> (x - y) * (x - y)), "
+        f"0D, (acc, x) -> acc + x), 6))"
+    )
+
+
+def train_pq(spark: SparkSession, sf_dir: str,
+             iters: int = PQ_ITERS) -> list[list[list[float]]]:
+    """Lloyd-refined per-subspace codebooks (deterministic, 6dp)."""
+    e = _embeddings(spark, sf_dir).cache()
+    try:
+        seed_rows = {
+            int(r.vec_id): list(r.v)
+            for r in e.where(
+                (F.col("vec_id") >= PQ_SEED_BASE)
+                & (F.col("vec_id") < PQ_SEED_BASE + PQ_K)
+            ).collect()
+        }
+        cb = [
+            [
+                seed_rows[PQ_SEED_BASE + j][m * PQ_SUBDIM:(m + 1) * PQ_SUBDIM]
+                for j in range(PQ_K)
+            ]
+            for m in range(PQ_M)
+        ]
+        for _ in range(iters):
+            cb_sql = _cb_literal(cb)
+            # one row per (vector, subspace); assignment is a map
+            sub = e.select(
+                "vec_id",
+                F.posexplode(
+                    F.expr(
+                        "array("
+                        + ", ".join(
+                            f"slice(v, {m * PQ_SUBDIM + 1}, {PQ_SUBDIM})"
+                            for m in range(PQ_M)
+                        )
+                        + ")"
+                    )
+                ).alias("m", "sv"),
+            )
+            dists = _dists_expr("sv", f"element_at({cb_sql}, m + 1)")
+            assigned = sub.select(
+                "m",
+                F.expr(
+                    f"array_position({dists}, array_min({dists})) - 1"
+                ).cast("int").alias("code"),
+                F.posexplode("sv").alias("dim", "val"),
+            )
+            rows = (
+                assigned.groupBy("m", "code", "dim")
+                .agg(F.round(F.avg("val"), 6).alias("mean"))
+                .collect()
+            )
+            upd: dict[tuple[int, int], dict[int, float]] = {}
+            for r in rows:
+                upd.setdefault((int(r.m), int(r.code)), {})[int(r.dim)] = r.mean
+            cb = [
+                [
+                    [upd[(m, j)][d] for d in range(PQ_SUBDIM)]
+                    if (m, j) in upd
+                    else cb[m][j]  # empty cell keeps its centroid
+                    for j in range(PQ_K)
+                ]
+                for m in range(PQ_M)
+            ]
+        return cb
+    finally:
+        e.unpersist()
+
+
+def _codes_frame(e: DataFrame, cb: list[list[list[float]]]) -> DataFrame:
+    """vec_id, code0..codeM-1 (int), recon_mse — a pure map."""
+    cb_sql = _cb_literal(cb)
+    cols = ["vec_id"]
+    err_terms = []
+    for m in range(PQ_M):
+        sv = f"slice(v, {m * PQ_SUBDIM + 1}, {PQ_SUBDIM})"
+        dists = _dists_expr(sv, f"element_at({cb_sql}, {m + 1})")
+        # one struct expression per subspace: code + its distance
+        cols.append(
+            F.expr(
+                f"named_struct("
+                f"'code', cast(array_position({dists}, array_min({dists})) - 1 as int), "
+                f"'err', array_min({dists}))"
+            ).alias(f"s{m}")
+        )
+        err_terms.append(f"s{m}.err")
+    coded = e.select(*cols)
+    recon = " + ".join(err_terms)  # explicit left-assoc chain
+    return coded.select(
+        "vec_id",
+        *[F.col(f"s{m}.code").alias(f"code{m}") for m in range(PQ_M)],
+        F.expr(f"round(({recon}) / {DIM}, 6)").alias("recon_mse"),
+    )
+
+
+def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train (fixed iters) + encode every vector. Encoding itself is
+    zero-shuffle; training cost is the two documented Lloyd passes."""
+    cb = train_pq(spark, sf_dir)
+    return _codes_frame(_embeddings(spark, sf_dir), cb)
+
+
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance top-k of the 5 fixture queries over the PQ
+    code table — M lookups + a fixed-order sum per stored vector."""
+    cb = train_pq(spark, sf_dir)
+    e = _embeddings(spark, sf_dir)
+    cb_sql = _cb_literal(cb)
+    # Engine-computed LUT (rounded 6dp) so literals match the oracle's
+    # own SQL-derived values bit-for-bit.
+    lut_rows = (
+        e.where(F.col("vec_id") < N_QUERIES)
+        .select(
+            "vec_id",
+            *[
+                F.expr(
+                    _dists_expr(
+                        f"slice(v, {m * PQ_SUBDIM + 1}, {PQ_SUBDIM})",
+                        f"element_at({cb_sql}, {m + 1})",
+                    )
+                ).alias(f"lut{m}")
+                for m in range(PQ_M)
+            ],
+        )
+        .collect()
+    )
+    codes = _codes_frame(e, cb)
+    per_query = []
+    for r in sorted(lut_rows, key=lambda r: r.vec_id):
+        terms = []
+        for m in range(PQ_M):
+            arr = "array(" + ", ".join(f"{x!r}D" for x in r[f"lut{m}"]) + ")"
+            terms.append(f"element_at({arr}, code{m} + 1)")
+        per_query.append(
+            (int(r.vec_id), f"round({' + '.join(terms)}, 6)")
+        )
+    stack_args = ", ".join(
+        f"{qid}L, {expr}" for qid, expr in per_query
+    )
+    long = codes.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr(
+            f"stack({len(per_query)}, {stack_args})"
+        ).alias("query_id", "adc_dist"),
+    ).where(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id")
+    )
+    return (
+        long.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )
+
+
+# ------------------------------------------------------------------ oracles
+
+_L2_SQL = (
+    "round(list_sum(list_transform(range(1, {n} + 1), "
+    "i -> ({a}[i::INT] - {b}[i::INT]) * ({a}[i::INT] - {b}[i::INT]))), 6)"
+)
+
+
+def _pq_cte_chain(iters: int = PQ_ITERS) -> str:
+    """cb0 (seed subvectors) -> cb{iters} via unrolled Lloyd, all in
+    SQL. Mirrors train_pq: rounded distances, lowest-code ties,
+    6dp-rounded means, empty cells carry forward."""
+    l2 = _L2_SQL.format(n=PQ_SUBDIM, a="s.sv", b="c.cv")
+    chains = []
+    prev = "cb0"
+    for k in range(1, iters + 1):
+        chains.append(f"""
+asg{k} AS (
+  SELECT vec_id, m, code FROM (
+    SELECT s.vec_id, s.m, c.code,
+           row_number() OVER (PARTITION BY s.vec_id, s.m
+                              ORDER BY {l2} ASC, c.code) AS rn
+    FROM sub s JOIN {prev} c ON c.m = s.m)
+  WHERE rn = 1
+),
+upd{k} AS (
+  SELECT a.m, a.code, d.dim, round(avg(d.val), 6) AS val
+  FROM asg{k} a
+  JOIN subdims d ON d.vec_id = a.vec_id AND d.m = a.m
+  GROUP BY 1, 2, 3
+),
+new{k} AS (
+  SELECT m, code, list(val ORDER BY dim) AS cv
+  FROM upd{k} GROUP BY 1, 2
+),
+cb{k} AS (
+  SELECT * FROM new{k}
+  UNION ALL
+  SELECT c.m, c.code, c.cv FROM {prev} c
+  WHERE NOT EXISTS (SELECT 1 FROM new{k} n
+                    WHERE n.m = c.m AND n.code = c.code)
+)""")
+        prev = f"cb{k}"
+    return ",".join(chains)
+
+
+_PQ_BASE_SQL = f"""
+e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+sub AS (
+  SELECT vec_id, m,
+         list_transform(range(1, {PQ_SUBDIM} + 1),
+                        i -> v[(m * {PQ_SUBDIM} + i)::INT]) AS sv
+  FROM (SELECT vec_id, v, unnest(range(0, {PQ_M})) AS m FROM e)
+),
+subdims AS (
+  SELECT vec_id, m, unnest(sv) AS val,
+         CAST(generate_subscripts(sv, 1) AS INTEGER) AS dim
+  FROM sub
+),
+cb0 AS (
+  SELECT m, (vec_id - {PQ_SEED_BASE}) AS code, sv AS cv
+  FROM sub
+  WHERE vec_id >= {PQ_SEED_BASE} AND vec_id < {PQ_SEED_BASE + PQ_K}
+),
+{_pq_cte_chain()}
+"""
+
+_FINAL_CB = f"cb{PQ_ITERS}"
+
+_CODES_SQL = f"""
+codesF AS (
+  SELECT vec_id, m, code, d FROM (
+    SELECT s.vec_id, s.m, c.code,
+           {_L2_SQL.format(n=PQ_SUBDIM, a="s.sv", b="c.cv")} AS d,
+           row_number() OVER (PARTITION BY s.vec_id, s.m
+                              ORDER BY {_L2_SQL.format(n=PQ_SUBDIM, a="s.sv", b="c.cv")} ASC,
+                                       c.code) AS rn
+    FROM sub s JOIN {_FINAL_CB} c ON c.m = s.m)
+  WHERE rn = 1
+)
+"""
+
+_RECON_CHAIN = " + ".join(
+    f"max(CASE WHEN m = {m} THEN d END)" for m in range(PQ_M)
+)
+
+PQ_ORACLE = f"""
+WITH {_PQ_BASE_SQL},
+{_CODES_SQL}
+SELECT vec_id,
+       {", ".join(f"CAST(max(CASE WHEN m = {m} THEN code END) AS INTEGER) AS code{m}" for m in range(PQ_M))},
+       round(({_RECON_CHAIN}) / {DIM}, 6) AS recon_mse
+FROM codesF
+GROUP BY vec_id
+"""
+
+_ADC_CHAIN = " + ".join(
+    f"max(CASE WHEN m = {m} THEN d END)" for m in range(PQ_M)
+)
+
+ADC_ORACLE = f"""
+WITH {_PQ_BASE_SQL},
+{_CODES_SQL},
+lut AS (
+  SELECT q.vec_id AS query_id, c.m, c.code,
+         {_L2_SQL.format(n=PQ_SUBDIM, a="q.sv", b="c.cv")} AS d
+  FROM sub q JOIN {_FINAL_CB} c ON c.m = q.m
+  WHERE q.vec_id < {N_QUERIES}
+),
+adc AS (
+  SELECT t.query_id, t.vec_id AS neighbor_id,
+         round(({_ADC_CHAIN}), 6) AS adc_dist
+  FROM (
+    SELECT l.query_id, cf.vec_id, cf.m, l.d
+    FROM codesF cf JOIN lut l ON l.m = cf.m AND l.code = cf.code) t
+  WHERE t.vec_id <> t.query_id
+  GROUP BY t.query_id, t.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_dist ASC, neighbor_id) AS rank
+  FROM adc
+)
+SELECT query_id, neighbor_id, adc_dist, rank FROM ranked
+WHERE rank <= {TOP_K}
+"""
+
+# Staged registry surface — wire into plans/registry._MODULES (plus
+# PRIORITY) in round 6 when driver-budget slots rotate free.
+QUERIES = {"embedding_pq": embedding_pq, "ann_pq_adc": ann_pq_adc}
+ORACLES = {"embedding_pq": PQ_ORACLE, "ann_pq_adc": ADC_ORACLE}

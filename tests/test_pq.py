@@ -1,0 +1,102 @@
+"""Product quantization (similarity/pq.py) — staged for the r6
+registry; this file enforces driver-grade oracle parity plus the
+semantic properties of the fit/encode/search pipeline."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from customer_churn_prediction_spark.similarity import ann, pq
+
+from .oracle_utils import assert_matches_oracle
+
+
+def test_embedding_pq_oracle_parity(spark, sf_dir):
+    assert_matches_oracle(
+        pq.embedding_pq(spark, sf_dir), pq.PQ_ORACLE, sf_dir
+    )
+
+
+def test_ann_pq_adc_oracle_parity(spark, sf_dir):
+    assert_matches_oracle(
+        pq.ann_pq_adc(spark, sf_dir), pq.ADC_ORACLE, sf_dir
+    )
+
+
+def test_codes_shape_and_range(spark, sf_dir):
+    rows = pq.embedding_pq(spark, sf_dir).collect()
+    n = ann._embeddings(spark, sf_dir).count()
+    assert len(rows) == n
+    for r in rows:
+        for m in range(pq.PQ_M):
+            assert 0 <= r[f"code{m}"] < pq.PQ_K
+        assert r.recon_mse >= 0.0
+
+
+def test_training_reduces_reconstruction_error(spark, sf_dir):
+    e = ann._embeddings(spark, sf_dir)
+    seed = pq.train_pq(spark, sf_dir, iters=0)
+    trained = pq.train_pq(spark, sf_dir)
+    mse = {
+        name: pq._codes_frame(e, cb).agg(F.avg("recon_mse")).collect()[0][0]
+        for name, cb in [("seed", seed), ("trained", trained)]
+    }
+    # Lloyd iterations must strictly improve the quantizer (measured
+    # ~29% at sf0.01); require a real margin, not noise
+    assert mse["trained"] < 0.9 * mse["seed"], mse
+
+
+def test_adc_recall_against_exact_l2(spark, sf_dir):
+    """ADC approximates the exact L2 ranking; with 4-bit codebooks on
+    near-random synthetic vectors, recall@10 must still clear a
+    multiple of the ~0.02 chance floor."""
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * "
+        f"FROM '{sf_dir}/embeddings.parquet'"
+    )
+    exact = {
+        (q, n)
+        for q, n in con.execute(
+            f"""
+            WITH e AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings
+            ),
+            d AS (
+              SELECT q.vec_id AS qid, c.vec_id AS nid,
+                     list_sum(list_transform(range(1, len(q.v) + 1),
+                       i -> (q.v[i::INT] - c.v[i::INT])
+                          * (q.v[i::INT] - c.v[i::INT]))) AS l2
+              FROM e q JOIN e c
+                ON q.vec_id < {ann.N_QUERIES} AND c.vec_id <> q.vec_id
+            )
+            SELECT qid, nid FROM (
+              SELECT *, row_number() OVER (PARTITION BY qid
+                        ORDER BY l2, nid) AS rk FROM d)
+            WHERE rk <= {ann.TOP_K}
+            """
+        ).fetchall()
+    }
+    adc = {
+        (r.query_id, r.neighbor_id)
+        for r in pq.ann_pq_adc(spark, sf_dir).collect()
+    }
+    recall = len(exact & adc) / len(exact)
+    assert recall >= 0.1, recall
+
+
+def test_encode_is_a_pure_map(spark, sf_dir):
+    """Encoding shuffles nothing: no aggregate, window, or join — the
+    codebook rides the plan as literals (the only Exchange allowed is
+    the catalog's small-file spread repartition)."""
+    e = ann._embeddings(spark, sf_dir)
+    cb = pq.train_pq(spark, sf_dir)
+    plan = (
+        pq._codes_frame(e, cb)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for op in ("HashAggregate", "Window", "Join", "Sort"):
+        assert op not in plan, plan
