@@ -24,9 +24,12 @@ Scale design (all three):
   function below runs over that aggregate (≤ 1000 rows), never over
   detail rows.
 * **Determinism for the oracle hash.** Bin ids and cumulative counts
-  are integer arithmetic (bit-exact in both engines); the only floats
-  crossing engines are ratios of those integers and ``ln``/``exp`` of
-  already-rounded inputs, rounded to 6 decimals on output.
+  are integer arithmetic (bit-exact in both engines); the logistic
+  score is rounded to 6dp BEFORE any binning or summing (``ln``/
+  ``exp`` are not correctly-rounded, so a raw-score ulp difference
+  could flip a ``floor(score*N)`` bin edge), and every remaining
+  float output is a ratio of integers or of those rounded scores,
+  rounded to 6 decimals.
 
 The score is a fixed-weight logistic of the RFM features — a
 deterministic stand-in for a model score, so the monitoring plans are
@@ -153,7 +156,13 @@ def _scored_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(_W_LOG_MONETARY) * F.log(F.lit(1.0) + F.col("monetary") / F.lit(1000.0))
         + F.lit(_BIAS)
     )
-    return feats.withColumn("score", F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
+    # Round the score itself to 6dp: exp/ln are not correctly-rounded,
+    # so a raw-score ulp difference between engines could flip a
+    # floor(score*N) bin edge downstream. After rounding, both engines
+    # bin and sum IDENTICAL doubles.
+    return feats.withColumn(
+        "score", F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    )
 
 
 def score_band_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -293,8 +302,10 @@ _SCORED_CTE = f"""
   ),
   s2 AS (
     SELECT *,
-      1.0 / (1.0 + exp(-({_W_RECENCY}*recency + ({_W_FREQUENCY})*frequency
-            + ({_W_LOG_MONETARY})*ln(1.0 + monetary/1000.0) + {_BIAS}))) AS score
+      round(1.0 / (1.0 + exp(-({_W_RECENCY}*recency
+            + ({_W_FREQUENCY})*frequency
+            + ({_W_LOG_MONETARY})*ln(1.0 + monetary/1000.0)
+            + {_BIAS}))), 6) AS score
     FROM scored
   )
 """

@@ -75,9 +75,22 @@ def _dists_expr(sv_sql: str, cb_m_sql: str) -> str:
     )
 
 
+# The fit is deterministic, so one codebook serves every query in a
+# session; keyed by applicationId so a restarted session refits
+# (the house cache discipline, see catalog.py's table tags).
+_CB_CACHE: dict[tuple[str, str, int], list[list[list[float]]]] = {}
+
+
 def train_pq(spark: SparkSession, sf_dir: str,
              iters: int = PQ_ITERS) -> list[list[list[float]]]:
-    """Lloyd-refined per-subspace codebooks (deterministic, 6dp)."""
+    """Lloyd-refined per-subspace codebooks (deterministic, 6dp).
+    Memoized per (application, sf_dir, iters): ``embedding_pq`` and
+    ``ann_pq_adc`` share one fit instead of each re-running the
+    distributed Lloyd passes."""
+    key = (spark.sparkContext.applicationId, sf_dir, iters)
+    cached = _CB_CACHE.get(key)
+    if cached is not None:
+        return cached
     e = _embeddings(spark, sf_dir).cache()
     try:
         seed_rows = {
@@ -135,6 +148,7 @@ def train_pq(spark: SparkSession, sf_dir: str,
                 ]
                 for m in range(PQ_M)
             ]
+        _CB_CACHE[key] = cb
         return cb
     finally:
         e.unpersist()

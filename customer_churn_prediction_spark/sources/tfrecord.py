@@ -104,19 +104,27 @@ def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
 def encode_example(features: dict[str, object]) -> bytes:
     """Serialize ``{name: bytes | [float] | [int]}`` as a
     ``tf.train.Example``. Map entries go out in sorted-key order so the
-    byte stream is deterministic."""
+    byte stream is deterministic. Integral values (incl. numpy ints,
+    excl. bools) become an int64_list; any other non-bytes sequence —
+    including the ambiguous empty list — becomes a float_list (the
+    reference layout's common case)."""
+    import numbers
+
     entries = bytearray()
     for name in sorted(features):
         value = features[name]
         if isinstance(value, bytes):
             kind = _len_delim(1, _len_delim(1, value))
-        elif all(isinstance(v, int) for v in value):
+        elif value and all(
+            isinstance(v, numbers.Integral) and not isinstance(v, bool)
+            for v in value
+        ):
             packed = b"".join(
-                _varint(v & 0xFFFFFFFFFFFFFFFF) for v in value
+                _varint(int(v) & 0xFFFFFFFFFFFFFFFF) for v in value
             )
             kind = _len_delim(3, _len_delim(1, packed))
         else:
-            packed = struct.pack(f"<{len(value)}f", *value)
+            packed = struct.pack(f"<{len(value)}f", *(float(v) for v in value))
             kind = _len_delim(2, _len_delim(1, packed))
         entry = _len_delim(1, name.encode()) + _len_delim(2, kind)
         entries += _len_delim(1, entry)
@@ -144,27 +152,30 @@ def decode_example(data: bytes) -> dict[str, object]:
     out: dict[str, object] = {}
     (_, features_buf), = fields(data)
     for _, entry in fields(features_buf):
-        name = None
+        # a conformant serializer may emit the map-entry fields in any
+        # order: gather both before decoding the value
+        name = feature_buf = None
         for f, payload in fields(entry):
             if f == 1:
                 name = payload.decode()
-            else:
-                (kind_field, kind_payload), = fields(payload)
-                (_, raw), = fields(kind_payload)
-                if kind_field == 1:
-                    out[name] = raw
-                elif kind_field == 2:
-                    out[name] = list(
-                        struct.unpack(f"<{len(raw) // 4}f", raw)
-                    )
-                else:
-                    vals, pos = [], 0
-                    while pos < len(raw):
-                        v, pos = _read_varint(raw, pos)
-                        if v >= 1 << 63:
-                            v -= 1 << 64
-                        vals.append(v)
-                    out[name] = vals
+            elif f == 2:
+                feature_buf = payload
+        if name is None or feature_buf is None:
+            raise ValueError("map entry missing key or value field")
+        (kind_field, kind_payload), = fields(feature_buf)
+        (_, raw), = fields(kind_payload)
+        if kind_field == 1:
+            out[name] = raw
+        elif kind_field == 2:
+            out[name] = list(struct.unpack(f"<{len(raw) // 4}f", raw))
+        else:
+            vals, pos = [], 0
+            while pos < len(raw):
+                v, pos = _read_varint(raw, pos)
+                if v >= 1 << 63:
+                    v -= 1 << 64
+                vals.append(v)
+            out[name] = vals
     return out
 
 
@@ -210,19 +221,33 @@ def write_tfrecord(
     per row an Example with ``"feature"`` = raw float32 bytes of the
     dense vector and ``"label"`` = float list. One file per partition,
     written inside the task; returns the collected per-partition
-    manifest as a DataFrame (path, n_records, n_bytes)."""
+    manifest as a DataFrame (path, n_records, n_bytes).
+
+    Output-commit discipline: stale ``part-*.tfrecord`` files from a
+    previous write to the same directory are removed up front (else a
+    later write with fewer partitions would leave the old tail visible
+    to the reader's glob), and each task writes to an
+    attempt-qualified temp name atomically renamed on completion — a
+    retried or speculative attempt can interleave with a zombie
+    without ever exposing a half-written file (deterministic content
+    per partition makes last-rename-wins idempotent)."""
     import numpy as np
     from pyspark import TaskContext
 
     spark = df.sparkSession
     os.makedirs(out_dir, exist_ok=True)
+    for stale in os.listdir(out_dir):
+        if stale.endswith(".tfrecord") or ".tfrecord.inprogress-" in stale:
+            os.remove(os.path.join(out_dir, stale))
     src = df.select(vector_col, label_col)
 
     def write_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         path = os.path.join(out_dir, f"part-{pid:05d}.tfrecord")
+        tmp = f"{path}.inprogress-{ctx.taskAttemptId()}"
         n = nbytes = 0
-        with open(path, "wb") as f:
+        with open(tmp, "wb") as f:
             for pdf in batches:
                 for vec, label in zip(pdf[vector_col], pdf[label_col]):
                     rec = frame_record(
@@ -239,8 +264,9 @@ def write_tfrecord(
                     n += 1
                     nbytes += len(rec)
         if n == 0:
-            os.remove(path)
+            os.remove(tmp)
             return
+        os.replace(tmp, path)  # atomic publish
         yield pd.DataFrame(
             {"path": [path], "n_records": [n], "n_bytes": [nbytes]}
         )

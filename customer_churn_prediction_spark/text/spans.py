@@ -84,7 +84,16 @@ def dup_span_frame(d: DataFrame) -> DataFrame:
         .select("doc_id", "n_tokens", F.col("g.pos").alias("pos"),
                 F.col("g.gram").alias("gram"))
     )
-    w_gram = Window.partitionBy("gram")
+    # NULL-gram rows (one per sub-K doc) never count as duplicated, but
+    # a plain partitionBy("gram") would funnel ALL of them into one
+    # task — at web scale that single NULL partition is a straggler.
+    # Salting the window key by doc_id for NULL grams spreads them; the
+    # (wrong) per-salt count is never read because is_dup requires a
+    # non-null gram.
+    w_gram = Window.partitionBy(
+        "gram",
+        F.when(F.col("gram").isNull(), F.col("doc_id")).otherwise(F.lit(0)),
+    )
     marked = occ.withColumn(
         "is_dup",
         F.col("gram").isNotNull() & (F.count(F.lit(1)).over(w_gram) > 1),

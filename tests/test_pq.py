@@ -100,3 +100,9 @@ def test_encode_is_a_pure_map(spark, sf_dir):
     )
     for op in ("HashAggregate", "Window", "Join", "Sort"):
         assert op not in plan, plan
+
+
+def test_codebook_memoized_per_session(spark, sf_dir):
+    cb1 = pq.train_pq(spark, sf_dir)
+    cb2 = pq.train_pq(spark, sf_dir)
+    assert cb1 is cb2  # second call must not re-run the Lloyd jobs

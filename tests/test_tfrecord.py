@@ -110,3 +110,51 @@ def test_spark_sink_reference_libsvm_parity(spark, tmp_path):
             ((0.0, 0.0, 1.0, 0.0, 0.0, 1.0), 1.0),
         ]
     )
+
+
+def test_rewrite_removes_stale_part_files(spark, tmp_path):
+    """A second write with fewer partitions must not leave the first
+    write's tail files visible to the reader glob."""
+    out = str(tmp_path / "tfr")
+
+    def mk(n_rows, parts):
+        return spark.range(0, n_rows).select(
+            F.array(F.col("id").cast("float")).alias("features"),
+            F.lit(0.0).cast("float").alias("label"),
+        ).repartition(parts)
+
+    tfr.write_tfrecord(mk(40, 8), out)
+    tfr.write_tfrecord(mk(7, 2), out)
+    back = tfr.read_tfrecord(spark, out, dim=1).collect()
+    assert sorted(r.features[0] for r in back) == [float(i) for i in range(7)]
+
+
+def test_decode_accepts_value_before_key_field_order():
+    """A conformant serializer may emit the map entry's Feature (field
+    2) before its name (field 1)."""
+    ex = tfr.encode_example({"label": [1.5]})
+
+    # rebuild the same Example with the map-entry fields swapped
+    feature = tfr._len_delim(2, tfr._len_delim(1, struct.pack("<1f", 1.5)))
+    entry = tfr._len_delim(2, feature) + tfr._len_delim(1, b"label")
+    swapped = tfr._len_delim(1, tfr._len_delim(1, entry))
+    assert tfr.decode_example(swapped) == tfr.decode_example(ex) == {
+        "label": [1.5]
+    }
+
+
+def test_encode_dispatch_edge_types():
+    import numpy as np
+
+    out = tfr.decode_example(
+        tfr.encode_example(
+            {
+                "empty": [],                       # ambiguous -> float_list
+                "np_ids": [np.int64(1 << 40), np.int64(-2)],
+                "np_floats": [np.float32(0.5)],
+            }
+        )
+    )
+    assert out["empty"] == []
+    assert out["np_ids"] == [1 << 40, -2]  # exact, not float32-truncated
+    assert out["np_floats"] == [0.5]
