@@ -104,3 +104,24 @@ def test_degenerate_docs_match_oracle(name, spark, degenerate_dir):
     assert_matches_oracle(
         queries[name](spark, degenerate_dir), oracles[name], degenerate_dir
     )
+
+
+def test_degenerate_docs_staged_dup_spans(spark, degenerate_dir):
+    """Staged r6 query: empty/whitespace/sub-K docs must keep parity
+    (each yields one NULL occurrence row and zero coverage), and the
+    four identical 11-word docs must come out fully covered."""
+    from customer_churn_prediction_spark.text import spans
+
+    assert_matches_oracle(
+        spans.dup_span_stats(spark, degenerate_dir),
+        spans.DUP_SPAN_ORACLE,
+        degenerate_dir,
+    )
+    out = {
+        r.doc_id: r
+        for r in spans.dup_span_stats(spark, degenerate_dir).collect()
+    }
+    assert out[12].dup_fraction == 1.0  # 4 identical copies
+    assert out[1].covered_tokens == 0
+    assert out[2].covered_tokens == 0
+    assert out[3].covered_tokens == 0  # 1 token < K

@@ -158,3 +158,53 @@ def test_encode_dispatch_edge_types():
     assert out["empty"] == []
     assert out["np_ids"] == [1 << 40, -2]  # exact, not float32-truncated
     assert out["np_floats"] == [0.5]
+
+
+# ---------------------------------------------------------------- property
+
+from hypothesis import given, settings, strategies as st
+
+
+_feature_values = st.one_of(
+    st.binary(max_size=64),
+    st.lists(
+        st.floats(width=32, allow_nan=False, allow_infinity=False),
+        min_size=1, max_size=16,
+    ),
+    st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        min_size=1, max_size=16,
+    ),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.dictionaries(
+        st.text(
+            alphabet=st.characters(codec="utf-8", exclude_categories=["Cs"]),
+            min_size=1, max_size=20,
+        ),
+        _feature_values,
+        min_size=1, max_size=5,
+    )
+)
+def test_example_roundtrip_property(features):
+    out = tfr.decode_example(tfr.encode_example(features))
+    assert set(out) == set(features)
+    for k, v in features.items():
+        if isinstance(v, bytes):
+            assert out[k] == v
+        elif all(isinstance(x, int) for x in v):
+            assert out[k] == v
+        else:
+            # float32 carrier: values survive exactly at f32 precision
+            assert out[k] == [struct.unpack("<f", struct.pack("<f", x))[0]
+                              for x in v]
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.binary(max_size=200), max_size=10))
+def test_framing_roundtrip_property(records):
+    blob = b"".join(tfr.frame_record(r) for r in records)
+    assert list(tfr.unframe_records(blob)) == records
