@@ -176,7 +176,132 @@ SELECT b.doc_id,
 FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id
 """
 
+def clean_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actuation of :func:`dup_span_stats`: rewrite every document
+    with its duplicated spans REMOVED (what the ExactSubstr paper
+    actually does to the training corpus).
+
+    Linear composition on top of the detection plan:
+      1. token-level rows (doc_id, pos, token) from one posexplode;
+      2. left join the duplicated gram STARTS on (doc_id, pos) — a
+         co-keyed equi-join, no expansion;
+      3. a position is covered iff some dup start lies in
+         (pos−K, pos] — a rolling ``max`` window over K−1 preceding
+         rows per doc (never an O(n·starts) per-token membership
+         scan, which would go quadratic on heavily-duplicated docs);
+      4. rebuild the text from uncovered tokens in position order.
+    """
+    return clean_spans_frame(
+        load_table(spark, sf_dir, "documents", spread=True)
+    )
+
+
+def clean_spans_frame(d: DataFrame) -> DataFrame:
+    occ = (
+        d.select("doc_id", F.expr(_pos_grams_spark()).alias("s"))
+        .select(
+            "doc_id",
+            F.explode_outer("s.occ").alias("g"),
+        )
+        .select("doc_id", F.col("g.pos").alias("pos"),
+                F.col("g.gram").alias("gram"))
+    )
+    w_gram = Window.partitionBy(
+        "gram",
+        F.when(F.col("gram").isNull(), F.col("doc_id")).otherwise(F.lit(0)),
+    )
+    starts = (
+        occ.withColumn(
+            "is_dup",
+            F.col("gram").isNotNull()
+            & (F.count(F.lit(1)).over(w_gram) > 1),
+        )
+        .where(F.col("is_dup"))
+        .select("doc_id", "pos", F.lit(1).alias("start_flag"))
+    )
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.expr("split(trim(lower(text)), '\\\\s+')")).alias(
+            "pos0", "token"
+        ),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+    w_cover = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        -(DUP_SPAN_K - 1), 0
+    )
+    flagged = toks.join(starts, ["doc_id", "pos"], "left").withColumn(
+        "covered",
+        F.max(F.coalesce(F.col("start_flag"), F.lit(0))).over(w_cover),
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("covered").cast("long").alias("n_removed"),
+            F.concat_ws(
+                " ",
+                F.expr(
+                    # whole-struct NULL when covered: collect_list
+                    # skips NULLs, so only uncovered tokens are
+                    # gathered, then sorted by position
+                    "transform(array_sort(collect_list("
+                    "CASE WHEN covered = 0 "
+                    "THEN named_struct('pos', pos, 'token', token) END)), "
+                    "s -> s.token)"
+                ),
+            ).alias("text_clean"),
+        )
+    )
+
+
+CLEAN_SPANS_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+),
+pos_rows AS (
+  SELECT doc_id, t, unnest(range(1, len(t) - {DUP_SPAN_K - 2})) AS pos
+  FROM base WHERE len(t) >= {DUP_SPAN_K}
+),
+occ AS (
+  SELECT doc_id, pos,
+         CAST(('0x' || substring(md5({_GRAM_WORDS}), 1, 15)) AS BIGINT)
+           AS gram
+  FROM pos_rows
+),
+starts AS (
+  SELECT doc_id, pos FROM (
+    SELECT *, count(*) OVER (PARTITION BY gram) > 1 AS is_dup FROM occ)
+  WHERE is_dup
+),
+toks AS (
+  SELECT doc_id, unnest(t) AS token,
+         CAST(generate_subscripts(t, 1) AS INTEGER) AS pos
+  FROM base
+),
+flagged AS (
+  SELECT tk.doc_id, tk.pos, tk.token,
+         max(CASE WHEN s.pos IS NULL THEN 0 ELSE 1 END)
+           OVER (PARTITION BY tk.doc_id ORDER BY tk.pos
+                 ROWS BETWEEN {DUP_SPAN_K - 1} PRECEDING AND CURRENT ROW)
+           AS covered
+  FROM toks tk LEFT JOIN starts s
+    ON s.doc_id = tk.doc_id AND s.pos = tk.pos
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(covered) AS BIGINT) AS n_removed,
+       coalesce(string_agg(CASE WHEN covered = 0 THEN token END, ' '
+                           ORDER BY pos), '') AS text_clean
+FROM flagged
+GROUP BY doc_id
+"""
+
 # Staged registry surface — wire into plans/registry._MODULES (plus
 # PRIORITY) in round 6 when driver-budget slots rotate free.
-QUERIES = {"text_dup_spans": dup_span_stats}
-ORACLES = {"text_dup_spans": DUP_SPAN_ORACLE}
+QUERIES = {
+    "text_dup_spans": dup_span_stats,
+    "corpus_clean_spans": clean_spans,
+}
+ORACLES = {
+    "text_dup_spans": DUP_SPAN_ORACLE,
+    "corpus_clean_spans": CLEAN_SPANS_ORACLE,
+}

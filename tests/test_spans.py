@@ -103,3 +103,57 @@ def test_overlapping_spans_union_not_sum(spark):
     assert out[1].covered_tokens == 6
     assert out[2].dup_starts == 2
     assert out[2].covered_tokens == 6
+
+
+# ------------------------------------------------------------ clean_spans
+
+
+def test_clean_spans_oracle_parity_sf001(spark, sf_dir):
+    assert_matches_oracle(
+        spans.clean_spans(spark, sf_dir),
+        spans.CLEAN_SPANS_ORACLE,
+        sf_dir,
+    )
+
+
+def test_clean_spans_consistent_with_detection(spark, sf_dir):
+    """n_removed must equal dup_span_stats' covered_tokens doc by doc
+    (the two plans compute the same interval union two different
+    ways), and the cleaned text must contain exactly the uncovered
+    token count."""
+    stats = {
+        r.doc_id: r for r in spans.dup_span_stats(spark, sf_dir).collect()
+    }
+    for r in spans.clean_spans(spark, sf_dir).collect():
+        s = stats[r.doc_id]
+        assert r.n_tokens == s.n_tokens
+        assert r.n_removed == s.covered_tokens
+        kept = len(r.text_clean.split()) if r.text_clean.strip() else 0
+        assert kept == r.n_tokens - r.n_removed, (r.doc_id, r.text_clean)
+
+
+def test_clean_spans_removes_the_copied_run(spark):
+    run = "r1 r2 r3 r4 r5 r6"
+    out = {
+        r.doc_id: r
+        for r in spans.clean_spans_frame(
+            _docs(spark, [(1, f"{run} u1 u2 u3"), (2, f"v1 v2 {run}")])
+        ).collect()
+    }
+    assert out[1].text_clean == "u1 u2 u3"
+    assert out[1].n_removed == 6
+    assert out[2].text_clean == "v1 v2"
+    assert out[2].n_removed == 6
+
+
+def test_clean_spans_fully_duplicated_doc_empties(spark):
+    text = "a b c d e f g h i j"
+    out = {
+        r.doc_id: r
+        for r in spans.clean_spans_frame(
+            _docs(spark, [(1, text), (2, text)])
+        ).collect()
+    }
+    for d in (1, 2):
+        assert out[d].text_clean == ""
+        assert out[d].n_removed == 10
