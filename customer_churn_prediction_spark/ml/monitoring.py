@@ -74,26 +74,42 @@ def psi_frame(rows: DataFrame, in_base) -> DataFrame:
             (F.count(F.lit(1)) - F.sum("is_base")).alias("curr_n"),
         )
     )
-    w = Window.partitionBy()  # ≤ _PSI_NBINS rows: post-aggregate only
-    smooth_bins = F.lit(_PSI_EPS * _PSI_NBINS)
-    p_base = (F.col("base_n") + F.lit(_PSI_EPS)) / (
+    return psi_from_counts(per_bucket).orderBy("bucket")
+
+
+def psi_from_counts(
+    per_bucket: DataFrame,
+    nbins: int = _PSI_NBINS,
+    eps: float = _PSI_EPS,
+    with_fracs: bool = True,
+) -> DataFrame:
+    """The PSI smoothing/term formula over a tiny (bucket, base_n,
+    curr_n) histogram pair — the ONE definition both the batch tier
+    and the streaming maintenance sink (streaming/drift.py) compute."""
+    w = Window.partitionBy()  # ≤ nbins rows: post-aggregate only
+    smooth_bins = F.lit(eps * nbins)
+    p_base = (F.col("base_n") + F.lit(eps)) / (
         F.sum("base_n").over(w) + smooth_bins
     )
-    p_curr = (F.col("curr_n") + F.lit(_PSI_EPS)) / (
+    p_curr = (F.col("curr_n") + F.lit(eps)) / (
         F.sum("curr_n").over(w) + smooth_bins
     )
     term = (p_base - p_curr) * F.log(p_base / p_curr)
-    return (
-        per_bucket.select(
-            "bucket",
-            "base_n",
-            "curr_n",
+    frac_cols = (
+        [
             F.round(p_base, 6).alias("base_frac"),
             F.round(p_curr, 6).alias("curr_frac"),
-            F.round(term, 6).alias("psi_term"),
-            F.round(F.sum(term).over(w), 6).alias("psi_total"),
-        )
-        .orderBy("bucket")
+        ]
+        if with_fracs
+        else []
+    )
+    return per_bucket.select(
+        "bucket",
+        "base_n",
+        "curr_n",
+        *frac_cols,
+        F.round(term, 6).alias("psi_term"),
+        F.round(F.sum(term).over(w), 6).alias("psi_total"),
     )
 
 

@@ -35,12 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..constants import (
-    EVENTS_END_EXCL,
-    EVENTS_START,
-    FEAT_END_EXCL,
-    FEAT_START,
-)
+from ..constants import EVENTS_START, FEAT_END_EXCL, FEAT_START
 
 FUNNEL_STEPS = ["view", "click", "purchase"]
 # A short window keeps the funnel selective (the full 30-day window
@@ -153,14 +148,9 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cohort_month", "months_since")
 
 
-_STEP_SQL_PARTS = []
-_prev = None
-for _i, _step in enumerate(FUNNEL_STEPS):
-    _after = "" if _prev is None else f" AND ts > {_prev}"
-    _STEP_SQL_PARTS.append(
-        f"min(CASE WHEN event_type = '{_step}'{_after} THEN ts END) AS t{_i}"
-    )
-    _prev = f"t{_i}"
+# The oracle unrolls exactly three chained aggregates (r0/r1/r2); the
+# Spark side iterates FUNNEL_STEPS generically, so pin the contract.
+assert len(FUNNEL_STEPS) == 3, "FUNNEL_ORACLE is written for 3 steps"
 
 FUNNEL_ORACLE = f"""
 WITH e AS (

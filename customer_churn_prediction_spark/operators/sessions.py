@@ -8,7 +8,11 @@ then aggregate per visit. Classic lag→flag→running-sum plan:
 
   1. one window per user ordered by (ts, event_id): the gap flag is
      ``lag(ts)`` versus the timeout (event_id breaks timestamp ties so
-     the session numbering is total-order deterministic);
+     the session numbering is total-order deterministic). The boundary
+     is ``>=``: an event landing EXACTLY at prev_ts + gap starts a new
+     session — the same exclusive-end rule ``F.session_window`` applies
+     (see streaming/windows.py's session oracle), so the batch and
+     streaming forms agree on boundary events;
   2. the running sum of flags IS the session number (one shuffle, by
      user);
   3. per-(user, session) hash aggregate — same key prefix as the
@@ -50,7 +54,7 @@ def sessionize(e: DataFrame) -> DataFrame:
             F.lag("ts").over(w).isNull()
             | (
                 F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-                > SESSION_GAP_MIN * 60
+                >= SESSION_GAP_MIN * 60
             ),
             1,
         )
@@ -83,7 +87,7 @@ WITH e AS (
 flagged AS (
   SELECT *,
     CASE WHEN lag(ts) OVER w IS NULL
-           OR date_diff('second', lag(ts) OVER w, ts) > {SESSION_GAP_MIN * 60}
+           OR date_diff('second', lag(ts) OVER w, ts) >= {SESSION_GAP_MIN * 60}
          THEN 1 ELSE 0 END AS gap_flag
   FROM e
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

@@ -15,10 +15,14 @@ maintenance sink is (rollup.py / stream_to_batch_sink):
     is), so every epoch hands ``foreachBatch`` the FULL current
     histogram;
   * the sink recomputes the per-bucket PSI report from (baseline,
-    current) and atomically overwrites ONE small parquet — a pure
-    function of the complete aggregate, so epoch replay is idempotent
-    by construction (the exactly-once argument needs no partition
-    bookkeeping at all).
+    current) — ml/monitoring.py's ``psi_from_counts``, the ONE PSI
+    definition in the repo — writes it to a per-epoch directory, and
+    atomically flips a ``_LATEST`` pointer file (``os.replace``).
+    Readers resolve the pointer via :func:`read_report`, so a reader
+    never observes a half-written report (a plain
+    ``mode("overwrite")`` is delete-then-write, NOT atomic), and epoch
+    replay is idempotent because the report is a pure function of the
+    complete aggregate.
 
 Scale: the only stream state is NBINS rows; the shuffle per epoch is
 the map-side-combined bucket aggregate of that epoch's new files; the
@@ -28,10 +32,15 @@ IO, never on this query.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..constants import EVENTS_START
+from ..ml.monitoring import psi_from_counts
 from .windows import stream_to_batch_sink
 
 # events.value spans ~[0, 490]; fixed literal edges, 10 buckets.
@@ -52,7 +61,8 @@ def baseline_histogram(spark: SparkSession, sf_dir: str) -> list[tuple[int, int]
     """(bucket, count) rows of the frozen baseline window — the model
     artifact the stream is compared against."""
     e = load_table(spark, sf_dir, "events").where(
-        F.col("ts") < F.lit(BASELINE_END_EXCL).cast("timestamp")
+        (F.col("ts") >= F.lit(EVENTS_START).cast("timestamp"))
+        & (F.col("ts") < F.lit(BASELINE_END_EXCL).cast("timestamp"))
     )
     rows = (
         e.select(_bucket("value").alias("bucket"))
@@ -77,8 +87,9 @@ def psi_report(
     baseline: list[tuple[int, int]],
     current_hist: DataFrame,
 ) -> DataFrame:
-    """Per-bucket PSI of current vs baseline — ml/monitoring.py's
-    smoothing and term formula, over two tiny histograms."""
+    """Per-bucket PSI of current vs baseline, computed by the SHARED
+    formula (ml/monitoring.py::psi_from_counts) over the two tiny
+    histograms."""
     base_df = spark.createDataFrame(
         baseline, "bucket int, base_n long"
     )
@@ -96,24 +107,20 @@ def psi_report(
             F.coalesce("curr_n", F.lit(0)).alias("curr_n"),
         )
     )
-    from pyspark.sql import Window
+    return psi_from_counts(
+        joined, nbins=DRIFT_NBINS, eps=DRIFT_EPS, with_fracs=False
+    )
 
-    w = Window.partitionBy()
-    smooth = F.lit(DRIFT_EPS * DRIFT_NBINS)
-    p_base = (F.col("base_n") + F.lit(DRIFT_EPS)) / (
-        F.sum("base_n").over(w) + smooth
-    )
-    p_curr = (F.col("curr_n") + F.lit(DRIFT_EPS)) / (
-        F.sum("curr_n").over(w) + smooth
-    )
-    term = (p_base - p_curr) * F.log(p_base / p_curr)
-    return joined.select(
-        "bucket",
-        "base_n",
-        "curr_n",
-        F.round(term, 6).alias("psi_term"),
-        F.round(F.sum(term).over(w), 6).alias("psi_total"),
-    )
+
+_LATEST = "_LATEST"
+
+
+def read_report(spark: SparkSession, report_path: str) -> DataFrame:
+    """Resolve the atomic ``_LATEST`` pointer and read that epoch's
+    report directory."""
+    with open(os.path.join(report_path, _LATEST)) as f:
+        current = f.read().strip()
+    return spark.read.parquet(os.path.join(report_path, current))
 
 
 def maintain_drift_psi(
@@ -128,9 +135,25 @@ def maintain_drift_psi(
     hist = streaming_value_histogram(events_stream)
 
     def write_report(batch_df: DataFrame, epoch_id: int) -> None:
+        os.makedirs(report_path, exist_ok=True)
+        epoch_dir = f"epoch={epoch_id}"
         psi_report(spark, baseline, batch_df).coalesce(1).write.mode(
             "overwrite"
-        ).parquet(report_path)
+        ).parquet(os.path.join(report_path, epoch_dir))
+        tmp = os.path.join(report_path, f".{_LATEST}.tmp")
+        with open(tmp, "w") as f:
+            f.write(epoch_dir)
+        os.replace(tmp, os.path.join(report_path, _LATEST))  # atomic flip
+        # bound disk: drop published epochs older than the previous one
+        for d in os.listdir(report_path):
+            if (
+                d.startswith("epoch=")
+                and d != epoch_dir
+                and int(d.split("=")[1]) < epoch_id - 1
+            ):
+                shutil.rmtree(
+                    os.path.join(report_path, d), ignore_errors=True
+                )
 
     return stream_to_batch_sink(
         hist,

@@ -72,8 +72,18 @@ def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_span_frame(load_table(spark, sf_dir, "documents", spread=True))
 
 
-def dup_span_frame(d: DataFrame) -> DataFrame:
-    """Core plan over any (doc_id, text) frame."""
+def _marked_occurrences(d: DataFrame) -> DataFrame:
+    """Shared detection core: one row per k-gram occurrence —
+    (doc_id, n_tokens, pos, gram, is_dup) — with one NULL-occurrence
+    row per sub-K document (explode_outer keeps them visible without a
+    second documents scan).
+
+    NULL-gram rows never count as duplicated, but a plain
+    partitionBy("gram") would funnel ALL of them into one task — at
+    web scale that single NULL partition is a straggler. Salting the
+    window key by doc_id for NULL grams spreads them; the (wrong)
+    per-salt count is never read because is_dup requires a non-null
+    gram."""
     occ = (
         d.select("doc_id", F.expr(_pos_grams_spark()).alias("s"))
         .select(
@@ -84,20 +94,19 @@ def dup_span_frame(d: DataFrame) -> DataFrame:
         .select("doc_id", "n_tokens", F.col("g.pos").alias("pos"),
                 F.col("g.gram").alias("gram"))
     )
-    # NULL-gram rows (one per sub-K doc) never count as duplicated, but
-    # a plain partitionBy("gram") would funnel ALL of them into one
-    # task — at web scale that single NULL partition is a straggler.
-    # Salting the window key by doc_id for NULL grams spreads them; the
-    # (wrong) per-salt count is never read because is_dup requires a
-    # non-null gram.
     w_gram = Window.partitionBy(
         "gram",
         F.when(F.col("gram").isNull(), F.col("doc_id")).otherwise(F.lit(0)),
     )
-    marked = occ.withColumn(
+    return occ.withColumn(
         "is_dup",
         F.col("gram").isNotNull() & (F.count(F.lit(1)).over(w_gram) > 1),
     )
+
+
+def dup_span_frame(d: DataFrame) -> DataFrame:
+    """Core plan over any (doc_id, text) frame."""
+    marked = _marked_occurrences(d)
     w_doc = Window.partitionBy("doc_id", "is_dup").orderBy("pos")
     covered_term = F.when(
         F.col("is_dup"),
@@ -197,25 +206,8 @@ def clean_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def clean_spans_frame(d: DataFrame) -> DataFrame:
-    occ = (
-        d.select("doc_id", F.expr(_pos_grams_spark()).alias("s"))
-        .select(
-            "doc_id",
-            F.explode_outer("s.occ").alias("g"),
-        )
-        .select("doc_id", F.col("g.pos").alias("pos"),
-                F.col("g.gram").alias("gram"))
-    )
-    w_gram = Window.partitionBy(
-        "gram",
-        F.when(F.col("gram").isNull(), F.col("doc_id")).otherwise(F.lit(0)),
-    )
     starts = (
-        occ.withColumn(
-            "is_dup",
-            F.col("gram").isNotNull()
-            & (F.count(F.lit(1)).over(w_gram) > 1),
-        )
+        _marked_occurrences(d)
         .where(F.col("is_dup"))
         .select("doc_id", "pos", F.lit(1).alias("start_flag"))
     )

@@ -125,3 +125,24 @@ def test_degenerate_docs_staged_dup_spans(spark, degenerate_dir):
     assert out[1].covered_tokens == 0
     assert out[2].covered_tokens == 0
     assert out[3].covered_tokens == 0  # 1 token < K
+
+
+def test_degenerate_docs_staged_clean_spans(spark, degenerate_dir):
+    """The actuation form shares the tokenizer edge cases: parity on
+    the degenerate corpus, the 4 identical copies empty out, and
+    sub-K docs keep their text verbatim (lowercased/trimmed)."""
+    from customer_churn_prediction_spark.text import spans
+
+    assert_matches_oracle(
+        spans.clean_spans(spark, degenerate_dir),
+        spans.CLEAN_SPANS_ORACLE,
+        degenerate_dir,
+    )
+    out = {
+        r.doc_id: r
+        for r in spans.clean_spans(spark, degenerate_dir).collect()
+    }
+    assert out[12].text_clean == ""
+    assert out[12].n_removed == out[12].n_tokens
+    assert out[3].text_clean == "hello"
+    assert out[3].n_removed == 0

@@ -79,7 +79,7 @@ def test_gap_rule_splits_and_keeps(spark):
         spark,
         [
             (1, 0, 0, 10, 1.0),
-            (1, 30, 1, 11, 2.0),  # 30m01s -> new session
+            (1, 30, 1, 11, 2.0),  # 30m01s (>= gap) -> new session
         ],
     )
     out2 = sessions.sessionize(e2).orderBy("session_seq").collect()
@@ -87,12 +87,12 @@ def test_gap_rule_splits_and_keeps(spark):
     assert [r.n_events for r in out2] == [1, 1]
 
 
-def test_exact_boundary_gap_stays_in_session(spark):
-    # exactly 30m00s is NOT greater than the timeout -> same session
+def test_exact_boundary_gap_starts_new_session(spark):
+    # exactly 30m00s starts a NEW session — the streaming
+    # session_window exclusive-end rule, kept identical in batch
     e = _stream(spark, [(1, 0, 0, 10, 1.0), (1, 30, 0, 11, 2.0)])
-    out = sessions.sessionize(e).collect()
-    assert len(out) == 1
-    assert out[0].n_events == 2
+    out = sessions.sessionize(e).orderBy("session_seq").collect()
+    assert [r.session_seq for r in out] == [1, 2]
 
 
 def test_timestamp_ties_break_on_event_id(spark):

@@ -48,7 +48,7 @@ def test_final_report_equals_batch(spark, sf_smoke, tmp_path):
             q.processAllAvailable()
         finally:
             q.stop()
-        got = spark.read.parquet(report)
+        got = drift.read_report(spark, report)
         want = _batch_report(spark, sf_smoke, src)
         assert canonical_rows(got.toPandas()) == canonical_rows(
             want.toPandas()
@@ -93,7 +93,7 @@ def test_multi_epoch_restart_converges(spark, sf_smoke, tmp_path):
             q2.processAllAvailable()
         finally:
             q2.stop()
-        got = spark.read.parquet(report)
+        got = drift.read_report(spark, report)
         want = _batch_report(spark, sf_smoke, src)
         assert canonical_rows(got.toPandas()) == canonical_rows(
             want.toPandas()
