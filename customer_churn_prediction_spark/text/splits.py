@@ -1,0 +1,84 @@
+"""Leakage-safe train/validation/test splitting of a document corpus.
+
+A uniform per-document split leaks training text into evaluation
+whenever the corpus contains near-duplicates: the copy lands in train,
+the original in test, and the eval score is contaminated (the reason
+dedup-aware splits are standard practice for LLM training data). The
+fix is to split at the granularity of the TRANSITIVE near-duplicate
+component, not the document: every doc in a component gets the split of
+its component label, so no candidate near-dup pair can straddle splits.
+
+The one-sweep ``lsh_dedup_groups`` is NOT sufficient here — it assigns
+each doc the min id among its direct bucket peers, so a chain A~B~C
+where A and C share no bucket can leave A and C with different
+representatives (and therefore different splits) even though both pair
+with B. Only the fixpoint components (``lsh_dedup_components``) give
+the guarantee, which is why this operator pays for propagation.
+
+Split assignment is the repo's deterministic md5-prefix threshold
+(``operators/relational.hash_threshold``): the first 4 hex chars of
+``md5(component_label)`` cut at 80% / 90%. Engine-portable (same rows
+in Spark and DuckDB), reproducible across retries and repartitions,
+and a pure map over the component frame — the only distributed work is
+the component computation itself, already O(log diameter) rounds of
+linear shuffles. At 100 TB the labels would be computed once, stored,
+and this operator becomes a single scan + map over the label table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.relational import hash_threshold
+from .dedup import ORACLES as _DEDUP_ORACLES
+from .dedup import lsh_dedup_components
+
+TRAIN_FRAC = 0.8
+VAL_FRAC = 0.1  # test gets the remainder
+
+_T_TRAIN = hash_threshold(TRAIN_FRAC)
+_T_VAL = hash_threshold(TRAIN_FRAC + VAL_FRAC)
+
+
+def split_from_components(components: DataFrame) -> DataFrame:
+    """Assign train/val/test from a (doc_id, label, ...) component
+    frame. Pure map: split is a function of the component label only,
+    so co-component docs agree by construction."""
+    hk = F.substring(F.md5(F.col("label").cast("string")), 1, 4)
+    split = (
+        F.when(hk < F.lit(_T_TRAIN), F.lit("train"))
+        .when(hk < F.lit(_T_VAL), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return components.select(
+        "doc_id", F.col("label").alias("group_label"), split.alias("split")
+    )
+
+
+def corpus_split_leakproof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document split assignment with the no-straddle guarantee:
+    any two docs sharing an LSH band (transitively) share a split."""
+    return split_from_components(lsh_dedup_components(spark, sf_dir))
+
+
+# ---------------------------------------------------------------- oracle
+
+# The component closure is the registered dedup_lsh_components oracle
+# (WITH RECURSIVE reachability, labeled by min reachable id) — reused
+# verbatim as a subquery so the two operators can never drift.
+SPLIT_ORACLE = f"""
+WITH comp AS ({_DEDUP_ORACLES["dedup_lsh_components"]})
+SELECT doc_id, label AS group_label,
+  CASE WHEN substring(md5(CAST(label AS VARCHAR)), 1, 4) < '{_T_TRAIN}'
+         THEN 'train'
+       WHEN substring(md5(CAST(label AS VARCHAR)), 1, 4) < '{_T_VAL}'
+         THEN 'val'
+       ELSE 'test' END AS split
+FROM comp
+"""
+
+# Staged for the r6 registry (driver PRIORITY budget is full this
+# round); tests/test_splits.py holds these to driver rigor.
+QUERIES = {"corpus_split_leakproof": corpus_split_leakproof}
+ORACLES = {"corpus_split_leakproof": SPLIT_ORACLE}
