@@ -1,0 +1,140 @@
+"""SCD-1 partition-scoped upsert + SCD-2 history (sources/merge.py):
+merge correctness, partition-scoping (untouched partitions' files not
+rewritten), replay idempotency, and history invariants."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from customer_churn_prediction_spark.catalog import load_table
+from customer_churn_prediction_spark.sources import merge
+
+
+def _seed_partitioned(spark, sf_dir, out):
+    docs = load_table(spark, sf_dir, "documents")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+    return docs
+
+
+def _files_mtimes(out, lang):
+    return {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(out, f"lang={lang}", "*"))
+        if not os.path.basename(f).startswith(("_", "."))
+    }
+
+
+def test_upsert_replaces_and_inserts_only_in_touched_partitions(
+    spark, sf_dir, tmp_path
+):
+    out = str(tmp_path / "docs_scd1")
+    docs = _seed_partitioned(spark, sf_dir, out)
+    langs = sorted(r.lang for r in docs.select("lang").distinct().collect())
+    touched, untouched = langs[0], langs[1]
+    before_untouched = _files_mtimes(out, untouched)
+
+    victim = docs.where(F.col("lang") == touched).limit(1).collect()[0]
+    updates = spark.createDataFrame(
+        [
+            (victim.doc_id, "REWRITTEN", 9, victim.source, touched),
+            (99_000_001, "BRAND NEW", 9, "srcN", touched),
+        ],
+        "doc_id long, text string, n_chars long, source string, lang string",
+    )
+    n_before = docs.count()
+    report = merge.upsert_partitioned(spark, out, updates, "doc_id", "lang").collect()[0]
+    assert report.partitions_touched == 1
+    assert report.rows_upserted == 2
+    assert report.rows_replaced == 1
+
+    after = spark.read.parquet(out)
+    assert after.count() == n_before + 1
+    got = {r.doc_id: r.text for r in after.where(
+        F.col("doc_id").isin(victim.doc_id, 99_000_001)).collect()}
+    assert got[victim.doc_id] == "REWRITTEN"
+    assert got[99_000_001] == "BRAND NEW"
+    # untouched partition's files were not rewritten
+    assert _files_mtimes(out, untouched) == before_untouched
+
+
+def test_upsert_replay_is_idempotent(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "docs_scd1_replay")
+    docs = _seed_partitioned(spark, sf_dir, out)
+    lang = docs.select("lang").distinct().limit(1).collect()[0].lang
+    updates = spark.createDataFrame(
+        [(99_000_002, "NEW", 3, "srcN", lang)],
+        "doc_id long, text string, n_chars long, source string, lang string",
+    )
+    merge.upsert_partitioned(spark, out, updates, "doc_id", "lang")
+    once = sorted(
+        (r.doc_id, r.text) for r in spark.read.parquet(out).collect()
+    )
+    merge.upsert_partitioned(spark, out, updates, "doc_id", "lang")
+    twice = sorted(
+        (r.doc_id, r.text) for r in spark.read.parquet(out).collect()
+    )
+    assert once == twice
+
+
+def test_scd2_closes_and_versions(spark):
+    base = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "cust long, tier string"
+    )
+    hist = merge.scd2_init(base, "2024-01-01")
+    updates = spark.createDataFrame([(1, "platinum")], "cust long, tier string")
+    out = merge.scd2_apply(hist, updates, "cust", "2024-02-01")
+    rows = sorted(
+        (r.cust, r.tier, r.is_current, str(r.valid_to)) for r in out.collect()
+    )
+    assert rows == [
+        (1, "gold", 0, "2024-02-01 00:00:00"),
+        (1, "platinum", 1, "None"),
+        (2, "silver", 1, "None"),
+    ]
+    # second batch: versions stack, exactly one current row per key
+    out2 = merge.scd2_apply(
+        out, spark.createDataFrame([(1, "gold")], "cust long, tier string"),
+        "cust", "2024-03-01",
+    )
+    per_key = out2.groupBy("cust").agg(
+        F.sum("is_current").alias("n_cur"), F.count("*").alias("n")
+    ).collect()
+    assert all(r.n_cur == 1 for r in per_key)
+    assert {r.cust: r.n for r in per_key} == {1: 3, 2: 1}
+    # closed intervals chain: valid_to of one version == valid_from of next
+    v1 = sorted(
+        (str(r.valid_from), str(r.valid_to))
+        for r in out2.where("cust = 1").collect()
+    )
+    assert v1 == [
+        ("2024-01-01 00:00:00", "2024-02-01 00:00:00"),
+        ("2024-02-01 00:00:00", "2024-03-01 00:00:00"),
+        ("2024-03-01 00:00:00", "None"),
+    ]
+
+
+def test_scd2_batch_join_broadcasts(spark):
+    base = spark.createDataFrame(
+        [(i, "t") for i in range(100)], "cust long, tier string"
+    )
+    hist = merge.scd2_init(base, "2024-01-01")
+    updates = spark.createDataFrame([(1, "x")], "cust long, tier string")
+    out = merge.scd2_apply(hist, updates, "cust", "2024-02-01")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_upsert_rejects_null_partition(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "docs_nullpart")
+    _seed_partitioned(spark, sf_dir, out)
+    updates = spark.createDataFrame(
+        [(1, "x", 1, "s", None)],
+        "doc_id long, text string, n_chars long, source string, lang string",
+    )
+    import pytest
+
+    with pytest.raises(ValueError):
+        merge.upsert_partitioned(spark, out, updates, "doc_id", "lang")
