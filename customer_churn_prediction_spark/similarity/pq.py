@@ -45,7 +45,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .ann import DIM, N_QUERIES, TOP_K, _embeddings
+from .ann import (
+    DIM,
+    N_CENTROIDS,
+    N_PROBE,
+    N_QUERIES,
+    TOP_K,
+    _cells_expr,
+    _centroids,
+    _embeddings,
+    _ivf_probes,
+)
 
 PQ_M = 4               # subspaces
 PQ_SUBDIM = DIM // PQ_M
@@ -154,10 +164,14 @@ def train_pq(spark: SparkSession, sf_dir: str,
         e.unpersist()
 
 
-def _codes_frame(e: DataFrame, cb: list[list[list[float]]]) -> DataFrame:
-    """vec_id, code0..codeM-1 (int), recon_mse — a pure map."""
+def _codes_frame(
+    e: DataFrame, cb: list[list[list[float]]], extra: tuple = ()
+) -> DataFrame:
+    """vec_id [, *extra], code0..codeM-1 (int), recon_mse — a pure map.
+    ``extra`` names passthrough columns of ``e`` (e.g. the IVF cell
+    assignment) to carry alongside the codes in the same projection."""
     cb_sql = _cb_literal(cb)
-    cols = ["vec_id"]
+    cols = ["vec_id", *extra]
     err_terms = []
     for m in range(PQ_M):
         sv = f"slice(v, {m * PQ_SUBDIM + 1}, {PQ_SUBDIM})"
@@ -175,6 +189,7 @@ def _codes_frame(e: DataFrame, cb: list[list[list[float]]]) -> DataFrame:
     recon = " + ".join(err_terms)  # explicit left-assoc chain
     return coded.select(
         "vec_id",
+        *extra,
         *[F.col(f"s{m}.code").alias(f"code{m}") for m in range(PQ_M)],
         F.expr(f"round(({recon}) / {DIM}, 6)").alias("recon_mse"),
     )
@@ -235,6 +250,85 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         long.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )
+
+
+def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (the FAISS IVFADC architecture): the coarse IVF cells
+    prune WHICH vectors are candidates, the PQ codes price them — the
+    only composition that scales ANN to 100 TB, because neither a full
+    scan (brute force / plain ADC touches every code) nor full-precision
+    candidate vectors (plain IVF re-reads floats) survives there.
+
+    One pure-map pass over the store computes BOTH the cell assignment
+    and the PQ codes (shared projection — not two scans); candidates
+    come from the broadcast probe equi-join on ``centroid_id`` exactly
+    as in ``ann_ivf``; the ADC distance is M table lookups against the
+    per-query LUT literals, evaluated only on the probed sliver. At
+    rest this is ``ivf_lists_ingest`` storing codes instead of floats:
+    partition-pruned probes over a store 16× smaller per vector.
+
+    Coarse ranking is cosine (matching ``ann_ivf``'s cells), fine
+    ranking is L2² ADC (matching ``ann_pq_adc``) — the mixed metric is
+    deliberate and documented: FAISS's IVF+PQ pairs an arbitrary
+    coarse quantizer with L2 ADC the same way."""
+    cb = train_pq(spark, sf_dir)
+    cent_rows = _centroids(spark, sf_dir)
+    e = _embeddings(spark, sf_dir)
+    cells = _cells_expr(cent_rows)
+    assigned = e.select(
+        "vec_id",
+        "v",
+        (-F.element_at(cells, 1)["nid"]).alias("centroid_id"),
+    )
+    coded = _codes_frame(assigned, cb, extra=("centroid_id",))
+    probes = _ivf_probes(e, cent_rows).select("query_id", "centroid_id")
+    cands = coded.join(F.broadcast(probes), "centroid_id").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    # per-(query, subspace) LUTs as one 2D literal per subspace,
+    # indexed by (query_id, code) — engine-computed and 6dp-rounded so
+    # the values match the oracle's SQL-derived LUT bit-for-bit.
+    cb_sql = _cb_literal(cb)
+    lut_rows = sorted(
+        e.where(F.col("vec_id") < N_QUERIES)
+        .select(
+            "vec_id",
+            *[
+                F.expr(
+                    _dists_expr(
+                        f"slice(v, {m * PQ_SUBDIM + 1}, {PQ_SUBDIM})",
+                        f"element_at({cb_sql}, {m + 1})",
+                    )
+                ).alias(f"lut{m}")
+                for m in range(PQ_M)
+            ],
+        )
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    terms = []
+    for m in range(PQ_M):
+        rows_sql = ", ".join(
+            "array(" + ", ".join(f"{x!r}D" for x in r[f"lut{m}"]) + ")"
+            for r in lut_rows
+        )
+        terms.append(
+            f"element_at(element_at(array({rows_sql}), "
+            f"cast(query_id as int) + 1), code{m} + 1)"
+        )
+    scored = cands.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr(f"round({' + '.join(terms)}, 6)").alias("adc_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "adc_dist", "rank")
     )
@@ -370,7 +464,71 @@ SELECT query_id, neighbor_id, adc_dist, rank FROM ranked
 WHERE rank <= {TOP_K}
 """
 
+IVF_PQ_ORACLE = f"""
+WITH {_PQ_BASE_SQL},
+{_CODES_SQL},
+nv AS (
+  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+  FROM e
+),
+cents AS (
+  SELECT vec_id AS centroid_id, v AS cv, nrm AS cn
+  FROM nv WHERE vec_id >= 100 AND vec_id < {100 + N_CENTROIDS}
+),
+asg AS (
+  SELECT vec_id, centroid_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY c_sim DESC, centroid_id) AS c_rank
+  FROM (
+    SELECT nv.vec_id, c.centroid_id,
+           round(list_sum(list_transform(range(1, len(nv.v) + 1),
+                          i -> nv.v[i::INT] * c.cv[i::INT])) / (nv.nrm * c.cn), 6)
+             AS c_sim
+    FROM nv CROSS JOIN cents c)
+),
+assigned AS (SELECT vec_id, centroid_id FROM asg WHERE c_rank = 1),
+probes AS (
+  SELECT vec_id AS query_id, centroid_id FROM asg
+  WHERE vec_id < {N_QUERIES} AND c_rank <= {N_PROBE}
+),
+lut AS (
+  SELECT q.vec_id AS query_id, c.m, c.code,
+         {_L2_SQL.format(n=PQ_SUBDIM, a="q.sv", b="c.cv")} AS d
+  FROM sub q JOIN {_FINAL_CB} c ON c.m = q.m
+  WHERE q.vec_id < {N_QUERIES}
+),
+cands AS (
+  SELECT p.query_id, a.vec_id
+  FROM assigned a JOIN probes p USING (centroid_id)
+  WHERE a.vec_id <> p.query_id
+),
+adc AS (
+  SELECT t.query_id, t.vec_id AS neighbor_id,
+         round(({_ADC_CHAIN}), 6) AS adc_dist
+  FROM (
+    SELECT cd.query_id, cd.vec_id, cf.m, l.d
+    FROM cands cd
+    JOIN codesF cf ON cf.vec_id = cd.vec_id
+    JOIN lut l ON l.query_id = cd.query_id AND l.m = cf.m AND l.code = cf.code) t
+  GROUP BY t.query_id, t.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_dist ASC, neighbor_id) AS rank
+  FROM adc
+)
+SELECT query_id, neighbor_id, adc_dist, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
 # Staged registry surface — wire into plans/registry._MODULES (plus
 # PRIORITY) in round 6 when driver-budget slots rotate free.
-QUERIES = {"embedding_pq": embedding_pq, "ann_pq_adc": ann_pq_adc}
-ORACLES = {"embedding_pq": PQ_ORACLE, "ann_pq_adc": ADC_ORACLE}
+QUERIES = {
+    "embedding_pq": embedding_pq,
+    "ann_pq_adc": ann_pq_adc,
+    "ann_ivf_pq": ann_ivf_pq,
+}
+ORACLES = {
+    "embedding_pq": PQ_ORACLE,
+    "ann_pq_adc": ADC_ORACLE,
+    "ann_ivf_pq": IVF_PQ_ORACLE,
+}

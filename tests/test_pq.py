@@ -106,3 +106,51 @@ def test_codebook_memoized_per_session(spark, sf_dir):
     cb1 = pq.train_pq(spark, sf_dir)
     cb2 = pq.train_pq(spark, sf_dir)
     assert cb1 is cb2  # second call must not re-run the Lloyd jobs
+
+
+def test_ann_ivf_pq_oracle_parity(spark, sf_dir):
+    assert_matches_oracle(
+        pq.ann_ivf_pq(spark, sf_dir), pq.IVF_PQ_ORACLE, sf_dir
+    )
+
+
+def test_ivf_pq_results_come_from_probed_cells_only(spark, sf_dir):
+    """Every IVF-PQ neighbor must live in one of its query's probed
+    cells (candidate pruning is real), and its ADC distance must agree
+    with the full-scan ADC for that same pair (pricing unchanged —
+    composition only prunes, never re-scores)."""
+    cent = ann._centroids(spark, sf_dir)
+    e = ann._embeddings(spark, sf_dir)
+    cells = ann._cells_expr(cent)
+    cell_of = {
+        r.vec_id: r.cid
+        for r in e.select(
+            "vec_id", (-F.element_at(cells, 1)["nid"]).alias("cid")
+        ).collect()
+    }
+    probes = {}
+    for r in ann._ivf_probes(e, cent).collect():
+        probes.setdefault(r.query_id, set()).add(r.centroid_id)
+    full = {
+        (r.query_id, r.neighbor_id): r.adc_dist
+        for r in pq.ann_pq_adc(spark, sf_dir).collect()
+    }
+    got = pq.ann_ivf_pq(spark, sf_dir).collect()
+    assert got
+    for r in got:
+        assert cell_of[r.neighbor_id] in probes[r.query_id]
+        if (r.query_id, r.neighbor_id) in full:
+            assert full[(r.query_id, r.neighbor_id)] == r.adc_dist
+
+
+def test_ivf_pq_plan_shape(spark, sf_dir):
+    """Candidates come from a broadcast equi-join on centroid_id (no
+    cartesian anywhere); codes + cell assignment share one projection
+    over one store scan."""
+    plan = (
+        pq.ann_ivf_pq(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
