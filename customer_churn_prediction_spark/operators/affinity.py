@@ -1,0 +1,147 @@
+"""Market-basket affinity: brand co-occurrence support and lift.
+
+The classic retail-analytics companion to the churn tiers: which pairs
+of brands appear in the same order more often than independence
+predicts. Support, confidence denominators, and lift all derive from
+three counts — n_orders, per-brand order counts, per-pair
+co-occurrence counts.
+
+Scale shape:
+
+* **Pair generation is the LSH-bucket idiom, not a self-join.** The
+  naive form self-joins the (order, brand) detail on the order key —
+  two shuffles of the detail and a join whose output IS the pair
+  blowup. Instead each order's distinct brands are collected into one
+  sorted array (one shuffle) and the i<j pairs are expanded with array
+  expressions (``text/dedup.py``'s bucket expansion) — the quadratic
+  step runs inside a row, bounded by basket size, and never crosses
+  the network. At 100 TB add a basket-size cap (top-N items by spend)
+  before expansion — the standard guard against pathological baskets.
+* **Brand marginals ride a broadcast.** 25 brands — the pair-to-
+  marginal join is two broadcast hash joins, no shuffle.
+* The dimension join (lineitem → part for the brand) broadcasts the
+  part side, mirroring the reference's fact⋈dim discipline
+  (``operators/assembly.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+MIN_SUPPORT = 5  # co-occurrence count floor
+TOP_PAIRS = 20
+
+_BRAND_PAIRS = (
+    "flatten(transform(sequence(1, size(brands) - 1), "
+    "i -> transform(slice(brands, i + 1, size(brands) - i), "
+    "y -> named_struct('brand_a', element_at(brands, i), 'brand_b', y))))"
+)
+
+
+def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top brand pairs by lift (ties broken by pair name), with their
+    support counts. ``lift = n_co * n_orders / (n_a * n_b)``."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
+    )
+    # One aggregation feeds pairs, marginals, and the order total; the
+    # three consumers branch off the same shuffle (ReusedExchange).
+    pairs = (
+        # sequence(1, size-1) DESCENDS through index 0 on singleton
+        # baskets (the dedup bucket expansion hits the same edge and
+        # guards it with size > 1); singletons produce no pairs but
+        # still count in the marginals and the order total below.
+        baskets.where(F.size("brands") > 1)
+        .select(F.explode(F.expr(_BRAND_PAIRS)).alias("p"))
+        .groupBy(F.col("p.brand_a").alias("brand_a"),
+                 F.col("p.brand_b").alias("brand_b"))
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .where(F.col("n_co") >= MIN_SUPPORT)
+    )
+    marginals = (
+        baskets.select(F.explode("brands").alias("brand"))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).alias("n_brand"))
+    )
+    n_orders = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    enriched = (
+        pairs.join(
+            F.broadcast(marginals.select(F.col("brand").alias("brand_a"),
+                                         F.col("n_brand").alias("n_a"))),
+            "brand_a",
+        )
+        .join(
+            F.broadcast(marginals.select(F.col("brand").alias("brand_b"),
+                                         F.col("n_brand").alias("n_b"))),
+            "brand_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+    )
+    scored = enriched.select(
+        "brand_a",
+        "brand_b",
+        "n_co",
+        "n_a",
+        "n_b",
+        F.round(F.col("n_co") / F.col("n_orders"), 6).alias("support"),
+        F.round(
+            F.col("n_co") * F.col("n_orders") / (F.col("n_a") * F.col("n_b")),
+            6,
+        ).alias("lift"),
+    )
+    w = Window.orderBy(
+        F.col("lift").desc(), F.col("brand_a"), F.col("brand_b")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= TOP_PAIRS)
+    )
+
+
+AFFINITY_ORACLE = f"""
+WITH baskets AS (
+  SELECT l_orderkey, p_brand
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+         CAST(count(*) AS BIGINT) AS n_co
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY 1, 2
+  HAVING count(*) >= {MIN_SUPPORT}
+),
+marginals AS (
+  SELECT p_brand AS brand, CAST(count(*) AS BIGINT) AS n_brand
+  FROM baskets GROUP BY 1
+),
+tot AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+        FROM baskets),
+scored AS (
+  SELECT p.brand_a, p.brand_b, p.n_co, ma.n_brand AS n_a, mb.n_brand AS n_b,
+         round(CAST(p.n_co AS DOUBLE) / t.n_orders, 6) AS support,
+         round(CAST(p.n_co AS DOUBLE) * t.n_orders / (ma.n_brand * mb.n_brand),
+               6) AS lift
+  FROM pairs p
+  JOIN marginals ma ON ma.brand = p.brand_a
+  JOIN marginals mb ON mb.brand = p.brand_b
+  CROSS JOIN tot t
+)
+SELECT * FROM (
+  SELECT *, row_number() OVER (ORDER BY lift DESC, brand_a, brand_b) AS rank
+  FROM scored)
+WHERE rank <= {TOP_PAIRS}
+"""
+
+# Staged for the r6 registry (driver PRIORITY budget is full this
+# round); tests/test_affinity.py holds these to driver rigor.
+QUERIES = {"basket_pair_lift": basket_pair_lift}
+ORACLES = {"basket_pair_lift": AFFINITY_ORACLE}

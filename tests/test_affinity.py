@@ -1,0 +1,84 @@
+"""basket_pair_lift (operators/affinity.py) — staged registry
+candidate; oracle parity at driver rigor plus lift semantics on
+constructed baskets."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from customer_churn_prediction_spark.operators import affinity
+
+from .oracle_utils import assert_matches_oracle
+
+
+def test_affinity_oracle_parity_sf001(spark, sf_dir):
+    assert_matches_oracle(
+        affinity.basket_pair_lift(spark, sf_dir),
+        affinity.AFFINITY_ORACLE,
+        sf_dir,
+    )
+
+
+def test_lift_semantics_on_constructed_baskets(spark, monkeypatch):
+    """Brands X and Y always co-occur (lift > 1, maximal); Z floats
+    independently across many baskets. Exact values checked against
+    the lift definition by hand."""
+    rows = []
+    # 10 baskets with {X, Y}; 10 baskets with {Z}; 5 with {X, Y, Z}
+    oid = 0
+    for _ in range(10):
+        rows += [(oid, "X"), (oid, "Y")]
+        oid += 1
+    for _ in range(10):
+        rows += [(oid, "Z")]
+        oid += 1
+    for _ in range(5):
+        rows += [(oid, "X"), (oid, "Y"), (oid, "Z")]
+        oid += 1
+    detail = spark.createDataFrame(rows, "l_orderkey long, p_brand string")
+    monkeypatch.setattr(affinity, "MIN_SUPPORT", 1)
+    baskets = detail.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("p_brand")).alias("brands")
+    )
+    pairs = (
+        baskets.where(F.size("brands") > 1)
+        .select(F.explode(F.expr(affinity._BRAND_PAIRS)).alias("p"))
+        .groupBy(F.col("p.brand_a").alias("a"), F.col("p.brand_b").alias("b"))
+        .count()
+        .collect()
+    )
+    got = {(r.a, r.b): r["count"] for r in pairs}
+    # X,Y co-occur in 15 baskets of 25; X alone in 15, Y in 15, Z in 15
+    assert got[("X", "Y")] == 15
+    assert got[("X", "Z")] == 5
+    assert got[("Y", "Z")] == 5
+    # lift(X,Y) = 15 * 25 / (15 * 15) = 1.6667 > lift(X,Z) = 5*25/(15*15)
+    lift_xy = 15 * 25 / (15 * 15)
+    lift_xz = 5 * 25 / (15 * 15)
+    assert lift_xy > 1.0 > lift_xz
+
+
+def test_pair_expansion_not_a_self_join(spark, sf_dir):
+    """The pair blowup must happen inside rows (array expansion after
+    ONE basket aggregation shared by all three consumers), never as a
+    detail self-join: the EXECUTED adaptive plan must show the basket
+    exchange reused (pairs + marginals + order total = 2 reuses), no
+    sort-merge join, no cartesian."""
+    df = affinity.basket_pair_lift(spark, sf_dir)
+    qe = df._jdf.queryExecution()
+    qe.executedPlan().executeCollect()
+    plan = qe.executedPlan().toString()
+    assert plan.count("ReusedExchange") >= 2, plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_output_ranked_and_bounded(spark, sf_dir):
+    rows = affinity.basket_pair_lift(spark, sf_dir).orderBy("rank").collect()
+    assert 0 < len(rows) <= affinity.TOP_PAIRS
+    lifts = [r.lift for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
+    for r in rows:
+        assert r.brand_a < r.brand_b
+        assert r.n_co >= affinity.MIN_SUPPORT
+        assert 0.0 < r.support <= 1.0
