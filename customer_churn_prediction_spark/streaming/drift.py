@@ -123,6 +123,33 @@ def read_report(spark: SparkSession, report_path: str) -> DataFrame:
     return spark.read.parquet(os.path.join(report_path, current))
 
 
+def publish_epoch_report(
+    report_df: DataFrame, report_path: str, epoch_id: int
+) -> None:
+    """The ONE atomic report-publish discipline for every maintenance
+    sink (drift PSI, streaming DQ): write the epoch's report dir, flip
+    the ``_LATEST`` pointer via ``os.replace`` (readers never observe a
+    half-written report — plain overwrite is delete-then-write), GC
+    epochs older than the previous one. Idempotent under epoch replay
+    whenever the report is a pure function of the running aggregate."""
+    os.makedirs(report_path, exist_ok=True)
+    epoch_dir = f"epoch={epoch_id}"
+    report_df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(report_path, epoch_dir)
+    )
+    tmp = os.path.join(report_path, f".{_LATEST}.tmp")
+    with open(tmp, "w") as f:
+        f.write(epoch_dir)
+    os.replace(tmp, os.path.join(report_path, _LATEST))  # atomic flip
+    for d in os.listdir(report_path):
+        if (
+            d.startswith("epoch=")
+            and d != epoch_dir
+            and int(d.split("=")[1]) < epoch_id - 1
+        ):
+            shutil.rmtree(os.path.join(report_path, d), ignore_errors=True)
+
+
 def maintain_drift_psi(
     spark: SparkSession,
     events_stream: DataFrame,
@@ -135,25 +162,9 @@ def maintain_drift_psi(
     hist = streaming_value_histogram(events_stream)
 
     def write_report(batch_df: DataFrame, epoch_id: int) -> None:
-        os.makedirs(report_path, exist_ok=True)
-        epoch_dir = f"epoch={epoch_id}"
-        psi_report(spark, baseline, batch_df).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(report_path, epoch_dir))
-        tmp = os.path.join(report_path, f".{_LATEST}.tmp")
-        with open(tmp, "w") as f:
-            f.write(epoch_dir)
-        os.replace(tmp, os.path.join(report_path, _LATEST))  # atomic flip
-        # bound disk: drop published epochs older than the previous one
-        for d in os.listdir(report_path):
-            if (
-                d.startswith("epoch=")
-                and d != epoch_dir
-                and int(d.split("=")[1]) < epoch_id - 1
-            ):
-                shutil.rmtree(
-                    os.path.join(report_path, d), ignore_errors=True
-                )
+        publish_epoch_report(
+            psi_report(spark, baseline, batch_df), report_path, epoch_id
+        )
 
     return stream_to_batch_sink(
         hist,
