@@ -47,6 +47,16 @@ def get_spark(
             "spark.driver.extraJavaOptions",
             "-XX:ReservedCodeCacheSize=512m",
         )
+        # local[N] puts executors AND driver in one JVM; Spark's 1g
+        # default heap is sized for a driver-only process and OOMs
+        # late in a long session (hundreds of plans, accumulated
+        # broadcast/cache blocks — seen as heap exhaustion ~380 tests
+        # into the suite). On a real cluster this conf is the
+        # deployment's concern; here it must cover the whole engine.
+        builder = builder.config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
 
     conf = {
         # Determinism: all date/timestamp math in UTC regardless of host tz.
