@@ -284,13 +284,14 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.element_at(cells, 1)["nid"]).alias("centroid_id"),
     )
     coded = _codes_frame(assigned, cb, extra=("centroid_id",))
-    probes = _ivf_probes(e, cent_rows).select("query_id", "centroid_id")
-    cands = coded.join(F.broadcast(probes), "centroid_id").where(
-        F.col("vec_id") != F.col("query_id")
-    )
-    # per-(query, subspace) LUTs as one 2D literal per subspace,
-    # indexed by (query_id, code) — engine-computed and 6dp-rounded so
-    # the values match the oracle's SQL-derived LUT bit-for-bit.
+    return _probe_and_adc_rank(spark, sf_dir, coded, cb, cent_rows)
+
+
+def _adc_lut_expr(spark: SparkSession, sf_dir: str, cb) -> str:
+    """Per-(query, subspace) LUTs as one 2D literal per subspace,
+    indexed by (query_id, code) — engine-computed and 6dp-rounded so
+    the values match the oracle's SQL-derived LUT bit-for-bit."""
+    e = _embeddings(spark, sf_dir)
     cb_sql = _cb_literal(cb)
     lut_rows = sorted(
         e.where(F.col("vec_id") < N_QUERIES)
@@ -319,10 +320,27 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"element_at(element_at(array({rows_sql}), "
             f"cast(query_id as int) + 1), code{m} + 1)"
         )
+    return " + ".join(terms)
+
+
+def _probe_and_adc_rank(
+    spark: SparkSession, sf_dir: str, coded: DataFrame, cb, cent_rows
+) -> DataFrame:
+    """The shared IVF-PQ query tail: broadcast-probe join on
+    ``centroid_id`` over any (vec_id, centroid_id, code0..M-1) frame —
+    in-flight or at-rest — then LUT-ADC score and per-query top-k."""
+    probes = _ivf_probes(
+        _embeddings(spark, sf_dir), cent_rows
+    ).select("query_id", "centroid_id")
+    cands = coded.join(F.broadcast(probes), "centroid_id").where(
+        F.col("vec_id") != F.col("query_id")
+    )
     scored = cands.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.expr(f"round({' + '.join(terms)}, 6)").alias("adc_dist"),
+        F.expr(
+            f"round({_adc_lut_expr(spark, sf_dir, cb)}, 6)"
+        ).alias("adc_dist"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id")
@@ -331,6 +349,65 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )
+
+
+def ivf_pq_store_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The at-rest IVF-PQ index: every vector's coarse cell AND PQ
+    codes computed once at ingest, written as a managed parquet table
+    hive-partitioned by ``centroid_id`` with ``tinyint`` codes — the
+    FAISS-file equivalent expressed as a table. Probes then read
+    N_PROBE of the partitions (runtime partition pruning) and each row
+    costs M code bytes instead of DIM floats: the two reductions —
+    which rows, and bytes per row — that make 100 TB ANN serveable.
+    Same idempotent tag/rebuild discipline as the other ingests."""
+    from ..sources.writers import managed_ingest, sf_tag
+
+    table = f"ivf_pq_store_{sf_tag(sf_dir)}"
+
+    def _write(path: str) -> None:
+        cb = train_pq(spark, sf_dir)
+        e = _embeddings(spark, sf_dir)
+        cells = _cells_expr(_centroids(spark, sf_dir))
+        assigned = e.select(
+            "vec_id",
+            "v",
+            (-F.element_at(cells, 1)["nid"]).alias("centroid_id"),
+        )
+        coded = _codes_frame(assigned, cb, extra=("centroid_id",))
+        stored = coded.select(
+            "vec_id",
+            *[
+                F.col(f"code{m}").cast("tinyint").alias(f"code{m}")
+                for m in range(PQ_M)
+            ],
+            "centroid_id",
+        )
+        (
+            stored.write.mode("overwrite")
+            .partitionBy("centroid_id")
+            .option("path", path)
+            .format("parquet")
+            .saveAsTable(table)
+        )
+
+    return managed_ingest(spark, table, _write)
+
+
+def ann_ivf_pq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ann_ivf_pq`` in its production shape: candidates come from the
+    at-rest partitioned code table (``ivf_pq_store_ingest``) — same
+    output rows, same oracle (the tinyint→int round trip is
+    value-exact). Per query run nothing of the corpus is re-encoded;
+    the scan reads only the probed cells' code files."""
+    cb = train_pq(spark, sf_dir)
+    store = ivf_pq_store_ingest(spark, sf_dir).select(
+        "vec_id",
+        *[F.col(f"code{m}").cast("int").alias(f"code{m}") for m in range(PQ_M)],
+        "centroid_id",
+    )
+    return _probe_and_adc_rank(
+        spark, sf_dir, store, cb, _centroids(spark, sf_dir)
     )
 
 
@@ -526,9 +603,13 @@ QUERIES = {
     "embedding_pq": embedding_pq,
     "ann_pq_adc": ann_pq_adc,
     "ann_ivf_pq": ann_ivf_pq,
+    "ann_ivf_pq_stored": ann_ivf_pq_stored,
 }
+# The stored form computes the same relation as the inline form (only
+# the code table's physical source differs), so it shares the oracle.
 ORACLES = {
     "embedding_pq": PQ_ORACLE,
     "ann_pq_adc": ADC_ORACLE,
     "ann_ivf_pq": IVF_PQ_ORACLE,
+    "ann_ivf_pq_stored": IVF_PQ_ORACLE,
 }

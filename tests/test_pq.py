@@ -154,3 +154,33 @@ def test_ivf_pq_plan_shape(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_ivf_pq_stored_equals_inline(spark, sf_dir):
+    """The at-rest code table serves the same relation as the inline
+    form (tinyint round trip is value-exact), and its oracle is shared
+    verbatim."""
+    from .oracle_utils import assert_df_equal
+
+    assert_df_equal(
+        pq.ann_ivf_pq(spark, sf_dir), pq.ann_ivf_pq_stored(spark, sf_dir)
+    )
+    assert_matches_oracle(
+        pq.ann_ivf_pq_stored(spark, sf_dir), pq.IVF_PQ_ORACLE, sf_dir
+    )
+
+
+def test_ivf_pq_store_layout_and_pruning(spark, sf_dir):
+    """The store is hive-partitioned by cell with tinyint codes, and
+    the stored query's probe join plans dynamic partition pruning on
+    the store scan."""
+    store = pq.ivf_pq_store_ingest(spark, sf_dir)
+    dtypes = dict(store.dtypes)
+    for m in range(pq.PQ_M):
+        assert dtypes[f"code{m}"] == "tinyint"
+    assert "centroid_id" in dtypes
+    plan = (
+        pq.ann_ivf_pq_stored(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "dynamicpruning" in plan.lower(), plan
