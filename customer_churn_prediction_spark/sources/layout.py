@@ -96,6 +96,62 @@ def scan_metrics(df: DataFrame) -> dict[str, int]:
     return out
 
 
+def zorder_key(bucket_a, bucket_b, bits: int = 8):
+    """Morton (Z-order) interleave of two pre-bucketed int columns —
+    a pure expression (no UDF, no global sort): bit i of each bucket
+    lands at output bits 2i+1 / 2i, so sorting by the key clusters
+    BOTH dimensions at once.
+
+    Buckets are clamped into [0, 2^bits) here (out-of-range values —
+    e.g. a date before the binning base going negative — would
+    sign-extend through shiftright and scramble the key); compute them
+    with the house fixed-literal-edge binning (floor(col / width)),
+    NOT ntile — ranked quantiles need the one global sort that cannot
+    survive 1000 executors, and data-independent edges keep the key
+    stable across ingest batches (a re-ranked ntile key would scatter
+    yesterday's files). Give both dimensions comparable bucket
+    resolution: if one spans 2^k buckets and the other 2^j with
+    j << k, each Z-tile is a thin slab covering most of the coarse
+    dimension and that dimension stops pruning."""
+    top = (1 << bits) - 1
+    a = F.greatest(F.lit(0), F.least(bucket_a.cast("long"), F.lit(top)))
+    b = F.greatest(F.lit(0), F.least(bucket_b.cast("long"), F.lit(top)))
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        key = (
+            key
+            + F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+            + F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    return key
+
+
+def write_zorder_layout(
+    df: DataFrame,
+    path: str,
+    bucket_a,
+    bucket_b,
+    n_files: int = 16,
+    bits: int = 8,
+) -> None:
+    """Write ``df`` range-distributed and sorted by the Z-order key of
+    two bucket expressions. Every file then spans a small Z-range —
+    i.e. a small rectangle in BOTH dimensions — so parquet footer
+    min/max stats prune files for predicates on EITHER column (a
+    single-column sort only ever prunes its own column). This is the
+    table-format ZORDER BY, expressed with stock Spark writes; the
+    skip-ability is asserted from the real parquet footers in
+    tests/test_layout.py, not assumed."""
+    keyed = df.withColumn("_zkey", zorder_key(bucket_a, bucket_b, bits))
+    (
+        keyed.repartitionByRange(n_files, F.col("_zkey"))
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def _fs_for(spark: SparkSession, path: str):
     jvm = spark._jvm
     uri = jvm.java.net.URI.create(path)

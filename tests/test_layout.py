@@ -117,3 +117,92 @@ def test_compaction_leaves_compact_partitions_alone(spark, sf_dir, tmp_path):
     files_after = sorted(_files(out))
     assert files_after == files_before
     assert all(os.path.getmtime(f) == mtimes[f] for f in files_after)
+
+
+def test_zorder_layout_prunes_on_both_dims_via_footers(spark, sf_dir, tmp_path):
+    """Z-order vs single-column sort, judged by the REAL parquet
+    footer stats (what any min/max pruner consults): under Z-order a
+    narrow predicate on EITHER dimension overlaps a fraction of the
+    files; under a price-only sort the date predicate overlaps ~all
+    files."""
+    import datetime as dt
+
+    import pyarrow.parquet as pa_pq
+
+    orders = load_table(spark, sf_dir, "orders")
+    zdir = str(tmp_path / "orders_z")
+    sdir = str(tmp_path / "orders_pricesort")
+    bucket_date = F.floor(
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        / 16
+    )
+    # comparable resolution on both dims (see zorder_key docstring):
+    # dates span ~150 16-day buckets, prices ~250 2000-unit buckets.
+    bucket_price = F.least(F.floor(F.col("o_totalprice") / 2000), F.lit(255))
+    layout.write_zorder_layout(orders, zdir, bucket_date, bucket_price)
+    (
+        orders.repartitionByRange(16, F.col("o_totalprice"))
+        .sortWithinPartitions("o_totalprice")
+        .write.mode("overwrite")
+        .parquet(sdir)
+    )
+
+    def overlap_counts(d, date_lo, date_hi, price_lo, price_hi):
+        files = _files(d)
+        date_hits = price_hits = 0
+        for f in files:
+            md = pa_pq.ParquetFile(f).metadata
+            dmin = dmax = pmin = pmax = None
+            for rg in range(md.num_row_groups):
+                row = md.row_group(rg)
+                for ci in range(row.num_columns):
+                    col = row.column(ci)
+                    st = col.statistics
+                    if st is None:
+                        continue
+                    name = col.path_in_schema
+                    if name == "o_orderdate":
+                        dmin = st.min if dmin is None else min(dmin, st.min)
+                        dmax = st.max if dmax is None else max(dmax, st.max)
+                    if name == "o_totalprice":
+                        pmin = st.min if pmin is None else min(pmin, st.min)
+                        pmax = st.max if pmax is None else max(pmax, st.max)
+            if dmin is not None and not (dmax < date_lo or dmin > date_hi):
+                date_hits += 1
+            if pmin is not None and not (pmax < price_lo or pmin > price_hi):
+                price_hits += 1
+        return len(files), date_hits, price_hits
+
+    date_lo = dt.datetime(1996, 6, 1)
+    date_hi = dt.datetime(1996, 7, 1)
+    n_z, z_date, z_price = overlap_counts(zdir, date_lo, date_hi, 0.0, 50000.0)
+    n_s, s_date, s_price = overlap_counts(sdir, date_lo, date_hi, 0.0, 50000.0)
+    assert n_z > 4 and n_s > 4
+    # Z-order: both dimensions prune.
+    assert z_date < n_z * 0.7, (z_date, n_z)
+    assert z_price < n_z * 0.7, (z_price, n_z)
+    # Price sort: price prunes hard, the date predicate cannot.
+    assert s_price < n_s * 0.5
+    assert s_date > z_date
+    # same rows either way
+    assert (
+        spark.read.parquet(zdir).count()
+        == spark.read.parquet(sdir).count()
+        == orders.count()
+    )
+
+
+def test_zorder_key_is_monotone_in_locality(spark):
+    """Adjacent (a, b) cells must map to nearby keys: the key of
+    (a, b) differs from (a, b+1) in low bits only when b+1 doesn't
+    carry — spot-check the classic Morton values."""
+    rows = spark.range(1).select(
+        layout.zorder_key(F.lit(0), F.lit(0)).alias("k00"),
+        layout.zorder_key(F.lit(0), F.lit(1)).alias("k01"),
+        layout.zorder_key(F.lit(1), F.lit(0)).alias("k10"),
+        layout.zorder_key(F.lit(1), F.lit(1)).alias("k11"),
+        layout.zorder_key(F.lit(2), F.lit(3)).alias("k23"),
+    ).collect()[0]
+    assert (rows.k00, rows.k01, rows.k10, rows.k11) == (0, 1, 2, 3)
+    # interleave(a=10₂ at odd bits, b=11₂ at even bits) = 1101₂
+    assert rows.k23 == 0b1101
