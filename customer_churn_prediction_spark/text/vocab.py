@@ -1,0 +1,181 @@
+"""BPE vocabulary induction over the corpus — the tokenizer-training
+step of an LLM data pipeline, distributed.
+
+Classic byte-pair encoding on the word-frequency table: start from
+characters (+ an end-of-word marker), repeatedly merge the most
+frequent adjacent symbol pair, emit the merge table a tokenizer ships.
+The iterative-algorithm tier alongside k-means refinement and the PQ
+Lloyd fit — and like them, oracle-paired by UNROLLING the rounds in
+DuckDB SQL.
+
+Representation trick that keeps BOTH engines exact: a word's symbol
+sequence is a single space-separated string with boundary spaces
+(``' h e l l o EOW '``). Pair counting is array expressions over
+``split``; applying a merge is ``replace(s, ' a b ', ' ab ')`` — and
+non-overlapping left-to-right ``replace`` IS the BPE merge rule, with
+identical semantics in Spark and DuckDB (a run ``a a a`` merges its
+first pair only, both engines, exactly like reference BPE).
+
+Scale shape: the corpus is touched ONCE (word-frequency aggregate —
+one shuffle, map-side combined; BPE training is defined on this table,
+never on raw text). Each round is one pair-count aggregate over the
+DISTINCT-WORD table (vocabulary-sized, not corpus-sized) plus ONE
+1-row argmax collect — the same driver-boundary scalar per iteration
+as the k-means centroid fetch. At 100 TB the word table is a few
+million rows regardless of corpus size; rounds cost O(vocab), and the
+whole fit is embarrassingly smaller than the corpus scan that feeds
+it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+N_MERGES = 6
+EOW = "EOW"  # end-of-word marker symbol (standard BPE </w>)
+
+_PAIRS_EXPR = (
+    "transform(sequence(1, size(syms) - 1), "
+    "i -> named_struct('l', element_at(syms, i), "
+    "'r', element_at(syms, i + 1)))"
+)
+
+
+def word_freq_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(symbol-string, freq) — the ONE corpus pass BPE trains on."""
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    words = d.select(
+        F.explode(F.split(F.col("text"), "\\s+")).alias("word")
+    ).where(F.col("word") != "")
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.concat(
+                F.lit(" "),
+                F.regexp_replace(F.col("word"), "(.)", "$1 "),
+                F.lit(EOW + " "),
+            ).alias("s"),
+            "freq",
+        )
+    )
+
+
+def _best_pair(words: DataFrame):
+    """argmax adjacent pair by corpus-weighted count; ties break on
+    (l, r) ascending. One aggregate over the vocab table, 1-row fetch."""
+    pairs = words.select(
+        F.explode(
+            F.expr(_PAIRS_EXPR.replace("syms", "split(trim(s), ' ')"))
+        ).alias("p"),
+        "freq",
+    )
+    top = (
+        pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("freq").alias("n"))
+        .orderBy(F.col("n").desc(), "l", "r")
+        .limit(1)
+        .collect()
+    )
+    return top[0] if top else None
+
+
+def bpe_merges(spark: SparkSession, sf_dir: str,
+               n_merges: int = N_MERGES) -> DataFrame:
+    """The learned merge table: (rnd, left, right, merged, pair_count)."""
+    words = word_freq_table(spark, sf_dir).cache()
+    try:
+        out = []
+        for rnd in range(1, n_merges + 1):
+            best = _best_pair(words)
+            if best is None:
+                break
+            merged = best.l + best.r
+            out.append((rnd, best.l, best.r, merged, int(best.n)))
+            nxt = words.select(
+                F.regexp_replace(
+                    F.col("s"),
+                    F.lit(f" {best.l} {best.r} "),
+                    F.lit(f" {merged} "),
+                ).alias("s"),
+                "freq",
+            ).cache()
+            nxt.count()
+            words.unpersist()
+            words = nxt
+        return spark.createDataFrame(
+            out, "rnd int, left string, right string, merged string,"
+            " pair_count long"
+        )
+    finally:
+        words.unpersist()
+
+
+# NOTE: regexp_replace above is used with a LITERAL pattern of plain
+# symbols; symbols are alphanumerics (+EOW), never regex metachars, so
+# it behaves as plain non-overlapping replace in both engines. (Spark
+# has no literal-replace Column form until `replace` in 4.x; DuckDB's
+# replace() is literal — the oracle uses it directly.)
+
+
+def _round_ctes(n_merges: int) -> str:
+    """w0 -> b1/w1 -> ... -> b{n}: the unrolled merge rounds."""
+    parts = []
+    for r in range(1, n_merges + 1):
+        prev = f"w{r - 1}"
+        parts.append(f"""
+p{r} AS (
+  SELECT pr.l, pr.r, sum(freq) AS n
+  FROM (
+    SELECT unnest(list_transform(range(1, len(syms)),
+             i -> struct_pack(l := syms[i::INT], r := syms[(i + 1)::INT])))
+             AS pr,
+           freq
+    FROM (SELECT string_split(trim(s), ' ') AS syms, freq FROM {prev})
+  )
+  GROUP BY pr.l, pr.r
+),
+b{r} AS (
+  SELECT l, r, n, l || r AS merged
+  FROM p{r} ORDER BY n DESC, l, r LIMIT 1
+),
+w{r} AS (
+  SELECT replace(s, ' ' || (SELECT l FROM b{r}) || ' '
+                    || (SELECT r FROM b{r}) || ' ',
+                 ' ' || (SELECT merged FROM b{r}) || ' ') AS s,
+         freq
+  FROM {prev}
+)""")
+    return ",".join(parts)
+
+
+def _vocab_oracle(n_merges: int = N_MERGES) -> str:
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {r} AS rnd, l AS \"left\", r AS \"right\", merged, "
+        f"CAST(n AS BIGINT) AS pair_count FROM b{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return f"""
+WITH w0 AS (
+  SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') || '{EOW} ' AS s,
+         count(*) AS freq
+  FROM (
+    SELECT unnest(string_split_regex(text, '\\s+')) AS word FROM documents
+  )
+  WHERE word <> ''
+  GROUP BY word
+),
+{_round_ctes(n_merges)}
+{unions}
+"""
+
+
+VOCAB_ORACLE = _vocab_oracle()
+
+# Staged for the r6 registry (driver PRIORITY budget is full this
+# round); tests/test_vocab.py holds these to driver rigor.
+QUERIES = {"vocab_bpe_merges": bpe_merges}
+ORACLES = {"vocab_bpe_merges": VOCAB_ORACLE}

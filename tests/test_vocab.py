@@ -1,0 +1,72 @@
+"""vocab_bpe_merges (text/vocab.py) — staged registry candidate; oracle
+parity at driver rigor plus reference-BPE semantics on constructed
+corpora."""
+
+from __future__ import annotations
+
+from customer_churn_prediction_spark.text import vocab
+
+from .oracle_utils import assert_matches_oracle
+
+
+def test_bpe_oracle_parity_sf001(spark, sf_dir):
+    assert_matches_oracle(
+        vocab.bpe_merges(spark, sf_dir), vocab.VOCAB_ORACLE, sf_dir
+    )
+
+
+def _corpus(spark, sf_dir, tmp_path, texts):
+    src = str(tmp_path / "bpe_corpus")
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).write.parquet(
+            f"{src}/{t}.parquet"
+        )
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{src}/documents.parquet")
+    return src
+
+
+def test_greedy_left_merge_on_runs(spark, sf_dir, tmp_path):
+    """Reference-BPE semantics: in 'aaa' the pair (a,a) merges its
+    FIRST occurrence only (non-overlapping left-to-right), leaving
+    'aa'+'a'; the round-2 argmax then tie-breaks lexicographically."""
+    src = _corpus(spark, sf_dir, tmp_path, ["aaa"] * 5)
+    rows = {r.rnd: r for r in vocab.bpe_merges(spark, src, 3).collect()}
+    # round 1: (a, a) appears twice per word x 5 docs = 10
+    assert (rows[1].left, rows[1].right, rows[1].pair_count) == ("a", "a", 10)
+    # after merging: ' aa a EOW ' -> pairs (aa,a)=5 and (a,EOW)=5;
+    # tie-break on left asc: 'a' < 'aa'
+    assert (rows[2].left, rows[2].right, rows[2].pair_count) == (
+        "a", "EOW", 5,
+    )
+    # then ' aa aEOW ' -> (aa, aEOW) = 5
+    assert (rows[3].left, rows[3].right, rows[3].pair_count) == (
+        "aa", "aEOW", 5,
+    )
+
+
+def test_merges_weighted_by_word_frequency(spark, sf_dir, tmp_path):
+    """BPE trains on the word-frequency table: a rare long word must
+    lose to a frequent short one."""
+    src = _corpus(
+        spark, sf_dir, tmp_path, ["to to to to", "xylophones"]
+    )
+    first = vocab.bpe_merges(spark, src, 1).collect()[0]
+    # 'to' (freq 4) contributes (t,o)=4 and (o,EOW)=4; every pair of
+    # the rare 'xylophones' counts 1. The tie resolves lexicographically
+    # ('o' < 't'), so the winner is (o, EOW) — what matters is that its
+    # count is the frequent word's 4, not the rare word's 1.
+    assert (first.left, first.right) == ("o", "EOW")
+    assert first.pair_count == 4
+
+
+def test_corpus_is_scanned_once(spark, sf_dir):
+    plan = (
+        vocab.word_freq_table(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan parquet ") == 1
+    assert "HashAggregate" in plan
