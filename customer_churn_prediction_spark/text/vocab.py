@@ -83,9 +83,21 @@ def _best_pair(words: DataFrame):
     return top[0] if top else None
 
 
+# Fit-once memo per (application, sf_dir, rounds) — the codebook
+# discipline from similarity/pq.py: the merge table is a model
+# artifact; encode and repeated reports reuse one fit.
+_MERGE_CACHE: dict[tuple[str, str, int], list[tuple]] = {}
+
+
 def bpe_merges(spark: SparkSession, sf_dir: str,
                n_merges: int = N_MERGES) -> DataFrame:
     """The learned merge table: (rnd, left, right, merged, pair_count)."""
+    schema = ("rnd int, left string, right string, merged string,"
+              " pair_count long")
+    key = (spark.sparkContext.applicationId, sf_dir, n_merges)
+    cached = _MERGE_CACHE.get(key)
+    if cached is not None:
+        return spark.createDataFrame(cached, schema)
     words = word_freq_table(spark, sf_dir).cache()
     try:
         out = []
@@ -106,10 +118,8 @@ def bpe_merges(spark: SparkSession, sf_dir: str,
             nxt.count()
             words.unpersist()
             words = nxt
-        return spark.createDataFrame(
-            out, "rnd int, left string, right string, merged string,"
-            " pair_count long"
-        )
+        _MERGE_CACHE[key] = out
+        return spark.createDataFrame(out, schema)
     finally:
         words.unpersist()
 
@@ -127,7 +137,7 @@ def _round_ctes(n_merges: int) -> str:
     for r in range(1, n_merges + 1):
         prev = f"w{r - 1}"
         parts.append(f"""
-p{r} AS (
+p{r} AS MATERIALIZED (
   SELECT pr.l, pr.r, sum(freq) AS n
   FROM (
     SELECT unnest(list_transform(range(1, len(syms)),
@@ -138,11 +148,11 @@ p{r} AS (
   )
   GROUP BY pr.l, pr.r
 ),
-b{r} AS (
+b{r} AS MATERIALIZED (
   SELECT l, r, n, l || r AS merged
   FROM p{r} ORDER BY n DESC, l, r LIMIT 1
 ),
-w{r} AS (
+w{r} AS MATERIALIZED (
   SELECT replace(s, ' ' || (SELECT l FROM b{r}) || ' '
                     || (SELECT r FROM b{r}) || ' ',
                  ' ' || (SELECT merged FROM b{r}) || ' ') AS s,
@@ -159,7 +169,7 @@ def _vocab_oracle(n_merges: int = N_MERGES) -> str:
         for r in range(1, n_merges + 1)
     )
     return f"""
-WITH w0 AS (
+WITH w0 AS MATERIALIZED (
   SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') || '{EOW} ' AS s,
          count(*) AS freq
   FROM (
@@ -175,7 +185,91 @@ WITH w0 AS (
 
 VOCAB_ORACLE = _vocab_oracle()
 
+def tokenize_bpe(spark: SparkSession, sf_dir: str,
+                 n_merges: int = N_MERGES) -> DataFrame:
+    """The encode step: apply the learned merge table to every document
+    and count its true BPE tokens — what a dataloader budget actually
+    consumes (the regex token counts in ``text/analysis.py`` are the
+    cheap proxy; this is the real thing).
+
+    The fitted merges are driver literals (the centroid/codebook
+    pattern): encoding is then a PURE MAP — per word, build the spaced
+    symbol string, apply the K replaces in learned order, count
+    symbols — no joins, no shuffle beyond the scan. Applying merges in
+    rank order with ``replace`` is exactly the fast "apply BPE" path
+    of reference tokenizers (merge priority = training order)."""
+    merges = bpe_merges(spark, sf_dir, n_merges).collect()
+    inner = f"concat(' ', regexp_replace(w, '(.)', '$1 '), '{EOW} ')"
+    for m in sorted(merges, key=lambda r: r.rnd):
+        inner = (
+            f"replace({inner}, ' {m.left} {m.right} ', ' {m.merged} ')"
+        )
+    per_word = f"size(split(trim({inner}), ' '))"
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    return d.select(
+        "doc_id",
+        # coalesce: NULL text must count 0 like an empty doc (the
+        # oracle's outer-join + coalesce makes the same choice)
+        F.coalesce(
+            F.expr(
+                "aggregate(filter(split(text, '\\\\s+'), w -> w <> ''), "
+                f"0, (acc, w) -> acc + {per_word})"
+            ),
+            F.lit(0),
+        ).cast("long").alias("n_tokens_bpe"),
+    )
+
+
+def _tokenize_oracle(n_merges: int = N_MERGES) -> str:
+    # Per-WORD token counts in a CTE (scalar subqueries are not valid
+    # inside DuckDB lambdas, so no list_transform here), then joined
+    # back through a doc→word unnest; LEFT JOIN from documents keeps
+    # wordless/NULL docs at 0 like the Spark coalesce.
+    inner = f"' ' || regexp_replace(word, '(.)', '\\1 ', 'g') || '{EOW} '"
+    for r in range(1, n_merges + 1):
+        inner = (
+            f"replace({inner}, ' ' || (SELECT l FROM b{r}) || ' ' || "
+            f"(SELECT r FROM b{r}) || ' ', "
+            f"' ' || (SELECT merged FROM b{r}) || ' ')"
+        )
+    return f"""
+WITH w0 AS MATERIALIZED (
+  SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') || '{EOW} ' AS s,
+         count(*) AS freq
+  FROM (
+    SELECT unnest(string_split_regex(text, '\\s+')) AS word FROM documents
+  )
+  WHERE word <> ''
+  GROUP BY word
+),
+{_round_ctes(n_merges)},
+docwords AS MATERIALIZED (
+  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS word
+  FROM documents
+),
+tok AS MATERIALIZED (
+  SELECT word, len(string_split(trim({inner}), ' ')) AS n_tok
+  FROM (SELECT DISTINCT word FROM docwords WHERE word <> '')
+),
+counts AS (
+  SELECT dw.doc_id, sum(t.n_tok) AS n
+  FROM docwords dw JOIN tok t USING (word)
+  GROUP BY dw.doc_id
+)
+SELECT d.doc_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_tokens_bpe
+FROM documents d LEFT JOIN counts c USING (doc_id)
+"""
+
+
+TOKENIZE_ORACLE = _tokenize_oracle()
+
 # Staged for the r6 registry (driver PRIORITY budget is full this
 # round); tests/test_vocab.py holds these to driver rigor.
-QUERIES = {"vocab_bpe_merges": bpe_merges}
-ORACLES = {"vocab_bpe_merges": VOCAB_ORACLE}
+QUERIES = {
+    "vocab_bpe_merges": bpe_merges,
+    "text_tokenize_bpe": tokenize_bpe,
+}
+ORACLES = {
+    "vocab_bpe_merges": VOCAB_ORACLE,
+    "text_tokenize_bpe": TOKENIZE_ORACLE,
+}

@@ -70,3 +70,38 @@ def test_corpus_is_scanned_once(spark, sf_dir):
     )
     assert plan.count("Scan parquet ") == 1
     assert "HashAggregate" in plan
+
+
+def test_tokenize_bpe_oracle_parity_sf001(spark, sf_dir):
+    assert_matches_oracle(
+        vocab.tokenize_bpe(spark, sf_dir), vocab.TOKENIZE_ORACLE, sf_dir
+    )
+
+
+def test_tokenize_counts_shrink_with_merges(spark, sf_dir):
+    """Applying merges can only reduce (or keep) the per-doc token
+    count vs raw character+EOW symbols, and total tokens must drop by
+    at least the top merge's corpus count."""
+    raw = {
+        r.doc_id: r.n_tokens_bpe
+        for r in vocab.tokenize_bpe(spark, sf_dir, n_merges=0).collect()
+    }
+    merged = {
+        r.doc_id: r.n_tokens_bpe
+        for r in vocab.tokenize_bpe(spark, sf_dir).collect()
+    }
+    assert set(raw) == set(merged)
+    assert all(merged[d] <= raw[d] for d in raw)
+    top = vocab.bpe_merges(spark, sf_dir, 1).collect()[0]
+    assert sum(raw.values()) - sum(merged.values()) >= top.pair_count
+
+
+def test_tokenize_is_a_pure_map(spark, sf_dir):
+    """With the merge table as literals, encoding must plan as a map
+    over the scan: no join, no aggregate, no shuffle beyond the
+    catalog's spread repartition."""
+    df = vocab.tokenize_bpe(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for op in ("HashAggregate", "SortMergeJoin", "BroadcastHashJoin",
+               "Window"):
+        assert op not in plan, op
