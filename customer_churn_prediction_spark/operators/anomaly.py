@@ -29,11 +29,44 @@ Z_FLAG = 3.0
 
 def hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    hourly = (
+    observed = (
         e.select(F.date_trunc("hour", F.col("ts")).alias("hour"))
         .groupBy("hour")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+    # Densify onto the full hour spine BEFORE windowing: an hour with
+    # zero events has no aggregate row, so a rows-frame over observed
+    # hours could never flag a total outage (the most important volume
+    # anomaly) and would silently stitch counts from across a gap as
+    # if adjacent. Gap-fill via lead(): each observed hour explodes
+    # into [hour, next_hour) with n_events only on its first element —
+    # ONE lineage off the single aggregate (a min/max + spine join
+    # would plan a second scan branch of the events table).
+    w_ord = Window.orderBy("hour")
+    dense = (
+        observed.withColumn("next_hour", F.lead("hour").over(w_ord))
+        .select(
+            F.posexplode(
+                F.when(
+                    F.col("next_hour").isNull(), F.array(F.col("hour"))
+                ).otherwise(
+                    F.sequence(
+                        "hour",
+                        F.col("next_hour") - F.expr("interval 1 hour"),
+                        F.expr("interval 1 hour"),
+                    )
+                )
+            ).alias("i", "hour_d"),
+            "n_events",
+        )
+        .select(
+            F.col("hour_d").alias("hour"),
+            F.when(F.col("i") == 0, F.col("n_events"))
+            .otherwise(F.lit(0))
+            .alias("n_events"),
+        )
+    )
+    hourly = dense
     w = Window.orderBy("hour").rowsBetween(-TRAIL_HOURS, -1)
     s1 = F.sum("n_events").over(w)
     s2 = F.sum(F.col("n_events") * F.col("n_events")).over(w)
@@ -65,9 +98,24 @@ def hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ANOMALY_ORACLE = f"""
-WITH hourly AS (
+WITH observed AS (
   SELECT date_trunc('hour', ts) AS hour, count(*) AS n_events
   FROM events GROUP BY 1
+),
+with_next AS (
+  SELECT hour, n_events, lead(hour) OVER (ORDER BY hour) AS next_hour
+  FROM observed
+),
+hourly AS (
+  SELECT hour_d AS hour,
+         CASE WHEN hour_d = hour THEN n_events ELSE 0 END AS n_events
+  FROM (
+    SELECT hour, n_events,
+           unnest(CASE WHEN next_hour IS NULL THEN [hour]
+                  ELSE generate_series(hour, next_hour - INTERVAL 1 HOUR,
+                                       INTERVAL 1 HOUR) END) AS hour_d
+    FROM with_next
+  )
 ),
 win AS (
   SELECT hour, n_events,

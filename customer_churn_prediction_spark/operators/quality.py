@@ -36,16 +36,39 @@ from ..catalog import load_table
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
-def _unpivot_checks(
-    agg_row: DataFrame, table: str, checks: list[str]
-) -> DataFrame:
+def unpivot_counts(agg_row: DataFrame, checks: list[str]) -> DataFrame:
+    """Wide one-row rule-counter frame -> (check, n_violations, n_rows)
+    — the ONE unpivot both the batch audit and the streaming monitor
+    (streaming/quality.py) use, so their report shapes cannot drift."""
     stack_args = ", ".join(f"'{c}', {c}" for c in checks)
     return agg_row.select(
         F.expr(
             f"stack({len(checks)}, {stack_args}) as (check, n_violations)"
         ),
-        F.lit(table).alias("table_name"),
         F.col("_n_rows").alias("n_rows"),
+    )
+
+
+def finish_report(unpivoted: DataFrame) -> DataFrame:
+    """Shared final projection: typed counts + the passed flag."""
+    return unpivoted.select(
+        "check",
+        *[c for c in unpivoted.columns if c not in ("check", "n_violations",
+                                                    "n_rows")],
+        F.col("n_violations").cast("long").alias("n_violations"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        (F.col("n_violations") == 0).cast("int").alias("passed"),
+    )
+
+
+def _unpivot_checks(
+    agg_row: DataFrame, table: str, checks: list[str]
+) -> DataFrame:
+    return unpivot_counts(agg_row, checks).select(
+        "check",
+        "n_violations",
+        F.lit(table).alias("table_name"),
+        "n_rows",
     )
 
 
@@ -150,13 +173,7 @@ def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("check", "n_violations", "table_name", "n_rows")
         .unionByName(fk_rows)
     )
-    return report.select(
-        "check",
-        "table_name",
-        F.col("n_violations").cast("long").alias("n_violations"),
-        F.col("n_rows").cast("long").alias("n_rows"),
-        (F.col("n_violations") == 0).cast("int").alias("passed"),
-    ).orderBy("table_name", "check")
+    return finish_report(report).orderBy("table_name", "check")
 
 
 _EVENT_LIST = ", ".join(f"'{e}'" for e in EVENT_TYPES)

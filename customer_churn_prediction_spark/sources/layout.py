@@ -89,10 +89,23 @@ def scan_metrics(df: DataFrame) -> dict[str, int]:
             while it.hasNext():
                 kv = it.next()
                 out[kv._1()] = kv._2().value()
+        # AdaptiveSparkPlanExec and QueryStageExec are LEAVES in
+        # children() terms — their subtrees hang off executedPlan() /
+        # plan(); without these hops any AQE-wrapped query
+        # (join/aggregate above the scan) silently yields no scan.
+        if "AdaptiveSparkPlan" in node.nodeName():
+            walk(node.executedPlan())
+        if "QueryStage" in node.nodeName():
+            walk(node.plan())
         for i in range(node.children().size()):
             walk(node.children().apply(i))
 
     walk(plan)
+    if not out:
+        raise ValueError(
+            "no parquet scan found in executed plan (unexpected plan "
+            "shape):\n" + plan.toString()
+        )
     return out
 
 
@@ -184,11 +197,20 @@ def compact_partitions(
     fs, jvm = _fs_for(spark, path)
     Path = jvm.org.apache.hadoop.fs.Path
     report = []
+    # GC staging leftovers from a crashed earlier run FIRST: a tmp dir
+    # is pre-swap garbage; an old dir means the swap completed but the
+    # delete didn't — either way the live partition dir is the truth.
+    for st in fs.listStatus(Path(path)):
+        name = st.getPath().getName()
+        if name.startswith(".") and (
+            name.endswith("._compact_tmp") or name.endswith("._compact_old")
+        ):
+            fs.delete(st.getPath(), True)
     for st in fs.listStatus(Path(path)):
         if not st.isDirectory():
             continue
         pname = st.getPath().getName()
-        if "=" not in pname:
+        if "=" not in pname or pname.startswith((".", "_")):
             continue
         files = [
             f
@@ -201,16 +223,23 @@ def compact_partitions(
             report.append((pname, len(files), len(files), total))
             continue
         src = st.getPath().toString()
-        tmp = Path(src + "._compact_tmp")
+        # Staging dirs are DOT-PREFIXED siblings at the table root:
+        # Spark/Hadoop listings ignore '.'-children, so a reader
+        # scanning the table mid-rewrite cannot discover the staged
+        # copy as a bogus partition and double-count (a plain
+        # '<part>._compact_tmp' name contains '=' and WOULD be listed).
+        tmp = Path(path, f".{pname}._compact_tmp")
         fs.delete(tmp, True)
         spark.read.parquet(src).coalesce(want).write.mode(
             "overwrite"
         ).parquet(tmp.toString())
-        old = Path(src + "._compact_old")
+        old = Path(path, f".{pname}._compact_old")
         fs.delete(old, True)
         # Swap: crash before the first rename leaves the original
         # serving; between the two renames the partition is briefly
-        # absent (documented above — a table format fixes this class).
+        # absent (documented above — a table format fixes this class);
+        # crash after the swap leaves only an invisible dot-dir that
+        # the next run's GC removes.
         fs.rename(st.getPath(), old)
         fs.rename(tmp, st.getPath())
         fs.delete(old, True)

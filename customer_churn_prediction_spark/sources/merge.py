@@ -48,14 +48,22 @@ def upsert_partitioned(
     ``path``: matched keys are replaced, new keys inserted. Only the
     partitions present in ``updates`` are read or rewritten.
 
-    Constraint (asserted): an update row must carry its partition
-    value — cross-partition key moves would need a full-table
-    anti-join and are exactly what a partition-scoped merge exists to
-    avoid (route them through a compaction-style maintenance window
-    instead)."""
+    Contract: an update row must carry its CURRENT partition value.
+    NULL partitions and duplicate keys within the batch are rejected;
+    a key that MOVED partition (update names a different partition
+    than the base row it should replace) is NOT detectable here — that
+    check is a full-table anti-join, exactly the O(table) cost a
+    partition-scoped merge exists to avoid, so such a move leaves the
+    stale row behind as a duplicate key. Route partition moves through
+    a maintenance window that deletes the old row explicitly."""
     parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
     if any(p is None for p in parts):
         raise ValueError(f"updates contain NULL {partition_col}")
+    if updates.count() != updates.select(key).distinct().count():
+        raise ValueError(
+            f"updates contain duplicate {key} rows; an upsert batch must "
+            f"carry one row per key (pre-reduce the batch upstream)"
+        )
     base = spark.read.parquet(path).where(F.col(partition_col).isin(parts))
     n_base = base.count()
     n_upd = updates.count()
@@ -106,7 +114,17 @@ def scd2_apply(
     Updates that change nothing still version (no attribute-diff
     suppression) — deliberate: diff suppression needs an
     every-attribute comparison whose null semantics get subtle; filter
-    no-op updates upstream if the source emits them."""
+    no-op updates upstream if the source emits them. A batch with two
+    rows for one key is rejected: both would become current and the
+    duplicated closing marker would fan out the history join —
+    multi-change batches have no well-defined order here, so collapse
+    them upstream where the change order is known."""
+    if updates.count() != updates.select(key).distinct().count():
+        raise ValueError(
+            f"updates contain duplicate {key} rows; an SCD-2 batch must "
+            f"carry one change per key (collapse multi-change batches "
+            f"upstream, where their ordering is known)"
+        )
     attr_cols = [c for c in updates.columns]
     closed_marker = updates.select(key).withColumn("_closing", F.lit(1))
     current = history.where(F.col("is_current") == 1)

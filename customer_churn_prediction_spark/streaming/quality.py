@@ -46,30 +46,29 @@ _RULES = {
 
 
 def streaming_rule_counts(events_stream: DataFrame) -> DataFrame:
-    """The running one-row conditional aggregate (outputMode='complete')."""
+    """The running one-row conditional aggregate (outputMode='complete').
+
+    Each counter is coalesced: before the first file lands, the
+    zero-row epoch's sums are NULL, and a NULL counter would publish
+    passed=NULL (neither 0 nor 1) to alerting readers."""
     return events_stream.agg(
         F.count(F.lit(1)).alias("_n_rows"),
         *[
-            F.sum(F.when(cond(), 1).otherwise(0)).alias(name)
+            F.coalesce(
+                F.sum(F.when(cond(), 1).otherwise(0)), F.lit(0)
+            ).alias(name)
             for name, cond in _RULES.items()
         ],
     )
 
 
 def rule_report(counts_row: DataFrame) -> DataFrame:
-    """Unpivot the wide counter row into the batch audit's report shape."""
-    stack_args = ", ".join(f"'{name}', {name}" for name in _RULES)
-    return counts_row.select(
-        F.expr(
-            f"stack({len(_RULES)}, {stack_args}) as (check, n_violations)"
-        ),
-        F.col("_n_rows").alias("n_rows"),
-    ).select(
-        "check",
-        F.col("n_violations").cast("long").alias("n_violations"),
-        F.col("n_rows").cast("long").alias("n_rows"),
-        (F.col("n_violations") == 0).cast("int").alias("passed"),
-    )
+    """Unpivot the wide counter row into the batch audit's report shape
+    — via the audit's own shared helpers, so the two report schemas
+    cannot drift."""
+    from ..operators.quality import finish_report, unpivot_counts
+
+    return finish_report(unpivot_counts(counts_row, list(_RULES)))
 
 
 def maintain_dq_report(

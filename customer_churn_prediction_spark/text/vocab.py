@@ -11,10 +11,19 @@ DuckDB SQL.
 Representation trick that keeps BOTH engines exact: a word's symbol
 sequence is a single space-separated string with boundary spaces
 (``' h e l l o EOW '``). Pair counting is array expressions over
-``split``; applying a merge is ``replace(s, ' a b ', ' ab ')`` — and
-non-overlapping left-to-right ``replace`` IS the BPE merge rule, with
-identical semantics in Spark and DuckDB (a run ``a a a`` merges its
-first pair only, both engines, exactly like reference BPE).
+``split``; applying a merge is literal ``replace(s, ' a b ', ' ab ')``
+— non-overlapping left-to-right, identical in Spark and DuckDB.
+
+**Merge semantics (documented variant):** within a round, consecutive
+occurrences of the winning pair that share a boundary space merge
+ALTERNATELY (the replace consumes the shared space): ``a a a`` merges
+its first pair only — same as reference BPE — but ``a b a b`` merges
+only its first ``a b`` this round, where sequential reference BPE
+(Sennrich's lookahead sub) would merge both; the skipped occurrence
+merges in a later round if the pair stays on top. Deterministic,
+oracle-exact, and distribution-friendly (chunk-parallel tokenizers
+make the same trade inside runs), but NOT byte-identical to
+single-threaded reference BPE on corpora where a pair abuts itself.
 
 Scale shape: the corpus is touched ONCE (word-frequency aggregate —
 one shuffle, map-side combined; BPE training is defined on this table,
@@ -107,8 +116,14 @@ def bpe_merges(spark: SparkSession, sf_dir: str,
                 break
             merged = best.l + best.r
             out.append((rnd, best.l, best.r, merged, int(best.n)))
+            # LITERAL replace (call_function, not regexp_replace):
+            # symbols come from raw corpus text, so '.', '+', '$' are
+            # legal symbols — as a regex pattern they would rewrite
+            # unrelated sequences and diverge from the oracle's
+            # literal replace().
             nxt = words.select(
-                F.regexp_replace(
+                F.call_function(
+                    "replace",
                     F.col("s"),
                     F.lit(f" {best.l} {best.r} "),
                     F.lit(f" {merged} "),
@@ -124,11 +139,6 @@ def bpe_merges(spark: SparkSession, sf_dir: str,
         words.unpersist()
 
 
-# NOTE: regexp_replace above is used with a LITERAL pattern of plain
-# symbols; symbols are alphanumerics (+EOW), never regex metachars, so
-# it behaves as plain non-overlapping replace in both engines. (Spark
-# has no literal-replace Column form until `replace` in 4.x; DuckDB's
-# replace() is literal — the oracle uses it directly.)
 
 
 def _round_ctes(n_merges: int) -> str:
@@ -194,27 +204,43 @@ def tokenize_bpe(spark: SparkSession, sf_dir: str,
 
     The fitted merges are driver literals (the centroid/codebook
     pattern): encoding is then a PURE MAP — per word, build the spaced
-    symbol string, apply the K replaces in learned order, count
-    symbols — no joins, no shuffle beyond the scan. Applying merges in
-    rank order with ``replace`` is exactly the fast "apply BPE" path
-    of reference tokenizers (merge priority = training order)."""
-    merges = bpe_merges(spark, sf_dir, n_merges).collect()
-    inner = f"concat(' ', regexp_replace(w, '(.)', '$1 '), '{EOW} ')"
-    for m in sorted(merges, key=lambda r: r.rnd):
-        inner = (
-            f"replace({inner}, ' {m.left} {m.right} ', ' {m.merged} ')"
+    symbol string, apply the K replaces in learned order (merge
+    priority = training order, the fast "apply BPE" path, sharing the
+    training pass's documented run semantics), count symbols — no
+    joins, no shuffle beyond the scan. The whole expression is built
+    with Column lambdas and ``F.lit`` symbol literals — learned
+    symbols are corpus text and must never be spliced into SQL/regex
+    source (a symbol containing a quote or metacharacter would break
+    or silently corrupt a stringly-built expression)."""
+    merges = sorted(
+        bpe_merges(spark, sf_dir, n_merges).collect(), key=lambda r: r.rnd
+    )
+
+    def n_tok(w):
+        s = F.concat(
+            F.lit(" "),
+            F.regexp_replace(w, "(.)", "$1 "),
+            F.lit(EOW + " "),
         )
-    per_word = f"size(split(trim({inner}), ' '))"
+        for m in merges:
+            s = F.call_function(
+                "replace",
+                s,
+                F.lit(f" {m.left} {m.right} "),
+                F.lit(f" {m.merged} "),
+            )
+        return F.size(F.split(F.trim(s), " "))
+
     d = load_table(spark, sf_dir, "documents", spread=True)
+    words = F.filter(
+        F.split(F.col("text"), r"\s+"), lambda w: w != F.lit("")
+    )
     return d.select(
         "doc_id",
         # coalesce: NULL text must count 0 like an empty doc (the
         # oracle's outer-join + coalesce makes the same choice)
         F.coalesce(
-            F.expr(
-                "aggregate(filter(split(text, '\\\\s+'), w -> w <> ''), "
-                f"0, (acc, w) -> acc + {per_word})"
-            ),
+            F.aggregate(words, F.lit(0), lambda acc, w: acc + n_tok(w)),
             F.lit(0),
         ).cast("long").alias("n_tokens_bpe"),
     )

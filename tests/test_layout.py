@@ -206,3 +206,49 @@ def test_zorder_key_is_monotone_in_locality(spark):
     assert (rows.k00, rows.k01, rows.k10, rows.k11) == (0, 1, 2, 3)
     # interleave(a=10₂ at odd bits, b=11₂ at even bits) = 1101₂
     assert rows.k23 == 0b1101
+
+
+def test_staging_dirs_invisible_to_readers_and_gcd(spark, sf_dir, tmp_path):
+    """Mid-rewrite staging must be invisible: a dot-prefixed staged
+    copy of a partition is ignored by spark.read (no double counting),
+    and a leftover old-dir from a crashed run is GC'd by the next run
+    without being mistaken for a fragmented partition."""
+    out = str(tmp_path / "staging_vis")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+    n = spark.read.parquet(out).count()
+    lang = os.path.basename(
+        glob.glob(os.path.join(out, "lang=*"))[0]
+    ).split("=", 1)[1]
+    # simulate a crash: staged copy + old copy both left behind
+    import shutil
+
+    shutil.copytree(
+        os.path.join(out, f"lang={lang}"),
+        os.path.join(out, f".lang={lang}._compact_tmp"),
+    )
+    shutil.copytree(
+        os.path.join(out, f"lang={lang}"),
+        os.path.join(out, f".lang={lang}._compact_old"),
+    )
+    # readers do not see the staged copies
+    assert spark.read.parquet(out).count() == n
+    # next compaction run GCs them and reports only real partitions
+    report = layout.compact_partitions(spark, out, target_bytes=64 * 1024 * 1024)
+    assert not os.path.exists(os.path.join(out, f".lang={lang}._compact_tmp"))
+    assert not os.path.exists(os.path.join(out, f".lang={lang}._compact_old"))
+    assert all("._compact" not in r.partition for r in report.collect())
+    assert spark.read.parquet(out).count() == n
+
+
+def test_scan_metrics_handles_aqe_wrapped_plans(spark, sf_dir):
+    """An aggregate above the scan wraps the plan in
+    AdaptiveSparkPlanExec; scan_metrics must hop into the adaptive
+    subtree instead of silently returning nothing."""
+    df = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .count()
+    )
+    m = layout.scan_metrics(df)
+    assert m["numOutputRows"] > 0

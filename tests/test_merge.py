@@ -138,3 +138,33 @@ def test_upsert_rejects_null_partition(spark, sf_dir, tmp_path):
 
     with pytest.raises(ValueError):
         merge.upsert_partitioned(spark, out, updates, "doc_id", "lang")
+
+
+def test_duplicate_key_batches_are_rejected(spark, sf_dir, tmp_path):
+    """A batch with two rows for one key has no well-defined merge
+    order: both upsert and SCD-2 must refuse it rather than fan out
+    (two current rows / doubled history)."""
+    import pytest
+
+    out = str(tmp_path / "docs_dupkey")
+    _seed_partitioned(spark, sf_dir, out)
+    lang = (
+        spark.read.parquet(out).select("lang").distinct().limit(1)
+        .collect()[0].lang
+    )
+    dup = spark.createDataFrame(
+        [(7, "a", 1, "s", lang), (7, "b", 1, "s", lang)],
+        "doc_id long, text string, n_chars long, source string, lang string",
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        merge.upsert_partitioned(spark, out, dup, "doc_id", "lang")
+
+    hist = merge.scd2_init(
+        spark.createDataFrame([(7, "x")], "cust long, tier string"),
+        "2024-01-01",
+    )
+    dup2 = spark.createDataFrame(
+        [(7, "y"), (7, "z")], "cust long, tier string"
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        merge.scd2_apply(hist, dup2, "cust", "2024-02-01")

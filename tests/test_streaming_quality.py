@@ -101,3 +101,22 @@ def test_dirty_rows_flagged_and_restart_converges(spark, sf_smoke, tmp_path):
         ) == canonical_rows(want.toPandas())
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_empty_stream_epoch_publishes_typed_zeros(spark):
+    """Zero rows so far must publish n_violations=0 / passed=1 per
+    rule, never NULLs (sum over no rows is NULL without the
+    coalesce)."""
+    empty = spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    rows = squality.rule_report(
+        squality.streaming_rule_counts(empty)
+    ).collect()
+    assert len(rows) == len(squality._RULES)
+    for r in rows:
+        assert r.n_violations == 0
+        assert r.n_rows == 0
+        assert r.passed == 1

@@ -16,16 +16,33 @@ def test_bpe_oracle_parity_sf001(spark, sf_dir):
 
 
 def _corpus(spark, sf_dir, tmp_path, texts):
+    """Scratch sf-dir with a constructed documents table. Single-FILE
+    parquets (copied originals + a pyarrow-written documents.parquet)
+    so the DuckDB oracle can read them exactly like the fixtures —
+    Spark-written directory parquets would need a glob."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pa_pq
+
     src = str(tmp_path / "bpe_corpus")
+    os.makedirs(src, exist_ok=True)
     for t in ("region", "nation", "customer", "supplier", "part",
               "orders", "lineitem", "events", "embeddings"):
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).write.parquet(
-            f"{src}/{t}.parquet"
-        )
-    spark.createDataFrame(
-        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
-        "doc_id long, text string, lang string, source string, n_chars long",
-    ).write.parquet(f"{src}/documents.parquet")
+        shutil.copyfile(f"{sf_dir}/{t}.parquet", f"{src}/{t}.parquet")
+    pa_pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts)),
+                "source": pa.array(["s"] * len(texts)),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        f"{src}/documents.parquet",
+    )
     return src
 
 
@@ -105,3 +122,36 @@ def test_tokenize_is_a_pure_map(spark, sf_dir):
     for op in ("HashAggregate", "SortMergeJoin", "BroadcastHashJoin",
                "Window"):
         assert op not in plan, op
+
+
+def test_regex_metachar_symbols_are_literal(spark, sf_dir, tmp_path):
+    """Learned symbols are corpus text: a corpus whose characters are
+    regex metacharacters must train and encode via LITERAL replace —
+    full oracle parity on both the merge table and the token counts
+    (a regex-interpreted '.' pattern would rewrite unrelated pairs
+    and break both)."""
+    src = _corpus(spark, sf_dir, tmp_path, ["a.b a.b x.y", "($) ($)"])
+    assert_matches_oracle(vocab.bpe_merges(spark, src, 3),
+                          vocab._vocab_oracle(3), src)
+    assert_matches_oracle(vocab.tokenize_bpe(spark, src, 3),
+                          vocab._tokenize_oracle(3), src)
+    top = vocab.bpe_merges(spark, src, 1).collect()[0]
+    # (., b)? ('a','.')? whatever wins, it must involve a metachar and
+    # the literal count of that adjacent pair:
+    assert any(c in ".$()" for c in top.left + top.right)
+
+
+def test_run_semantics_are_the_documented_variant(spark, sf_dir, tmp_path):
+    """'abab' documents the divergence from sequential reference BPE:
+    the round's replace merges the FIRST 'a b' only (the shared
+    boundary space is consumed); the second occurrence merges next
+    round while the pair stays on top."""
+    src = _corpus(spark, sf_dir, tmp_path, ["abab abab"])
+    rows = {r.rnd: r for r in vocab.bpe_merges(spark, src, 2).collect()}
+    assert (rows[1].left, rows[1].right) == ("a", "b")
+    assert rows[1].pair_count == 4  # 2 occurrences x 2 words
+    # round 2: the skipped second occurrence still exists -> (a, b)
+    # remains the top pair and completes (reference BPE would have
+    # merged both in round 1)
+    assert (rows[2].left, rows[2].right) == ("a", "b")
+    assert rows[2].pair_count == 2
