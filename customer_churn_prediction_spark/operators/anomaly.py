@@ -34,6 +34,13 @@ def hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("hour")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+    return score_hourly(observed)
+
+
+def score_hourly(observed: DataFrame) -> DataFrame:
+    """Score any (hour, n_events) histogram — the ONE scoring core the
+    batch operator and the streaming maintenance sink
+    (streaming/anomaly.py) both run, so their reports cannot drift."""
     # Densify onto the full hour spine BEFORE windowing: an hour with
     # zero events has no aggregate row, so a rows-frame over observed
     # hours could never flag a total outage (the most important volume
