@@ -44,6 +44,19 @@ _BRAND_PAIRS = (
 def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top brand pairs by lift (ties broken by pair name), with their
     support counts. ``lift = n_co * n_orders / (n_a * n_b)``."""
+    scored = _pair_lift_scored(spark, sf_dir)
+    w = Window.orderBy(
+        F.col("lift").desc(), F.col("brand_a"), F.col("brand_b")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= TOP_PAIRS)
+    )
+
+
+def _pair_lift_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full scored pair table (min-support filtered, unranked) —
+    shared by the report and the recommender."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     baskets = (
@@ -84,7 +97,7 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(n_orders))
     )
-    scored = enriched.select(
+    return enriched.select(
         "brand_a",
         "brand_b",
         "n_co",
@@ -96,17 +109,81 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("lift"),
     )
-    w = Window.orderBy(
-        F.col("lift").desc(), F.col("brand_a"), F.col("brand_b")
+
+
+TOP_RECS = 3
+
+
+def brand_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-best-offer from the affinity model: for each customer, the
+    top unowned brands whose lift with an OWNED brand is highest —
+    the retention-action companion to the churn scores (what to put in
+    the win-back offer).
+
+    Scale shape: the pair model is tiny (≤ brands², min-support
+    filtered) and rides BROADCAST joins; the owned-brands frame is one
+    distinct over the fact join; candidate generation is
+    owned ⋈ symmetric-pairs (broadcast), ownership exclusion a
+    broadcast-able anti-join back onto owned, and both dedup/rank
+    windows are keyed by customer — one customer-keyed shuffle end to
+    end, never a brands×customers blowup."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    owned = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("c_custkey"),
+                F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    pairs = _pair_lift_scored(spark, sf_dir).select(
+        "brand_a", "brand_b", "lift"
+    )
+    sym = pairs.select(
+        F.col("brand_a").alias("via_brand"),
+        F.col("brand_b").alias("rec_brand"),
+        "lift",
+    ).unionByName(
+        pairs.select(
+            F.col("brand_b").alias("via_brand"),
+            F.col("brand_a").alias("rec_brand"),
+            "lift",
+        )
+    )
+    cands = owned.join(
+        F.broadcast(sym), owned.brand == sym.via_brand
+    ).select("c_custkey", "via_brand", "rec_brand", "lift")
+    unowned = cands.join(
+        owned.select("c_custkey", F.col("brand").alias("rec_brand")),
+        ["c_custkey", "rec_brand"],
+        "left_anti",
+    )
+    # best via-path per (customer, candidate), then top-K per customer
+    w_pair = Window.partitionBy("c_custkey", "rec_brand").orderBy(
+        F.col("lift").desc(), "via_brand"
+    )
+    best = (
+        unowned.withColumn("rn", F.row_number().over(w_pair))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    w_cust = Window.partitionBy("c_custkey").orderBy(
+        F.col("lift").desc(), "rec_brand"
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= TOP_PAIRS)
+        best.withColumn("rank", F.row_number().over(w_cust).cast("long"))
+        .where(F.col("rank") <= TOP_RECS)
+        .select("c_custkey", "rec_brand", "via_brand", "lift", "rank")
     )
 
 
-AFFINITY_ORACLE = f"""
-WITH baskets AS (
+# Shared CTE body: the full scored pair table (the SQL twin of
+# ``_pair_lift_scored``) — both oracles build on it verbatim.
+_SCORED_SQL = f"""
+baskets AS (
   SELECT l_orderkey, p_brand
   FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
   GROUP BY 1, 2
@@ -135,13 +212,59 @@ scored AS (
   JOIN marginals mb ON mb.brand = p.brand_b
   CROSS JOIN tot t
 )
+"""
+
+AFFINITY_ORACLE = f"""
+WITH {_SCORED_SQL}
 SELECT * FROM (
   SELECT *, row_number() OVER (ORDER BY lift DESC, brand_a, brand_b) AS rank
   FROM scored)
 WHERE rank <= {TOP_PAIRS}
 """
 
+RECS_ORACLE = f"""
+WITH {_SCORED_SQL},
+owned AS (
+  SELECT DISTINCT o.o_custkey AS c_custkey, p.p_brand AS brand
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+sym AS (
+  SELECT brand_a AS via_brand, brand_b AS rec_brand, lift FROM scored
+  UNION ALL
+  SELECT brand_b AS via_brand, brand_a AS rec_brand, lift FROM scored
+),
+unowned AS (
+  SELECT ow.c_custkey, s.via_brand, s.rec_brand, s.lift
+  FROM owned ow JOIN sym s ON s.via_brand = ow.brand
+  WHERE NOT EXISTS (
+    SELECT 1 FROM owned o2
+    WHERE o2.c_custkey = ow.c_custkey AND o2.brand = s.rec_brand
+  )
+),
+best AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY c_custkey, rec_brand
+                                 ORDER BY lift DESC, via_brand) AS rn
+    FROM unowned)
+  WHERE rn = 1
+)
+SELECT c_custkey, rec_brand, via_brand, lift, rank FROM (
+  SELECT c_custkey, rec_brand, via_brand, lift,
+         row_number() OVER (PARTITION BY c_custkey
+                            ORDER BY lift DESC, rec_brand) AS rank
+  FROM best)
+WHERE rank <= {TOP_RECS}
+"""
+
 # Staged for the r6 registry (driver PRIORITY budget is full this
 # round); tests/test_affinity.py holds these to driver rigor.
-QUERIES = {"basket_pair_lift": basket_pair_lift}
-ORACLES = {"basket_pair_lift": AFFINITY_ORACLE}
+QUERIES = {
+    "basket_pair_lift": basket_pair_lift,
+    "brand_recommendations": brand_recommendations,
+}
+ORACLES = {
+    "basket_pair_lift": AFFINITY_ORACLE,
+    "brand_recommendations": RECS_ORACLE,
+}

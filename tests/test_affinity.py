@@ -82,3 +82,45 @@ def test_output_ranked_and_bounded(spark, sf_dir):
         assert r.brand_a < r.brand_b
         assert r.n_co >= affinity.MIN_SUPPORT
         assert 0.0 < r.support <= 1.0
+
+
+def test_recommendations_oracle_parity_sf001(spark, sf_dir):
+    assert_matches_oracle(
+        affinity.brand_recommendations(spark, sf_dir),
+        affinity.RECS_ORACLE,
+        sf_dir,
+    )
+
+
+def test_recommendations_never_suggest_owned_brands(spark, sf_dir):
+    from customer_churn_prediction_spark.catalog import load_table
+
+    owned = {
+        (r.c_custkey, r.brand)
+        for r in (
+            load_table(spark, sf_dir, "lineitem")
+            .join(load_table(spark, sf_dir, "part"),
+                  F.col("l_partkey") == F.col("p_partkey"))
+            .join(load_table(spark, sf_dir, "orders"),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .select(F.col("o_custkey").alias("c_custkey"),
+                    F.col("p_brand").alias("brand"))
+            .distinct()
+            .collect()
+        )
+    }
+    recs = affinity.brand_recommendations(spark, sf_dir).collect()
+    assert recs
+    for r in recs:
+        assert (r.c_custkey, r.rec_brand) not in owned
+        assert (r.c_custkey, r.via_brand) in owned
+        assert 1 <= r.rank <= affinity.TOP_RECS
+
+
+def test_recommendation_pair_model_is_broadcast(spark, sf_dir):
+    plan = (
+        affinity.brand_recommendations(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
