@@ -1,0 +1,68 @@
+"""End-to-end composition: the tiers this engine ships are built to
+chain into ONE pipeline run. This test executes that chain at the
+smoke scale — audit the inputs, govern + leak-proof-split the corpus,
+build features and train a model, monitor its calibration, and produce
+the retention action — asserting each stage consumes the previous
+stage's contract. Every individual operator has its own oracle-rigor
+test; this file pins that they COMPOSE."""
+
+from __future__ import annotations
+
+from customer_churn_prediction_spark.ml import calibration, jobs
+from customer_churn_prediction_spark.operators import affinity, quality
+from customer_churn_prediction_spark.text import analysis as text_analysis
+from customer_churn_prediction_spark.text import splits
+
+
+def test_full_pipeline_chain(spark, sf_dir):
+    # 1. Data quality gate: every rule green before anything trains.
+    audit = quality.dq_audit(spark, sf_dir).collect()
+    assert audit and all(r.passed == 1 for r in audit)
+
+    # 2. Corpus governance: the keep decision selects a non-trivial,
+    #    strict subset of documents...
+    keep = {
+        r.doc_id: r.keep
+        for r in text_analysis.corpus_keep_decision(spark, sf_dir).collect()
+    }
+    kept = {d for d, k in keep.items() if k == 1}
+    assert 0 < len(kept) < len(keep)
+
+    # 3. ...and the leak-proof split covers every governed doc (the
+    #    keep decision's domain excludes benchmark-residue docs by
+    #    contract — they are the eval set — so it is a subset of the
+    #    full-corpus split), so governance and splitting compose.
+    split = {
+        r.doc_id: r.split
+        for r in splits.corpus_split_leakproof(spark, sf_dir).collect()
+    }
+    assert set(keep) <= set(split)
+    train_docs = [d for d in kept if split[d] == "train"]
+    assert train_docs
+
+    # 4. Churn model: features -> fit -> eval emits the metric row.
+    metrics = jobs.train_and_evaluate(
+        spark, sf_dir, "lr", share_cache=True
+    ).collect()[0]
+    assert metrics.n_train > 0 and metrics.n_test > 0
+    assert 0.0 <= metrics.auc <= 1.0
+
+    # 5. Monitoring: the calibration report covers every scored band
+    #    and its ECE is a finite fraction.
+    cal = calibration.model_calibration(spark, sf_dir).collect()
+    assert cal
+    assert all(0.0 <= r.ece <= 1.0 for r in cal)
+    assert len({r.ece for r in cal}) == 1  # replicated total
+
+    # 6. Retention action: recommendations exist for customers the
+    #    model scores (the two tiers key on the same customer ids).
+    scored_custs = {
+        r.c_custkey
+        for r in calibration._scored_customers(spark, sf_dir)
+        .select("c_custkey")
+        .collect()
+    }
+    recs = affinity.brand_recommendations(spark, sf_dir).collect()
+    assert recs
+    rec_custs = {r.c_custkey for r in recs}
+    assert rec_custs & scored_custs
