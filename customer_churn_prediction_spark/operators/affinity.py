@@ -127,6 +127,50 @@ def brand_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-able anti-join back onto owned, and both dedup/rank
     windows are keyed by customer — one customer-keyed shuffle end to
     end, never a brands×customers blowup."""
+    pairs = _pair_lift_scored(spark, sf_dir).select(
+        "brand_a", "brand_b", "lift"
+    )
+    return _recommend_from_pairs(spark, sf_dir, pairs)
+
+
+def affinity_model_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pair-lift model as an at-rest managed table — the same
+    fit-once discipline as the corpus bands / IVF lists / PQ codes: a
+    recommendation serve should read the model, not re-mine the fact
+    tables. The table is tiny (≤ brands², min-support filtered), so no
+    partitioning — it exists to be broadcast."""
+    from ..sources.writers import managed_ingest, sf_tag
+
+    table = f"brand_pairs_{sf_tag(sf_dir)}"
+
+    def _write(path: str) -> None:
+        (
+            _pair_lift_scored(spark, sf_dir)
+            .write.mode("overwrite")
+            .option("path", path)
+            .format("parquet")
+            .saveAsTable(table)
+        )
+
+    return managed_ingest(spark, table, _write)
+
+
+def brand_recommendations_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``brand_recommendations`` in its production shape: the pair
+    model comes from the at-rest table (``affinity_model_ingest``) —
+    same output rows, same oracle; the basket-mining pass drops out of
+    the per-serve cost entirely."""
+    pairs = affinity_model_ingest(spark, sf_dir).select(
+        "brand_a", "brand_b", "lift"
+    )
+    return _recommend_from_pairs(spark, sf_dir, pairs)
+
+
+def _recommend_from_pairs(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame
+) -> DataFrame:
+    """The shared serve tail: ownership, candidate join, exclusion,
+    per-customer rank — over any (brand_a, brand_b, lift) model."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     orders = load_table(spark, sf_dir, "orders").select(
@@ -138,9 +182,6 @@ def brand_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c_custkey"),
                 F.col("p_brand").alias("brand"))
         .distinct()
-    )
-    pairs = _pair_lift_scored(spark, sf_dir).select(
-        "brand_a", "brand_b", "lift"
     )
     sym = pairs.select(
         F.col("brand_a").alias("via_brand"),
@@ -263,8 +304,12 @@ WHERE rank <= {TOP_RECS}
 QUERIES = {
     "basket_pair_lift": basket_pair_lift,
     "brand_recommendations": brand_recommendations,
+    "brand_recommendations_stored": brand_recommendations_stored,
 }
+# The stored form computes the same relation as the inline form (only
+# the pair model's physical source differs), so it shares the oracle.
 ORACLES = {
     "basket_pair_lift": AFFINITY_ORACLE,
     "brand_recommendations": RECS_ORACLE,
+    "brand_recommendations_stored": RECS_ORACLE,
 }

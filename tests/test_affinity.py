@@ -124,3 +124,18 @@ def test_recommendation_pair_model_is_broadcast(spark, sf_dir):
     )
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_stored_recommendations_equal_inline(spark, sf_dir):
+    from .oracle_utils import assert_df_equal
+
+    assert_df_equal(
+        affinity.brand_recommendations(spark, sf_dir),
+        affinity.brand_recommendations_stored(spark, sf_dir),
+    )
+    # model table exists, is tiny, and carries the full scored schema
+    model = affinity.affinity_model_ingest(spark, sf_dir)
+    assert model.count() <= 25 * 24 // 2
+    assert {"brand_a", "brand_b", "lift", "support", "n_co"} <= set(
+        model.columns
+    )
