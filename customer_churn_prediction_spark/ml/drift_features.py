@@ -1,0 +1,178 @@
+"""Multi-feature drift: PSI of every RFM model input, one report.
+
+``drift_psi`` watches one order-level column; the report a model owner
+actually pages on is per-FEATURE drift — did the distribution of each
+model input (recency / frequency / monetary) move between the training
+snapshot and a later scoring snapshot. Features are per-customer
+aggregates, so the comparison is between two feature COMPUTATIONS at
+two as-of dates, not two row slices.
+
+Scale design:
+
+* **One pushed-down scan, CASE-split double feature build.** The
+  baseline window (training features: orders < FEAT_END, as-of ASOF)
+  and the shifted window (scoring features: all orders < LABEL_END,
+  as-of six months later) overlap, so a single scan over the union
+  range feeds ONE per-customer aggregate computing BOTH feature sets
+  as conditional columns — never two scans, never a self-join of
+  features.
+* **Fixed literal bands** (the calibration/IV edges — ``ml/
+  calibration.py``), then ``stack`` unpivots (feature, side, band)
+  rows BEFORE the tiny count aggregate; the PSI formula itself is the
+  ONE shared implementation, ``monitoring.psi_from_counts``,
+  partitioned by feature via its ``by`` parameter.
+* A customer inactive in a window has NO features on that side (all
+  three bands NULL via the activity guard, dropped before counting) —
+  PSI compares the ACTIVE populations; ``base_n``/``curr_n`` sums let
+  a reader separate population-mix shift from shape shift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..constants import ASOF, FEAT_END_EXCL, FEAT_START, LABEL_END_EXCL
+from .calibration import _FREQ_CAP, _MON_CAP, _MON_WIDTH, _REC_CAP, _REC_WIDTH
+from .monitoring import _PSI_EPS, _PSI_NBINS, psi_from_counts
+
+# the scoring snapshot: six months after the training as-of
+ASOF_CURR = "1998-06-30"
+
+
+def drift_psi_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(FEAT_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(LABEL_END_EXCL).cast("timestamp"))
+    )
+    in_base = F.col("o_orderdate") < F.lit(FEAT_END_EXCL).cast("timestamp")
+
+    def feats(cond, asof, tag):
+        return [
+            F.datediff(
+                F.lit(asof).cast("date"),
+                F.max(F.when(cond, F.to_date("o_orderdate"))),
+            ).alias(f"{tag}_rec"),
+            F.count(F.when(cond, F.lit(1))).alias(f"{tag}_freq"),
+            F.round(
+                F.coalesce(
+                    F.sum(F.when(cond, F.col("o_totalprice"))), F.lit(0.0)
+                ),
+                2,
+            ).alias(f"{tag}_mon"),
+        ]
+
+    per_cust = o.groupBy("o_custkey").agg(
+        *feats(in_base, ASOF, "b"),
+        *feats(F.lit(True), ASOF_CURR, "c"),
+    )
+
+    def bands(tag):
+        # activity guard: no orders in the window (freq 0) -> NULL
+        # bands on that side, dropped before counting
+        g = f"{tag}_freq > 0"
+        return (
+            f"if({g}, least(floor({tag}_rec / {_REC_WIDTH}), {_REC_CAP}), null)",
+            f"if({g}, least({tag}_freq, {_FREQ_CAP}), null)",
+            f"if({g}, least(floor({tag}_mon / {_MON_WIDTH}), {_MON_CAP}), null)",
+        )
+
+    b, c = bands("b"), bands("c")
+    stack_args = ", ".join(
+        f"'{feat}', {flag}L, cast({expr} as int)"
+        for feat, b_expr, c_expr in (
+            ("recency", b[0], c[0]),
+            ("frequency", b[1], c[1]),
+            ("monetary", b[2], c[2]),
+        )
+        for flag, expr in (("1", b_expr), ("0", c_expr))
+    )
+    long = per_cust.select(
+        F.expr(f"stack(6, {stack_args}) as (feature, is_base, band)")
+    ).where(F.col("band").isNotNull())
+    per_band = long.groupBy("feature", F.col("band").alias("bucket")).agg(
+        F.sum("is_base").alias("base_n"),
+        (F.count(F.lit(1)) - F.sum("is_base")).alias("curr_n"),
+    )
+    return psi_from_counts(
+        per_band,
+        nbins=_PSI_NBINS,
+        eps=_PSI_EPS,
+        with_fracs=False,
+        by=("feature",),
+    ).orderBy("feature", "bucket")
+
+
+_BANDS_SQL = {
+    "recency": "least(CAST(floor({t}_rec / %d) AS INT), %d)"
+    % (_REC_WIDTH, _REC_CAP),
+    "frequency": "least(CAST({t}_freq AS INT), %d)" % _FREQ_CAP,
+    "monetary": "least(CAST(floor({t}_mon / %s) AS INT), %d)"
+    % (_MON_WIDTH, _MON_CAP),
+}
+
+
+def _side_selects() -> str:
+    rows = []
+    for feat, tmpl in _BANDS_SQL.items():
+        for flag, tag in (("1", "b"), ("0", "c")):
+            band = tmpl.format(t=tag)
+            rows.append(
+                f"SELECT '{feat}' AS feature, {flag} AS is_base, "
+                f"CASE WHEN {tag}_freq > 0 THEN {band} END AS band "
+                f"FROM per_cust"
+            )
+    return "\nUNION ALL\n".join(rows)
+
+
+DRIFT_FEATURES_ORACLE = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+    date_diff('day',
+      CAST(max(CASE WHEN o_orderdate < TIMESTAMP '{FEAT_END_EXCL}'
+                    THEN o_orderdate END) AS DATE),
+      DATE '{ASOF}') AS b_rec,
+    count(CASE WHEN o_orderdate < TIMESTAMP '{FEAT_END_EXCL}'
+               THEN 1 END) AS b_freq,
+    round(coalesce(sum(CASE WHEN o_orderdate < TIMESTAMP '{FEAT_END_EXCL}'
+                            THEN o_totalprice END), 0.0), 2) AS b_mon,
+    date_diff('day', CAST(max(o_orderdate) AS DATE),
+              DATE '{ASOF_CURR}') AS c_rec,
+    count(*) AS c_freq,
+    round(sum(o_totalprice), 2) AS c_mon
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '{FEAT_START}'
+    AND o_orderdate <  TIMESTAMP '{LABEL_END_EXCL}'
+  GROUP BY o_custkey
+),
+long AS (
+  {_side_selects()}
+),
+per_band AS (
+  SELECT feature, band AS bucket,
+         CAST(sum(is_base) AS BIGINT) AS base_n,
+         CAST(count(*) - sum(is_base) AS BIGINT) AS curr_n
+  FROM long WHERE band IS NOT NULL
+  GROUP BY 1, 2
+),
+frac AS (
+  SELECT *,
+    (base_n + {_PSI_EPS}) / (sum(base_n) OVER (PARTITION BY feature)
+        + {_PSI_EPS * _PSI_NBINS}) AS p_base,
+    (curr_n + {_PSI_EPS}) / (sum(curr_n) OVER (PARTITION BY feature)
+        + {_PSI_EPS * _PSI_NBINS}) AS p_curr
+  FROM per_band
+)
+SELECT feature, bucket, base_n, curr_n,
+  round((p_base - p_curr) * ln(p_base / p_curr), 6) AS psi_term,
+  round(sum((p_base - p_curr) * ln(p_base / p_curr))
+          OVER (PARTITION BY feature), 6) AS psi_total
+FROM frac
+ORDER BY feature, bucket
+"""
+
+# Staged for the r6 registry (driver PRIORITY budget is full this
+# round); tests/test_drift_features.py holds these to driver rigor.
+QUERIES = {"drift_psi_features": drift_psi_features}
+ORACLES = {"drift_psi_features": DRIFT_FEATURES_ORACLE}

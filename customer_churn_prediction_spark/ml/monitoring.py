@@ -82,11 +82,15 @@ def psi_from_counts(
     nbins: int = _PSI_NBINS,
     eps: float = _PSI_EPS,
     with_fracs: bool = True,
+    by: tuple[str, ...] = (),
 ) -> DataFrame:
     """The PSI smoothing/term formula over a tiny (bucket, base_n,
-    curr_n) histogram pair — the ONE definition both the batch tier
-    and the streaming maintenance sink (streaming/drift.py) compute."""
-    w = Window.partitionBy()  # ≤ nbins rows: post-aggregate only
+    curr_n) histogram pair — the ONE definition the batch tier, the
+    streaming maintenance sink (streaming/drift.py), and the
+    multi-feature drift report (ml/drift_features.py) compute. ``by``
+    adds grouping columns (e.g. the feature name) so one call scores
+    several histograms side by side."""
+    w = Window.partitionBy(*by)  # ≤ nbins rows per group: post-aggregate
     smooth_bins = F.lit(eps * nbins)
     p_base = (F.col("base_n") + F.lit(eps)) / (
         F.sum("base_n").over(w) + smooth_bins
@@ -104,6 +108,7 @@ def psi_from_counts(
         else []
     )
     return per_bucket.select(
+        *by,
         "bucket",
         "base_n",
         "curr_n",
