@@ -252,3 +252,29 @@ def test_scan_metrics_handles_aqe_wrapped_plans(spark, sf_dir):
     )
     m = layout.scan_metrics(df)
     assert m["numOutputRows"] > 0
+
+
+def test_zorder_key_properties(spark):
+    """Morton-key properties over a sampled bucket domain: bijective
+    (distinct cells -> distinct keys), bounded by 2^(2*bits), clamped
+    out-of-range inputs equal their clamped twins (no sign-extension
+    scrambling), and exactly invertible by bit de-interleave."""
+    rows = spark.range(0, 64).select(
+        (F.col("id") % 8).alias("a"), (F.col("id") / 8).cast("long").alias("b")
+    )
+    keyed = rows.select(
+        "a", "b", layout.zorder_key(F.col("a"), F.col("b"), bits=3).alias("k")
+    ).collect()
+    keys = [r.k for r in keyed]
+    assert len(set(keys)) == 64
+    assert all(0 <= k < 64 for k in keys)
+    for r in keyed:
+        a = sum(((r.k >> (2 * i + 1)) & 1) << i for i in range(3))
+        b = sum(((r.k >> (2 * i)) & 1) << i for i in range(3))
+        assert (a, b) == (r.a, r.b)
+    # clamping: negative and overflowing buckets key like their clamps
+    edge = spark.range(1).select(
+        layout.zorder_key(F.lit(-5), F.lit(99), bits=3).alias("k_oob"),
+        layout.zorder_key(F.lit(0), F.lit(7), bits=3).alias("k_clamped"),
+    ).collect()[0]
+    assert edge.k_oob == edge.k_clamped
