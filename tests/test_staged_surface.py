@@ -1,0 +1,77 @@
+"""Staged-operator surface guard: every module awaiting r6 registry
+slots must already satisfy the registration contract — QUERIES
+callables with the (spark, sf_dir) signature, a same-named ORACLES
+entry per query, no name collisions with the live registry or among
+staged modules — so r6's wiring (add to _MODULES + PRIORITY) is a
+mechanical two-line edit, never a debugging session."""
+
+from __future__ import annotations
+
+import inspect
+
+from customer_churn_prediction_spark.ml import (
+    calibration,
+    drift_features,
+    survival,
+)
+from customer_churn_prediction_spark.operators import (
+    affinity,
+    anomaly,
+    attribution,
+    funnels,
+    quality,
+    regression,
+    sessions,
+    sketches,
+)
+from customer_churn_prediction_spark.plans import registry
+from customer_churn_prediction_spark.similarity import pq, recall
+from customer_churn_prediction_spark.text import spans, splits, vocab
+
+STAGED_MODULES = (
+    spans, pq, sessions, survival, funnels, calibration, splits,
+    quality, sketches, affinity, attribution, anomaly, vocab,
+    regression, drift_features, recall,
+)
+
+
+def _staged():
+    out = {}
+    for mod in STAGED_MODULES:
+        for name, fn in mod.QUERIES.items():
+            assert name not in out, f"staged name collision: {name}"
+            out[name] = (mod, fn)
+    return out
+
+
+def test_staged_surface_is_registration_ready():
+    staged = _staged()
+    assert len(staged) >= 25
+    live = set(registry.get_queries())
+    for name, (mod, fn) in staged.items():
+        assert name not in live, f"{name} staged AND registered"
+        assert callable(fn)
+        params = list(inspect.signature(fn).parameters)
+        assert params[:2] == ["spark", "sf_dir"], (name, params)
+        oracles = getattr(mod, "ORACLES", {})
+        assert name in oracles, f"{name} has no oracle"
+        sql = oracles[name]
+        assert isinstance(sql, str) and "SELECT" in sql.upper()
+
+
+def test_staged_oracles_parse_in_duckdb():
+    """Every staged oracle must at least PLAN against the fixture
+    views — a syntax error should fail here, not at r6 registration."""
+    import duckdb
+
+    from customer_churn_prediction_spark.catalog import TABLES
+
+    con = duckdb.connect()
+    sf = "/root/testdata/sf0.001"
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'"
+        )
+    for name, (mod, _) in _staged().items():
+        sql = mod.ORACLES[name]
+        con.execute(f"EXPLAIN {sql}")  # plans without executing
