@@ -23,6 +23,7 @@ def _modules():
     if _MODULES is None:
         from ..functions import scalars
         from ..functions import udtf as fn_udtf
+        from ..ml import calibration as ml_calibration
         from ..operators import (
             aggregates,
             asof,
@@ -30,6 +31,7 @@ def _modules():
             labeling,
             relational,
             rfm,
+            sessions,
             windows,
         )
 
@@ -40,79 +42,124 @@ def _modules():
         from ..ml import monitoring as ml_monitoring
         from ..ml import pipeline as ml_pipeline
         from ..similarity import ann
+        from ..similarity import pq as sim_pq
         from ..sources import multimodal
         from ..text import analysis as text_analysis
         from ..text import dedup as text_dedup
+        from ..text import spans as text_spans
+        from ..text import splits as text_splits
 
         _MODULES = [rfm, assembly, labeling, relational, aggregates,
-                    windows, asof, scalars, fn_udtf, stream_windows,
-                    stream_stateful, stream_rollup, text_analysis,
-                    text_dedup, ann, ml_pipeline, ml_jobs, ml_monitoring,
-                    multimodal]
+                    windows, asof, sessions, scalars, fn_udtf,
+                    stream_windows, stream_stateful, stream_rollup,
+                    text_analysis, text_dedup, text_spans, text_splits,
+                    ann, sim_pq, ml_pipeline, ml_jobs, ml_monitoring,
+                    ml_calibration, multimodal]
     return _MODULES
 
 
+# Retired registry entries (round 6). The driver's ~50-row/round budget
+# caps the registry at 100 provable-every-other-round entries; each
+# retirement below removes a VERIFIED-EQUAL twin whose component stays
+# covered by a registered sibling AND a permanent equality pytest, so
+# no SURVEY §2 capability loses driver evidence. The implementations
+# remain in their modules (tests and scale scripts still call them).
+RETIRED = {
+    # ≡ rfm_groupby (tests/test_rfm.py equality); windows stay covered
+    # by latest_order_per_customer / purchase_gaps / running_spend.
+    "rfm_window": "rfm_groupby",
+    # ≡ feature_assembly (tests/test_assembly.py equality); the
+    # bucketed zero-Exchange capability stays registry-covered by
+    # dedup_incremental_materialized + permanent plan tests.
+    "feature_assembly_bucketed": "feature_assembly",
+    # complement of label_churned_anti, twin of label_churn (J3
+    # three-form equivalence is equality-tested).
+    "label_retained_semi": "label_churn",
+    # intermediate of dedup_simhash (the grouped form reads the same
+    # banded self-join).
+    "dedup_simhash_pairs": "dedup_simhash",
+    # O(n²) exact all-pairs baseline; the registered exact baseline is
+    # ann_bruteforce_topk and the scalable threshold-pair forms are
+    # ann_lsh_bucketed / dedup_semantic.
+    "embedding_neardup_pairs": "ann_lsh_bucketed",
+}
+
+# Deliberate non-scale baselines kept registered for recall/correctness
+# grounding: each maps to the deployable twin a production pipeline
+# should run instead. The registry doubles as deployment guidance —
+# pick the value, not the key, at scale (VERDICT r5 item 8).
+BASELINES = {
+    "ann_ivf": "ann_ivf_materialized",          # inline re-assigns corpus/query
+    "ann_bruteforce_int8": "ann_bruteforce_int8_stored",  # re-quantizes/query
+    "ann_bruteforce_topk": "ann_lsh_bucketed",  # exact all-pairs ground truth
+    "dedup_ngram_jaccard": "dedup_lsh_verified",  # exact O(n²) Jaccard
+    "ann_pq_adc": "ann_ivf_pq_stored",          # full-corpus ADC, no pruning
+    "ann_ivf_pq": "ann_ivf_pq_stored",          # inline re-encode per query
+}
+
+
 # Driver-budget rotation (the driver checks ~50 entries per round):
-# round 5 front-loads (a) the 32 entries whose most recent driver row
-# is round 3 — the r4 PRIORITY rotated them out, so their evidence is
-# about to go two rounds stale — and (b) the queries changed or added
-# this round (the int8 zero-norm/lateral-alias fixes, the metric-band
-# oracle pairing for the four ml_* fits, and any new r5 operators).
+# round 6 front-loads (a) the 39 surviving entries whose most recent
+# driver row is round 4 (44 per tests/test_registry_rotation.py minus
+# the 5 RETIRED twins), and (b) the 11 entries that are new or changed
+# this round: the PQ tier, dup-span removal, the leak-proof split,
+# calibration reports, sessionization, and dedup_semantic (whose
+# registered default switched to the k∝N vectorized scale shape).
 # tests/test_registry_rotation.py asserts this list keeps every
 # entry's latest green row at most one round old.
 PRIORITY = [
-    # latest green row is r3 — re-prove before the evidence goes stale
-    "set_ops_buyers",
-    "distinct_pairs",
-    "salted_join_revenue",
-    "groupby_sum",
-    "range_join_events",
-    "date_functions",
-    "round_bround",
-    "md5_salted_key",
-    "string_functions",
-    "json_extract_events",
-    "text_sentences",
-    "stream_tumbling_counts",
-    "stream_sliding_counts",
-    "stream_session_windows",
-    "stream_dedup_events",
-    "stream_user_totals",
-    "rollup_daily_from_hourly",
-    "text_stats",
-    "text_lang_id",
-    "text_token_counts",
-    "text_fingerprint",
-    "corpus_curation",
-    "dedup_exact",
-    "dedup_minhash_signatures",
-    "dedup_minhash_lsh_pairs",
-    "dedup_lsh_groups",
-    "corpus_dedup_keep",
-    "ann_lsh_bucketed",
-    "ann_ivf_kmeans",
-    "ml_feature_vectors",
-    "multimodal_features",
-    "multimodal_frames",
-    # changed or added this round — need fresh rows
-    "ann_bruteforce_int8",
-    "ann_bruteforce_int8_stored",
-    "embedding_quantize",
-    "ml_rf_churn",
-    "ml_gbt_churn",
-    "ml_lr_churn",
-    "ml_fm_churn",
+    # latest green row is r4 — re-prove before the evidence goes stale
+    "rfm_groupby",
+    "feature_assembly",
+    "feature_assembly_onepass",
+    "label_churn",
+    "label_churned_anti",
+    "label_class_balance",
+    "scan_filter_project",
+    "having_repurchase",
+    "isin_filter",
+    "na_fill_left_join",
+    "topk_orders",
+    "sampled_orders",
+    "groupby_count",
+    "avg_by_segment",
+    "approx_distinct_users",
+    "grouping_sets_revenue",
+    "pivot_status_priority",
+    "percentile_quantity",
+    "eval_confusion",
+    "latest_order_per_customer",
+    "purchase_gaps",
+    "running_spend",
+    "asof_join_clicks",
+    "text_tfidf_topk",
+    "corpus_sample_stratified",
+    "text_chunks",
+    "corpus_pack",
+    "text_redact",
+    "dedup_lsh_components",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_lsh_verified",
+    "dedup_incremental",
+    "dedup_incremental_materialized",
+    "dedup_cross_modal",
+    "ann_bruteforce_topk",
+    "ann_ivf",
+    "ann_ivf_materialized",
+    "feature_bucketize",
+    # new or changed this round — need first/fresh rows
+    "embedding_pq",
+    "ann_pq_adc",
+    "ann_ivf_pq",
+    "ann_ivf_pq_stored",
+    "text_dup_spans",
+    "corpus_clean_spans",
+    "corpus_split_leakproof",
+    "model_calibration",
+    "feature_iv",
+    "event_sessions",
     "dedup_semantic",
-    "text_repetition",
-    "corpus_mix",
-    "contamination_check",
-    "text_logprob",
-    "ann_recall_eval",
-    "user_event_sequences",
-    "corpus_keep_decision",
-    "drift_psi",
-    "score_band_lift",
-    "eval_ks",
 ]
 
 
@@ -122,6 +169,8 @@ def get_queries() -> dict[str, QueryFn]:
         for name, fn in getattr(mod, "QUERIES", {}).items():
             if name in flat:
                 raise ValueError(f"duplicate query name {name!r}")
+            if name in RETIRED:
+                continue  # verified-equal twin; sibling carries the row
             flat[name] = fn
     out: dict[str, QueryFn] = {}
     for name in PRIORITY:
@@ -138,6 +187,8 @@ def get_oracles() -> dict[str, str]:
     queries = get_queries()
     for mod in _modules():
         for name, sql in getattr(mod, "ORACLES", {}).items():
+            if name in RETIRED:
+                continue
             if name not in queries:
                 raise ValueError(f"oracle {name!r} has no matching query")
             flat[name] = sql

@@ -41,6 +41,10 @@ def test_bench_covers_recent_additions():
         "dedup_cross_modal", "dedup_semantic", "text_repetition",
         "corpus_mix", "contamination_check", "text_logprob",
         "ann_recall_eval", "user_event_sequences",
+        # r6 registrations must land bench rows in the same round
+        "embedding_pq", "ann_pq_adc", "ann_ivf_pq", "ann_ivf_pq_stored",
+        "text_dup_spans", "corpus_clean_spans", "corpus_split_leakproof",
+        "model_calibration", "feature_iv", "event_sessions",
     }
     assert tracked <= names, sorted(tracked - names)
 

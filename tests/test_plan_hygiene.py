@@ -18,7 +18,9 @@ ALLOWED_NESTED_LOOP = {
     "ann_bruteforce_int8",     # same plan over the quantized store
     "ann_bruteforce_int8_stored",  # same plan, at-rest int8 scan side
     "ann_recall_eval",          # composes ann_bruteforce_topk (NLJ side)
-    "embedding_neardup_pairs",  # exact all-pairs baseline (LSH replaces)
+    # (embedding_neardup_pairs retired from the registry in r6; its
+    # module fn keeps the all-pairs plan for the recall/governance
+    # tests but is no longer parametrized here.)
     "text_tfidf_topk",          # 1-row broadcast scalar (corpus size)
 }
 

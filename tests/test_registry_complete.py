@@ -7,12 +7,15 @@ import os
 
 from customer_churn_prediction_spark.plans import registry
 
+# Retired verified-equal twins (registry.RETIRED) are intentionally
+# absent: their component stays covered by the named sibling plus a
+# permanent equality pytest (see registry.py for the mapping).
 EXPECTED = {
     # relational / feature surface
-    "rfm_groupby", "rfm_window", "feature_assembly",
-    "feature_assembly_onepass", "feature_assembly_bucketed",
+    "rfm_groupby", "feature_assembly",
+    "feature_assembly_onepass",
     "label_churn", "label_churned_anti",
-    "label_retained_semi", "label_class_balance", "scan_filter_project",
+    "label_class_balance", "scan_filter_project",
     "having_repurchase", "isin_filter", "na_fill_left_join", "topk_orders",
     "set_ops_buyers", "distinct_pairs", "salted_join_revenue",
     "sampled_orders", "groupby_sum", "groupby_count", "avg_by_segment",
@@ -34,19 +37,22 @@ EXPECTED = {
     "dedup_exact", "dedup_incremental", "dedup_incremental_materialized",
     "dedup_minhash_signatures",
     "dedup_minhash_lsh_pairs", "dedup_lsh_groups", "dedup_lsh_components",
-    "dedup_simhash", "dedup_simhash_pairs",
+    "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_lsh_verified", "dedup_cross_modal",
+    "text_dup_spans", "corpus_clean_spans", "corpus_split_leakproof",
     "dedup_semantic", "text_repetition", "corpus_mix",
     "contamination_check", "text_logprob", "ann_recall_eval",
     "user_event_sequences", "corpus_keep_decision",
     # ANN
-    "ann_bruteforce_topk", "embedding_neardup_pairs", "ann_lsh_bucketed",
+    "ann_bruteforce_topk", "ann_lsh_bucketed",
     "ann_ivf", "ann_ivf_materialized", "ann_ivf_kmeans",
     "embedding_quantize", "ann_bruteforce_int8",
     "ann_bruteforce_int8_stored",
-    # ML
+    "embedding_pq", "ann_pq_adc", "ann_ivf_pq", "ann_ivf_pq_stored",
+    # ML / monitoring / behavioral
     "feature_bucketize", "ml_rf_churn", "ml_gbt_churn", "ml_lr_churn",
     "ml_fm_churn", "ml_feature_vectors",
+    "model_calibration", "feature_iv", "event_sessions",
     # multimodal
     "multimodal_features", "multimodal_frames",
 }

@@ -10,7 +10,6 @@ from __future__ import annotations
 import inspect
 
 from customer_churn_prediction_spark.ml import (
-    calibration,
     drift_features,
     survival,
 )
@@ -21,17 +20,20 @@ from customer_churn_prediction_spark.operators import (
     funnels,
     quality,
     regression,
-    sessions,
     sketches,
 )
 from customer_churn_prediction_spark.plans import registry
-from customer_churn_prediction_spark.similarity import pq, recall
-from customer_churn_prediction_spark.text import spans, splits, vocab
+from customer_churn_prediction_spark.similarity import recall
+from customer_churn_prediction_spark.text import vocab
 
+# Round 6 registered pq / spans / splits / calibration / sessions; the
+# remainder stays pytest-only PERMANENTLY BY DESIGN — the driver's
+# 50-row budget caps the registry at 100 provable-every-other-round
+# entries and it sits at 99. Each module below carries driver-rigor
+# oracle parity in its own test file.
 STAGED_MODULES = (
-    spans, pq, sessions, survival, funnels, calibration, splits,
-    quality, sketches, affinity, attribution, anomaly, vocab,
-    regression, drift_features, recall,
+    survival, funnels, quality, sketches, affinity, attribution,
+    anomaly, vocab, regression, drift_features, recall,
 )
 
 
@@ -46,7 +48,7 @@ def _staged():
 
 def test_staged_surface_is_registration_ready():
     staged = _staged()
-    assert len(staged) >= 25
+    assert len(staged) >= 15
     live = set(registry.get_queries())
     for name, (mod, fn) in staged.items():
         assert name not in live, f"{name} staged AND registered"
@@ -66,8 +68,10 @@ def test_staged_oracles_parse_in_duckdb():
 
     from customer_churn_prediction_spark.catalog import TABLES
 
+    from .conftest import SF_SMOKE
+
     con = duckdb.connect()
-    sf = "/root/testdata/sf0.001"
+    sf = SF_SMOKE
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'"
