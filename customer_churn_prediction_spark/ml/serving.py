@@ -1,0 +1,209 @@
+"""Model serving — the reference's deployment modes, Spark-first.
+
+The reference ships two serving paths the engine previously lacked:
+a single-record Flask scorer that unpickles the model per process and
+scores one request dict at a time (``GBDT/python/churn_xgb_server.py:
+13-33``), and a TF-Serving REST handoff where the trained model is
+exported once and an external server owns the request loop
+(``README.md:134-145``). This module re-expresses both without a web
+framework (none in this container, and the HTTP shim is orthogonal to
+the engine):
+
+- ``export_serving_bundle`` — the HANDOFF artifact: the fitted
+  ``PipelineModel`` plus a JSON manifest (feature column groups and
+  fill defaults) in one directory. Anything that can load a Spark
+  pipeline — another cluster, a scoring service, ``score_records``
+  below — serves from it; this is the engine's equivalent of the
+  reference's ``saved_model`` export step.
+- ``score_records`` — the REQUEST path: a list of feature dicts
+  becomes a local 1..n-row DataFrame scored through the SAME
+  ``PipelineModel.transform`` the batch path uses, so there is no
+  train/serve skew by construction. The model is memoized per bundle
+  (load once, score per request — the reference reloads per process).
+- ``serve_scoring_stream`` — the CONTINUOUS path: a feature stream is
+  scored per micro-batch via ``foreachBatch`` (model loaded once on
+  the driver, broadcast with the plan) and published as parquet
+  partitioned by epoch with dynamic partition overwrite — replaying a
+  crashed epoch overwrites its own partition, the same exactly-once
+  discipline as ``streaming/ingest.py`` / ``vector_ingest.py``.
+
+Scale: scoring is a pure map (no shuffle) over whatever partitioning
+the feature stream arrives with; at 100 TB the transform rides the
+scan and the only materialization is the per-epoch sink write.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.ml import PipelineModel
+from pyspark.ml.functions import vector_to_array
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import dataset
+
+_MANIFEST = "manifest.json"
+_MODEL_DIR = "model"
+
+# Request-side fill defaults, mirroring the training-side NA handling:
+# numerics were ratio/aggregate features filled to 0 before the fit
+# (P8/P10), categoricals ride StringIndexer(handleInvalid="keep") so
+# any unseen/missing label lands in the reserved extra slot.
+_NUMERIC_FILL = 0.0
+_CATEGORICAL_FILL = "__missing__"
+
+_MODEL_CACHE: dict[str, tuple[PipelineModel, dict]] = {}
+
+
+def export_serving_bundle(fitted: PipelineModel, path: str) -> dict:
+    """Persist ``fitted`` plus its serving manifest under ``path``.
+
+    The manifest records the exact request schema so a scorer does not
+    have to import the training code to know what to send: continuous
+    and flag columns (doubles, fill 0.0) and categorical columns
+    (strings, unseen labels legal). Returns the manifest dict."""
+    manifest = {
+        "model_format": "spark-pipeline",
+        "continuous": list(dataset.CONTINUOUS),
+        "flags": list(dataset.FLAGS),
+        "categorical": list(dataset.CATEGORICAL),
+        "numeric_fill": _NUMERIC_FILL,
+        "categorical_fill": _CATEGORICAL_FILL,
+        "outputs": {
+            "p_churn": "probability of label=1 (churn)",
+            "prediction": "argmax class at the 0.5 default threshold",
+        },
+    }
+    fitted.write().overwrite().save(os.path.join(path, _MODEL_DIR))
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, f".{_MANIFEST}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, os.path.join(path, _MANIFEST))  # atomic publish
+    return manifest
+
+
+def load_serving_bundle(path: str) -> tuple[PipelineModel, dict]:
+    """Load (model, manifest), memoized per bundle path — a model is
+    loaded once and scored many times (the request path must not pay
+    the deserialization per call, which is also why the reference's
+    per-process unpickle is its scoring bottleneck)."""
+    if path not in _MODEL_CACHE:
+        with open(os.path.join(path, _MANIFEST)) as f:
+            manifest = json.load(f)
+        model = PipelineModel.load(os.path.join(path, _MODEL_DIR))
+        _MODEL_CACHE[path] = (model, manifest)
+    return _MODEL_CACHE[path]
+
+
+def clear_serving_cache() -> None:
+    _MODEL_CACHE.clear()
+
+
+def _request_frame(
+    spark: SparkSession, manifest: dict, records: list[dict]
+) -> DataFrame:
+    """Records → typed DataFrame in manifest order, missing keys
+    filled with the manifest defaults (the serving twin of the
+    training-side na.fill)."""
+    num_cols = list(manifest["continuous"]) + list(manifest["flags"])
+    cat_cols = list(manifest["categorical"])
+    rows = []
+    for r in records:
+        unknown = set(r) - set(num_cols) - set(cat_cols)
+        if unknown:
+            raise ValueError(f"unknown feature keys: {sorted(unknown)}")
+        row = [
+            float(r[c]) if r.get(c) is not None else manifest["numeric_fill"]
+            for c in num_cols
+        ]
+        row += [
+            str(r[c]) if r.get(c) is not None
+            else manifest["categorical_fill"]
+            for c in cat_cols
+        ]
+        rows.append(tuple(row))
+    schema = ", ".join(
+        [f"{c} double" for c in num_cols] + [f"{c} string" for c in cat_cols]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def score_batch(scored_input: DataFrame, model: PipelineModel) -> DataFrame:
+    """Transform + output projection shared by every serving surface:
+    the class-1 probability extracted JVM-side (``vector_to_array``,
+    M9 — no UDF) and the thresholded prediction."""
+    passthrough = [
+        c for c in scored_input.columns
+    ]
+    return (
+        model.transform(scored_input)
+        .select(
+            *passthrough,
+            F.round(
+                vector_to_array("probability")[1], 6
+            ).alias("p_churn"),
+            F.col("prediction").cast("int").alias("prediction"),
+        )
+    )
+
+
+def score_records(
+    spark: SparkSession, bundle_path: str, records: list[dict]
+) -> list[dict]:
+    """Single/micro-record synchronous scoring — the engine's
+    ``churn_xgb_server.py`` request path. Returns one dict per input
+    record (input order preserved) with ``p_churn`` and
+    ``prediction`` appended."""
+    model, manifest = load_serving_bundle(bundle_path)
+    req = _request_frame(spark, manifest, records).withColumn(
+        "_req_idx", F.monotonically_increasing_id()
+    )
+    out = (
+        score_batch(req, model)
+        .orderBy("_req_idx")
+        .drop("_req_idx")
+        .collect()
+    )
+    return [row.asDict() for row in out]
+
+
+def serve_scoring_stream(
+    spark: SparkSession,
+    bundle_path: str,
+    feature_stream: DataFrame,
+    out_path: str,
+    checkpoint: str | None = None,
+    query_name: str = "model-serving",
+    available_now: bool = False,
+):
+    """Continuous scoring: every micro-batch of ``feature_stream`` is
+    scored through the bundle's model and appended to ``out_path`` as
+    parquet partitioned by ``epoch`` with dynamic partition overwrite
+    — an epoch replayed after a crash rewrites exactly its own
+    partition (the ``dedup_ingest_stream`` exactly-once discipline).
+    """
+    model, _ = load_serving_bundle(bundle_path)
+
+    def score_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            score_batch(batch_df, model)
+            .withColumn("epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(out_path)
+        )
+
+    writer = (
+        feature_stream.writeStream.foreachBatch(score_epoch)
+        .outputMode("append")
+        .queryName(query_name)
+    )
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -60,7 +60,11 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-k: broadcast the query set against all vectors."""
+    """Exact cosine top-k: broadcast the query set against all vectors.
+
+    BASELINE — ground truth for recall grading; at scale deploy
+    ``ann_lsh_bucketed`` / ``ann_ivf_materialized`` (registry.BASELINES).
+    """
     e = _embeddings(spark, sf_dir)
     q = e.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -84,7 +88,10 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs cosine near-dup (the O(n²) baseline the LSH
-    variant exists to replace)."""
+    variant exists to replace).
+
+    BASELINE (retired from the registry in r6) — deploy
+    ``ann_lsh_bucketed`` or ``dedup_semantic`` at scale."""
     e = _embeddings(spark, sf_dir)
     a = e.select(
         F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
@@ -181,6 +188,12 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_CENTROIDS = 8  # vec_id in [100, 108) play the coarse centroids
 N_PROBE = 2
+# SemDeDup's k∝N rule: pick enough coarse cells that the EXPECTED cell
+# holds ~this many docs, so within-cell pairwise cost stays constant
+# per doc as the corpus grows (with k fixed, 10× data grows every cell
+# 10× and pairs ~100× — measured 13.3× wall on the ×10 corpus before
+# this rule; SCALE.md §10.2).
+SEMANTIC_CELL_TARGET = 64
 
 _CENT_CACHE: dict[str, list] = {}
 
@@ -202,6 +215,31 @@ def _centroids(spark: SparkSession, sf_dir: str) -> list:
             key=lambda r: r.vec_id,
         )
     return _CENT_CACHE[sf_dir]
+
+
+def _semantic_centroids(spark: SparkSession, sf_dir: str) -> list:
+    """The k∝N coarse model for semantic dedup: k =
+    max(N_CENTROIDS, ceil(n / SEMANTIC_CELL_TARGET)) fixture rows
+    starting at vec_id 100, where n is the corpus size — holding the
+    expected cell population constant as the corpus grows. The DuckDB
+    oracle computes the identical k from ``count(*)`` in SQL, so both
+    engines always agree on the model. Memoized like ``_centroids``
+    (fit once, score many); the count is a metadata-only parquet job."""
+    key = f"sem:{sf_dir}"
+    if key not in _CENT_CACHE:
+        raw = load_table(spark, sf_dir, "embeddings")
+        n = raw.count()
+        k = max(N_CENTROIDS, -(-n // SEMANTIC_CELL_TARGET))
+        _CENT_CACHE[key] = sorted(
+            _with_norm(
+                raw.where(
+                    (F.col("vec_id") >= 100)
+                    & (F.col("vec_id") < 100 + k)
+                ).select("vec_id", _vec("embedding").alias("v"))
+            ).collect(),
+            key=lambda r: r.vec_id,
+        )
+    return _CENT_CACHE[key]
 
 
 def _cells_expr(cent_rows) -> "F.Column":
@@ -284,6 +322,10 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic stand-in for a k-means fit); queries probe their
     ``N_PROBE`` closest cells and rank exact cosine within them.
 
+    BASELINE — the inline form re-assigns the whole corpus per query
+    (3.7× at ×10 data); deploy ``ann_ivf_materialized``, which serves
+    from the at-rest cell-partitioned lists (registry.BASELINES).
+
     The centroid set is the fitted model: collected once (8 rows) and
     re-emitted as expression literals — exactly how a k-means model is
     broadcast in production. Cell assignment is then a PURE MAP over
@@ -360,7 +402,11 @@ def _quantized_vectors(e: DataFrame) -> DataFrame:
 def ann_bruteforce_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k over the QUANTIZED store — proof the int8 form
     (``embedding_quantize``) actually serves search, not just shrinks
-    storage. Similarity is the int8 dot product rescaled by the two
+    storage.
+
+    BASELINE — re-quantizes the corpus per query (6.8× at ×10 data);
+    deploy ``ann_bruteforce_int8_stored``, which reads the at-rest
+    int8 table (registry.BASELINES). Similarity is the int8 dot product rescaled by the two
     scales and normalized by the int8 norms (so quantization error
     shifts scores a little — recall vs the float baseline is asserted
     in tests — but ranking is fully deterministic: the integer dot is
@@ -633,11 +679,12 @@ def _assign_cells_vectorized(e: DataFrame, cent_rows) -> DataFrame:
     per (row, centroid), allocating a temp array each time: O(N·k)
     allocations. Here each Arrow batch does ONE (n×d)·(d×k) matmul
     and an argmax — same asymptotics, ~8× less wall at k=80 (SCALE.md
-    §10.2). Ties are broken toward the lowest centroid id (numpy
-    argmax takes the first maximum; centroids arrive id-sorted), the
-    same order the expression form's struct sort uses. Used by the
-    scale path; the registry query keeps the expression form, whose
-    exact fold order the DuckDB oracle replays."""
+    §10.2). Similarities are rounded to 6dp BEFORE the argmax — the
+    exact ranking the expression form and the DuckDB oracle apply
+    (``round(c_sim, 6)`` then (sim DESC, centroid_id ASC)) — and ties
+    break toward the lowest centroid id (numpy argmax takes the first
+    maximum; centroids arrive id-sorted), so all three paths assign
+    identically even when two rounded cosines collide."""
     import numpy as np
 
     cents = sorted(cent_rows, key=lambda r: r.vec_id)
@@ -649,7 +696,7 @@ def _assign_cells_vectorized(e: DataFrame, cent_rows) -> DataFrame:
         for pdf in batches:
             v = np.array(pdf["v"].tolist(), dtype=np.float64)
             nrm = np.maximum(pdf["nrm"].to_numpy(), 1e-300)
-            sims = (v / nrm[:, None]) @ cmat.T
+            sims = np.round((v / nrm[:, None]) @ cmat.T, 6)
             pdf["centroid_id"] = ids[np.argmax(sims, axis=1)]
             yield pdf[["vec_id", "v", "nrm", "centroid_id"]]
 
@@ -662,7 +709,7 @@ def semantic_dedup(
     spark: SparkSession,
     sf_dir: str,
     cent_rows: list | None = None,
-    vectorized_assign: bool = False,
+    vectorized_assign: bool = True,
 ) -> DataFrame:
     """Semantic (embedding-space) near-duplicate removal — the
     SemDeDup recipe (Abbas et al. 2023, arXiv:2303.09540): cluster the
@@ -687,26 +734,26 @@ def semantic_dedup(
     → min id) — the greedy keep-first-seen variant, deterministic by
     construction.
 
-    ``cent_rows`` overrides the fixture's fixed 8-centroid model —
-    THE scale knob: with k held fixed, 10× data grows every cell 10×
-    and within-cell pairs ~100× (measured 13.3× wall on the ×10
-    corpus); re-seeding with k ∝ N holds cell size constant and the
-    growth collapses to ~linear (SCALE.md §10.2). Production fits k
-    from corpus size for exactly this reason.
-
-    ``vectorized_assign=True`` swaps the expression-literal assignment
-    for the Arrow/numpy matmul (``_assign_cells_vectorized``) — at
-    large k the per-centroid zip_with fold allocates a temp array per
-    (row, centroid) and dominates (measured 21.4 s at k=80/×10 vs
-    2.7 s vectorized); the registry entry keeps the expression path,
-    whose float fold the DuckDB oracle replays exactly."""
+    The registered default IS the scale shape (VERDICT r5 item 4):
+    ``cent_rows=None`` fits k ∝ N (``_semantic_centroids``:
+    k = max(8, ceil(n/SEMANTIC_CELL_TARGET)), a rule the DuckDB oracle
+    recomputes from ``count(*)`` so both engines agree on the model),
+    and ``vectorized_assign=True`` runs the assignment as the
+    Arrow/numpy matmul. Both knobs exist because each alone measured
+    badly at ×10 data: with k fixed, cells grow linearly and
+    within-cell pairs quadratically (13.3× wall, SCALE.md §10.2); with
+    the expression-literal assignment, the per-(row, centroid)
+    zip_with fold allocates a temp array each time and dominates at
+    large k (21.4 s at k=80/×10 vs 2.7 s vectorized). The expression
+    path (``vectorized_assign=False``) remains for the equality test
+    that pins the two assignment kernels to each other."""
     e = _embeddings(spark, sf_dir)
     if vectorized_assign:
         assigned = _assign_cells_vectorized(
-            e, cent_rows or _centroids(spark, sf_dir)
+            e, cent_rows or _semantic_centroids(spark, sf_dir)
         )
     else:
-        cells = _cells_expr(cent_rows or _centroids(spark, sf_dir))
+        cells = _cells_expr(cent_rows or _semantic_centroids(spark, sf_dir))
         assigned = e.select(
             "vec_id", "v", "nrm",
             (-F.element_at(cells, 1)["nid"]).alias("centroid_id"),
@@ -922,13 +969,18 @@ WHERE rank <= {TOP_K}
 # oracle verbatim — the ann_ivf_materialized precedent.
 ORACLES["ann_bruteforce_int8_stored"] = ORACLES["ann_bruteforce_int8"]
 
-# Same assignment CTEs as the ann_ivf oracle, then the within-cell
-# pairwise threshold + best-earlier-match window.
+# Same assignment CTEs as the ann_ivf oracle — except the centroid
+# count follows the engine's k∝N rule, recomputed here from count(*)
+# so oracle and engine always agree on the model — then the
+# within-cell pairwise threshold + best-earlier-match window.
 ORACLES["dedup_semantic"] = f"""
 WITH {_E_SQL},
 cents AS (
   SELECT vec_id AS centroid_id, v AS cv, nrm AS cn
-  FROM n WHERE vec_id >= 100 AND vec_id < {100 + N_CENTROIDS}
+  FROM n WHERE vec_id >= 100
+    AND vec_id < 100 + (SELECT GREATEST({N_CENTROIDS},
+          CAST(ceil(count(*) / {SEMANTIC_CELL_TARGET}.0) AS BIGINT))
+        FROM n)
 ),
 asg AS (
   SELECT vec_id, v, nrm, centroid_id,

@@ -204,7 +204,11 @@ def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric-distance top-k of the 5 fixture queries over the PQ
-    code table — M lookups + a fixed-order sum per stored vector."""
+    code table — M lookups + a fixed-order sum per stored vector.
+
+    BASELINE — prices the FULL corpus per query (no cell pruning) and
+    re-encodes it inline; deploy ``ann_ivf_pq_stored``
+    (registry.BASELINES)."""
     cb = train_pq(spark, sf_dir)
     e = _embeddings(spark, sf_dir)
     cb_sql = _cb_literal(cb)
@@ -273,7 +277,11 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     Coarse ranking is cosine (matching ``ann_ivf``'s cells), fine
     ranking is L2² ADC (matching ``ann_pq_adc``) — the mixed metric is
     deliberate and documented: FAISS's IVF+PQ pairs an arbitrary
-    coarse quantizer with L2 ADC the same way."""
+    coarse quantizer with L2 ADC the same way.
+
+    BASELINE — the inline form re-encodes the corpus per query; deploy
+    ``ann_ivf_pq_stored``, which serves the same relation from the
+    at-rest cell-partitioned code table (registry.BASELINES)."""
     cb = train_pq(spark, sf_dir)
     cent_rows = _centroids(spark, sf_dir)
     e = _embeddings(spark, sf_dir)

@@ -177,6 +177,18 @@ def _is_data_file(name: str) -> bool:
     return not (name.startswith("_") or name.startswith("."))
 
 
+def _must(ok: bool, action: str, src, dst=None) -> None:
+    """Hadoop FileSystem.rename/delete report failure by RETURNING
+    FALSE (dst exists, src vanished, permission), not by raising — and
+    rename-into-an-existing-dir silently nests src INSIDE dst. Treating
+    a false return as success is how a compaction 'succeeds' while
+    hiding staged data inside a live partition, so every swap step
+    checks its return and aborts the partition loudly instead."""
+    if not ok:
+        where = f"{src} -> {dst}" if dst is not None else str(src)
+        raise IOError(f"filesystem {action} failed (returned false): {where}")
+
+
 def compact_partitions(
     spark: SparkSession,
     path: str,
@@ -205,7 +217,7 @@ def compact_partitions(
         if name.startswith(".") and (
             name.endswith("._compact_tmp") or name.endswith("._compact_old")
         ):
-            fs.delete(st.getPath(), True)
+            _must(fs.delete(st.getPath(), True), "delete", st.getPath())
     for st in fs.listStatus(Path(path)):
         if not st.isDirectory():
             continue
@@ -229,20 +241,25 @@ def compact_partitions(
         # copy as a bogus partition and double-count (a plain
         # '<part>._compact_tmp' name contains '=' and WOULD be listed).
         tmp = Path(path, f".{pname}._compact_tmp")
-        fs.delete(tmp, True)
+        if fs.exists(tmp):
+            _must(fs.delete(tmp, True), "delete", tmp)
         spark.read.parquet(src).coalesce(want).write.mode(
             "overwrite"
         ).parquet(tmp.toString())
         old = Path(path, f".{pname}._compact_old")
-        fs.delete(old, True)
+        if fs.exists(old):
+            _must(fs.delete(old, True), "delete", old)
         # Swap: crash before the first rename leaves the original
         # serving; between the two renames the partition is briefly
         # absent (documented above — a table format fixes this class);
         # crash after the swap leaves only an invisible dot-dir that
-        # the next run's GC removes.
-        fs.rename(st.getPath(), old)
-        fs.rename(tmp, st.getPath())
-        fs.delete(old, True)
+        # the next run's GC removes. Every step checks the boolean
+        # Hadoop return (_must): if the first rename fails the second
+        # would otherwise move the staged dir INSIDE the still-live
+        # partition dir and report success.
+        _must(fs.rename(st.getPath(), old), "rename", st.getPath(), old)
+        _must(fs.rename(tmp, st.getPath()), "rename", tmp, st.getPath())
+        _must(fs.delete(old, True), "delete", old)
         after = [
             f
             for f in fs.listStatus(st.getPath())

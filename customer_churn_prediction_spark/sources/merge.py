@@ -55,7 +55,21 @@ def upsert_partitioned(
     check is a full-table anti-join, exactly the O(table) cost a
     partition-scoped merge exists to avoid, so such a move leaves the
     stale row behind as a duplicate key. Route partition moves through
-    a maintenance window that deletes the old row explicitly."""
+    a maintenance window that deletes the old row explicitly.
+
+    DURABILITY: this reads and dynamically overwrites the same parquet
+    path in one job. Spark stages the merged output in a job-scoped
+    temporary directory first, but the COMMIT phase then
+    deletes-and-renames each touched partition in turn — a crash
+    inside that window can lose touched partitions, because the only
+    copy of the surviving base rows is in the files being replaced.
+    That commit window is inherent to plain-parquet dynamic overwrite;
+    run it under a retryable orchestrator slot (re-running the same
+    batch is safe for every crash point EXCEPT mid-commit, which needs
+    restore-from-upstream), or use a transactional table format where
+    available — the atomic-swap discipline ``compact_partitions`` uses
+    is per-partition-directory and does not compose with a multi-
+    partition dynamic overwrite."""
     parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
     if any(p is None for p in parts):
         raise ValueError(f"updates contain NULL {partition_col}")
@@ -127,8 +141,13 @@ def scd2_apply(
         )
     attr_cols = [c for c in updates.columns]
     closed_marker = updates.select(key).withColumn("_closing", F.lit(1))
-    current = history.where(F.col("is_current") == 1)
-    rest = history.where(F.col("is_current") != 1)
+    # eqNullSafe: a history row with NULL is_current (possible in
+    # externally-sourced history; scd2_init never emits one) fails
+    # BOTH `== 1` and `!= 1` and would silently vanish from the
+    # output. Null-safe comparison routes it into `rest`, passing it
+    # through untouched like any other non-current row.
+    current = history.where(F.col("is_current").eqNullSafe(1))
+    rest = history.where(~F.col("is_current").eqNullSafe(1))
     joined = current.join(F.broadcast(closed_marker), key, "left")
     closed_or_kept = joined.select(
         *[F.col(c) for c in attr_cols],

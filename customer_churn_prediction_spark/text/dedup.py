@@ -445,6 +445,10 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept when >= JACCARD_THRESHOLD — the exact O(pairs) baseline the
     LSH tier replaces at scale.
 
+    BASELINE — deploy ``dedup_lsh_verified`` at scale: it computes the
+    same exact Jaccard but only for band-collision candidates
+    (registry.BASELINES).
+
     Each doc's distinct-gram array is computed once per join side and
     exploded CARRYING ITS OWN SIZE, so the intersection count and both
     set sizes come out of the one co-occurrence aggregate — no separate

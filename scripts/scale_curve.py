@@ -30,7 +30,7 @@ X10_DIR = os.path.join(
 DOC_ONLY_QUERIES = [
     "dedup_lsh_groups",
     "dedup_minhash_lsh_pairs",
-    "dedup_simhash_pairs",
+    "dedup_simhash",
     "text_tfidf_topk",
     "dedup_incremental",
     "corpus_dedup_keep",
@@ -42,6 +42,10 @@ DOC_ONLY_QUERIES = [
     "corpus_mix",
     "contamination_check",
     "text_logprob",
+    # r6 registrations over documents
+    "text_dup_spans",
+    "corpus_clean_spans",
+    "corpus_split_leakproof",
 ]
 
 # ANN-tier 4th decade: scripts/make_embeddings_x10.py replicates the
@@ -55,6 +59,10 @@ X10E_DIR = os.path.join(
 )
 EMB_ONLY_QUERIES = [
     "ann_lsh_bucketed",
+    "embedding_pq",
+    "ann_pq_adc",
+    "ann_ivf_pq",
+    "ann_ivf_pq_stored",
     "ann_ivf",
     "ann_ivf_materialized",
     "ann_bruteforce_topk",
@@ -69,7 +77,7 @@ CURVE_QUERIES = [
     "rfm_groupby",                # single partial+final hash agg
     "dedup_lsh_groups",           # linear LSH dedup (window + agg)
     "dedup_minhash_lsh_pairs",    # bucket expansion, 1 shuffle
-    "dedup_simhash_pairs",        # banded simhash self-join
+    "dedup_simhash",              # banded simhash self-join + group
     "ann_ivf",                    # literal-broadcast assign + probe join
     "text_tfidf_topk",            # explode + window DF counts
     "stream_tumbling_counts",     # batch form of the tumbling window
@@ -82,6 +90,14 @@ CURVE_QUERIES = [
     "drift_psi",
     "score_band_lift",
     "eval_ks",
+    # r6 registrations: span dedup + actuation, leak-proof split,
+    # calibration reports, sessionization
+    "text_dup_spans",
+    "corpus_clean_spans",
+    "corpus_split_leakproof",
+    "model_calibration",
+    "feature_iv",
+    "event_sessions",
 ]
 
 

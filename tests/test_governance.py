@@ -78,14 +78,18 @@ def test_text_repetition_flags_are_consistent_with_ratios(spark, sf_dir):
 
 
 def test_semantic_dedup_vectorized_assign_matches_expression(spark, sf_dir):
-    """The Arrow/numpy matmul assignment must reproduce the
-    expression-path drop-list exactly (same centroids, same tie
-    order): cell membership can only differ if two centroid cosines
-    collide within float-sum reassociation error, which the fixture
-    doesn't contain — a mismatch here means an implementation bug,
-    not a tie."""
+    """The Arrow/numpy matmul assignment (the registered default) must
+    reproduce the expression-path drop-list exactly — both round the
+    centroid cosine to 6dp before ranking and break ties toward the
+    lowest centroid id, so a mismatch here means an implementation
+    bug, not a tie."""
     expr_rows = sorted(
-        map(tuple, ann.semantic_dedup(spark, sf_dir).collect())
+        map(
+            tuple,
+            ann.semantic_dedup(
+                spark, sf_dir, vectorized_assign=False
+            ).collect(),
+        )
     )
     vec_rows = sorted(
         map(

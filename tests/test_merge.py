@@ -116,6 +116,32 @@ def test_scd2_closes_and_versions(spark):
     ]
 
 
+def test_scd2_null_is_current_rows_pass_through(spark):
+    """Externally-sourced history can carry NULL is_current; the
+    current/rest split must be null-safe so such rows are passed
+    through untouched instead of failing both `== 1` and `!= 1` and
+    silently vanishing (ADVICE r5)."""
+    hist = spark.createDataFrame(
+        [
+            (1, "gold", "2024-01-01 00:00:00", None, 1),
+            (1, "bronze", "2023-01-01 00:00:00", "2024-01-01 00:00:00", 0),
+            (2, "silver", "2024-01-01 00:00:00", None, None),
+        ],
+        "cust long, tier string, valid_from string, valid_to string, "
+        "is_current int",
+    ).select(
+        "cust", "tier",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+        "is_current",
+    )
+    updates = spark.createDataFrame([(1, "platinum")], "cust long, tier string")
+    out = merge.scd2_apply(hist, updates, "cust", "2024-02-01").collect()
+    assert len(out) == 4  # closed + new for cust 1, bronze, NULL row kept
+    null_rows = [r for r in out if r.is_current is None]
+    assert [(r.cust, r.tier) for r in null_rows] == [(2, "silver")]
+
+
 def test_scd2_batch_join_broadcasts(spark):
     base = spark.createDataFrame(
         [(i, "t") for i in range(100)], "cust long, tier string"

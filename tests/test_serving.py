@@ -1,0 +1,101 @@
+"""Serving surfaces (ml/serving.py): bundle round-trip, the
+single-record request path's exact agreement with batch transform (no
+train/serve skew), fill semantics, and the continuous foreachBatch
+scoring sink's batch equivalence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.ml import Pipeline
+
+from customer_churn_prediction_spark.ml import dataset, models, serving
+from customer_churn_prediction_spark.ml.pipeline import build_feature_pipeline
+
+
+@pytest.fixture(scope="module")
+def bundle(spark, sf_smoke, tmp_path_factory):
+    data = dataset.churn_training_set(spark, sf_smoke).cache()
+    pipe = Pipeline(
+        stages=[
+            *build_feature_pipeline().getStages(),
+            models.make_estimator("lr", "small"),
+        ]
+    )
+    fitted = pipe.fit(data)
+    path = str(tmp_path_factory.mktemp("serving") / "bundle")
+    manifest = serving.export_serving_bundle(fitted, path)
+    serving.clear_serving_cache()  # force the load path in every test
+    return path, manifest, data, fitted
+
+
+def _feature_dict(row, manifest):
+    cols = manifest["continuous"] + manifest["flags"] + manifest["categorical"]
+    d = row.asDict()
+    return {c: d[c] for c in cols}
+
+
+def test_score_records_matches_batch_transform_exactly(spark, bundle):
+    """The request path must produce bit-identical probabilities to
+    the batch path for the same feature values — the whole point of
+    serving through the same PipelineModel."""
+    path, manifest, data, fitted = bundle
+    sample = data.limit(5).collect()
+    out = serving.score_records(
+        spark, path, [_feature_dict(r, manifest) for r in sample]
+    )
+    assert len(out) == 5
+    batch = {
+        r.c_custkey: (r.p_churn, r.prediction)
+        for r in serving.score_batch(data.limit(5), fitted).collect()
+    }
+    for row, scored in zip(sample, out):
+        want_p, want_pred = batch[row.c_custkey]
+        assert scored["p_churn"] == pytest.approx(want_p, abs=1e-6)
+        assert scored["prediction"] == want_pred
+        assert 0.0 <= scored["p_churn"] <= 1.0
+
+
+def test_score_records_fills_missing_and_rejects_unknown(spark, bundle):
+    path, manifest, _, _ = bundle
+    # Only one field supplied: numerics fill to 0.0, categoricals to
+    # the reserved missing token (StringIndexer handleInvalid="keep"
+    # routes it to the extra slot) — must score, not raise.
+    out = serving.score_records(spark, path, [{"monetary": 123.4}])
+    assert len(out) == 1 and 0.0 <= out[0]["p_churn"] <= 1.0
+    with pytest.raises(ValueError, match="unknown feature keys"):
+        serving.score_records(spark, path, [{"not_a_feature": 1}])
+
+
+def test_serving_stream_scores_every_row_and_matches_batch(
+    spark, bundle, tmp_path
+):
+    path, manifest, data, fitted = bundle
+    cols = manifest["continuous"] + manifest["flags"] + manifest["categorical"]
+    feats = data.select("c_custkey", *cols)
+    src = str(tmp_path / "features_in")
+    # two files → at least one multi-file availableNow drain
+    feats.repartition(2).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(feats.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out_path = str(tmp_path / "scores_out")
+    q = serving.serve_scoring_stream(
+        spark, path, stream, out_path,
+        checkpoint=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    assert q.awaitTermination(120), "availableNow drain timed out"
+    got = {
+        r.c_custkey: (r.p_churn, r.prediction)
+        for r in spark.read.parquet(out_path).collect()
+    }
+    want = {
+        r.c_custkey: (r.p_churn, r.prediction)
+        for r in serving.score_batch(feats, fitted).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == pytest.approx(want[k][0], abs=1e-6)
+        assert got[k][1] == want[k][1]
