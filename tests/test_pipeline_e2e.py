@@ -8,7 +8,16 @@ test; this file pins that they COMPOSE."""
 
 from __future__ import annotations
 
-from customer_churn_prediction_spark.ml import calibration, jobs
+from pyspark.ml import Pipeline
+
+from customer_churn_prediction_spark.ml import (
+    calibration,
+    dataset,
+    jobs,
+    models,
+    serving,
+)
+from customer_churn_prediction_spark.ml.pipeline import build_feature_pipeline
 from customer_churn_prediction_spark.operators import affinity, quality
 from customer_churn_prediction_spark.text import analysis as text_analysis
 from customer_churn_prediction_spark.text import splits
@@ -66,3 +75,33 @@ def test_full_pipeline_chain(spark, sf_dir):
     assert recs
     rec_custs = {r.c_custkey for r in recs}
     assert rec_custs & scored_custs
+
+
+def test_train_export_serve_handoff(spark, sf_dir, tmp_path):
+    """The deployment chain: fit the composed pipeline, export the
+    serving bundle, then answer an online request for a REAL customer
+    through the request path — and the answer must be the batch
+    score for that customer (train/serve consistency end to end)."""
+    data = dataset.churn_training_set(spark, sf_dir).cache()
+    fitted = Pipeline(
+        stages=[
+            *build_feature_pipeline().getStages(),
+            models.make_estimator("lr", "small"),
+        ]
+    ).fit(data)
+    bundle = str(tmp_path / "bundle")
+    manifest = serving.export_serving_bundle(fitted, bundle)
+    serving.clear_serving_cache()
+
+    victim = data.limit(1).collect()[0].asDict()
+    cols = manifest["continuous"] + manifest["flags"] + manifest["categorical"]
+    answer = serving.score_records(
+        spark, bundle, [{c: victim[c] for c in cols}]
+    )[0]
+    batch = (
+        serving.score_batch(data, fitted)
+        .where(f"c_custkey = {victim['c_custkey']}")
+        .collect()[0]
+    )
+    assert answer["p_churn"] == batch.p_churn
+    assert answer["prediction"] == batch.prediction
