@@ -118,7 +118,8 @@ def main() -> None:
     def force(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 
-    results: dict[str, dict[str, float]] = {q: {} for q in CURVE_QUERIES}
+    all_names = list(dict.fromkeys(CURVE_QUERIES + DOC_ONLY_QUERIES))
+    results: dict[str, dict[str, float]] = {q: {} for q in all_names}
     for sf in SFS:
         sf_dir = f"/root/testdata/{sf}"
         for name in CURVE_QUERIES:
@@ -133,6 +134,18 @@ def main() -> None:
     have_x10 = os.path.isdir(X10_DIR)
     if have_x10:
         for name in DOC_ONLY_QUERIES:
+            # names outside CURVE_QUERIES need their sf0.1 anchor too
+            # (the x10 table prints growth vs sf0.1)
+            if "sf0.1" not in results[name]:
+                force(queries[name](spark, "/root/testdata/sf0.1"))
+                samples = []
+                for _ in range(n_iters):
+                    t0 = time.perf_counter()
+                    force(queries[name](spark, "/root/testdata/sf0.1"))
+                    samples.append(time.perf_counter() - t0)
+                results[name]["sf0.1"] = round(
+                    statistics.median(samples), 3
+                )
             force(queries[name](spark, X10_DIR))  # warm
             samples = []
             for _ in range(n_iters):
