@@ -105,3 +105,37 @@ def test_train_export_serve_handoff(spark, sf_dir, tmp_path):
     )
     assert answer["p_churn"] == batch.p_churn
     assert answer["prediction"] == batch.prediction
+
+
+def test_feature_to_tfrecord_export_roundtrip(spark, sf_dir, tmp_path):
+    """The reference's TF training handoff (LR/TFRecord_process.py:
+    30-33): assembled churn features exported as TFRecord Examples and
+    read back losslessly — the real feature pipeline composed with the
+    dependency-free TFRecord codec, not synthetic vectors."""
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.sql import functions as F
+
+    from customer_churn_prediction_spark.ml.pipeline import (
+        build_feature_pipeline as bfp,
+    )
+    from customer_churn_prediction_spark.sources import tfrecord as tfr
+
+    data = dataset.churn_training_set(spark, sf_dir)
+    vec = bfp().fit(data).transform(data).select(
+        vector_to_array("features").cast("array<float>").alias("features"),
+        F.col("label").cast("float").alias("label"),
+    )
+    out = str(tmp_path / "churn_tfrecord")
+    manifest = tfr.write_tfrecord(vec, out, "features", "label").collect()
+    assert sum(r.n_records for r in manifest) == vec.count()
+    dim = len(vec.first().features)
+    back = tfr.read_tfrecord(spark, out, dim=dim)
+    got = sorted(
+        (tuple(round(x, 4) for x in r.features), r.label)
+        for r in back.collect()
+    )
+    want = sorted(
+        (tuple(round(x, 4) for x in r.features), r.label)
+        for r in vec.collect()
+    )
+    assert got == want
