@@ -157,6 +157,8 @@ def score_records(
     ``churn_xgb_server.py`` request path. Returns one dict per input
     record (input order preserved) with ``p_churn`` and
     ``prediction`` appended."""
+    if not records:
+        return []
     model, manifest = load_serving_bundle(bundle_path)
     req = _request_frame(spark, manifest, records).withColumn(
         "_req_idx", F.monotonically_increasing_id()
