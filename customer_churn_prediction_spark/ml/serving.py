@@ -57,18 +57,42 @@ _CATEGORICAL_FILL = "__missing__"
 _MODEL_CACHE: dict[str, tuple[PipelineModel, dict]] = {}
 
 
-def export_serving_bundle(fitted: PipelineModel, path: str) -> dict:
-    """Persist ``fitted`` plus its serving manifest under ``path``.
+def _manifest_from_model(fitted: PipelineModel) -> dict:
+    """Derive the request schema from the FITTED stages, not from the
+    training module's current column lists (review r6: a bundle must
+    describe the model it actually contains — exporting a pipeline
+    trained on an older/custom feature set with today's
+    ``dataset.CONTINUOUS`` would misdescribe the request schema and
+    fail — or silently skew — at request time)."""
+    from pyspark.ml.feature import StringIndexerModel, VectorAssembler
 
-    The manifest records the exact request schema so a scorer does not
-    have to import the training code to know what to send: continuous
-    and flag columns (doubles, fill 0.0) and categorical columns
-    (strings, unseen labels legal). Returns the manifest dict."""
-    manifest = {
+    categorical: list[str] = []
+    vec_outputs: set[str] = set()
+    assembler_inputs: list[str] = []
+    for stage in fitted.stages:
+        if isinstance(stage, StringIndexerModel):
+            categorical.append(stage.getInputCol())
+        elif hasattr(stage, "getOutputCols") and not isinstance(
+            stage, VectorAssembler
+        ):
+            vec_outputs.update(stage.getOutputCols())
+        if isinstance(stage, VectorAssembler):
+            assembler_inputs = list(stage.getInputCols())
+    numeric = [c for c in assembler_inputs if c not in vec_outputs]
+    if not categorical and not numeric:
+        raise ValueError(
+            "pipeline has no StringIndexer/VectorAssembler stages to "
+            "derive a request schema from"
+        )
+    # Flags are numerics the training module lists as such; anything
+    # not in its lists still serves (the manifest only groups types).
+    flags = [c for c in numeric if c in set(dataset.FLAGS)]
+    continuous = [c for c in numeric if c not in set(dataset.FLAGS)]
+    return {
         "model_format": "spark-pipeline",
-        "continuous": list(dataset.CONTINUOUS),
-        "flags": list(dataset.FLAGS),
-        "categorical": list(dataset.CATEGORICAL),
+        "continuous": continuous,
+        "flags": flags,
+        "categorical": categorical,
         "numeric_fill": _NUMERIC_FILL,
         "categorical_fill": _CATEGORICAL_FILL,
         "outputs": {
@@ -76,12 +100,25 @@ def export_serving_bundle(fitted: PipelineModel, path: str) -> dict:
             "prediction": "argmax class at the 0.5 default threshold",
         },
     }
+
+
+def export_serving_bundle(fitted: PipelineModel, path: str) -> dict:
+    """Persist ``fitted`` plus its serving manifest under ``path``.
+
+    The manifest records the exact request schema — derived from the
+    fitted stages — so a scorer does not have to import the training
+    code to know what to send: continuous and flag columns (doubles,
+    fill 0.0) and categorical columns (strings, unseen labels legal).
+    Returns the manifest dict."""
+    manifest = _manifest_from_model(fitted)
     fitted.write().overwrite().save(os.path.join(path, _MODEL_DIR))
-    os.makedirs(path, exist_ok=True)
     tmp = os.path.join(path, f".{_MANIFEST}.tmp")
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1)
     os.replace(tmp, os.path.join(path, _MANIFEST))  # atomic publish
+    # Re-exporting over a served path must not keep answering with the
+    # previous model (review r6): drop any memoized load for it.
+    _MODEL_CACHE.pop(path, None)
     return manifest
 
 
@@ -135,13 +172,10 @@ def score_batch(scored_input: DataFrame, model: PipelineModel) -> DataFrame:
     """Transform + output projection shared by every serving surface:
     the class-1 probability extracted JVM-side (``vector_to_array``,
     M9 — no UDF) and the thresholded prediction."""
-    passthrough = [
-        c for c in scored_input.columns
-    ]
     return (
         model.transform(scored_input)
         .select(
-            *passthrough,
+            *scored_input.columns,
             F.round(
                 vector_to_array("probability")[1], 6
             ).alias("p_churn"),
@@ -177,7 +211,7 @@ def serve_scoring_stream(
     bundle_path: str,
     feature_stream: DataFrame,
     out_path: str,
-    checkpoint: str | None = None,
+    checkpoint: str,
     query_name: str = "model-serving",
     available_now: bool = False,
 ):
@@ -186,6 +220,12 @@ def serve_scoring_stream(
     parquet partitioned by ``epoch`` with dynamic partition overwrite
     — an epoch replayed after a crash rewrites exactly its own
     partition (the ``dedup_ingest_stream`` exactly-once discipline).
+
+    ``checkpoint`` is REQUIRED, exactly as in the sibling ingest sinks
+    (``streaming/ingest.py``, ``vector_ingest.py``): the replay
+    guarantee holds only if a restart resumes from committed offsets
+    with the same epoch numbering — a temp checkpoint renumbers epochs
+    from 0 and leaves stale epoch partitions behind as duplicates.
     """
     model, _ = load_serving_bundle(bundle_path)
 
@@ -203,9 +243,8 @@ def serve_scoring_stream(
         feature_stream.writeStream.foreachBatch(score_epoch)
         .outputMode("append")
         .queryName(query_name)
+        .option("checkpointLocation", checkpoint)
     )
-    if checkpoint is not None:
-        writer = writer.option("checkpointLocation", checkpoint)
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()

@@ -209,15 +209,28 @@ def compact_partitions(
     fs, jvm = _fs_for(spark, path)
     Path = jvm.org.apache.hadoop.fs.Path
     report = []
-    # GC staging leftovers from a crashed earlier run FIRST: a tmp dir
-    # is pre-swap garbage; an old dir means the swap completed but the
-    # delete didn't — either way the live partition dir is the truth.
+    # Recover/GC staging leftovers from a crashed earlier run FIRST.
+    # A tmp dir is always pre-swap garbage. An old dir has two cases:
+    # if the live partition dir EXISTS the swap completed and only the
+    # final delete was lost (GC it); if the live dir is ABSENT the
+    # crash hit between the two swap renames and the old dir holds the
+    # ONLY copy of the partition — restore it, never delete it (a GC
+    # here would be silent data loss; caught by review r6).
     for st in fs.listStatus(Path(path)):
         name = st.getPath().getName()
-        if name.startswith(".") and (
-            name.endswith("._compact_tmp") or name.endswith("._compact_old")
-        ):
+        if not name.startswith("."):
+            continue
+        if name.endswith("._compact_tmp"):
             _must(fs.delete(st.getPath(), True), "delete", st.getPath())
+        elif name.endswith("._compact_old"):
+            live = Path(path, name[1:-len("._compact_old")])
+            if fs.exists(live):
+                _must(fs.delete(st.getPath(), True), "delete", st.getPath())
+            else:
+                _must(
+                    fs.rename(st.getPath(), live),
+                    "rename", st.getPath(), live,
+                )
     for st in fs.listStatus(Path(path)):
         if not st.isDirectory():
             continue

@@ -241,6 +241,30 @@ def test_staging_dirs_invisible_to_readers_and_gcd(spark, sf_dir, tmp_path):
     assert spark.read.parquet(out).count() == n
 
 
+def test_compaction_restores_partition_lost_between_swap_renames(
+    spark, sf_dir, tmp_path
+):
+    """Crash point BETWEEN the two swap renames: the live partition
+    dir is gone and its only copy is `.p._compact_old`. The next run
+    must RESTORE old -> live, never GC it (review r6: the previous GC
+    deleted the only copy — silent data loss)."""
+    out = str(tmp_path / "crash_mid_swap")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+    n = spark.read.parquet(out).count()
+    part = os.path.basename(glob.glob(os.path.join(out, "lang=*"))[0])
+    # simulate: rename(live -> old) happened, crash before tmp -> live
+    os.rename(
+        os.path.join(out, part), os.path.join(out, f".{part}._compact_old")
+    )
+    assert spark.read.parquet(out).count() < n  # partition is dark
+    layout.compact_partitions(spark, out, target_bytes=64 * 1024 * 1024)
+    # restored and visible again, staging gone, zero rows lost
+    assert os.path.isdir(os.path.join(out, part))
+    assert not os.path.exists(os.path.join(out, f".{part}._compact_old"))
+    assert spark.read.parquet(out).count() == n
+
+
 def test_scan_metrics_handles_aqe_wrapped_plans(spark, sf_dir):
     """An aggregate above the scan wraps the plan in
     AdaptiveSparkPlanExec; scan_metrics must hop into the adaptive

@@ -43,6 +43,9 @@ EXPECTED = {
     "dedup_semantic", "text_repetition", "corpus_mix",
     "contamination_check", "text_logprob", "ann_recall_eval",
     "user_event_sequences", "corpus_keep_decision",
+    # monitoring tier (review r6: was missing — subset assert would
+    # not have caught its accidental deregistration)
+    "drift_psi", "score_band_lift", "eval_ks",
     # ANN
     "ann_bruteforce_topk", "ann_lsh_bucketed",
     "ann_ivf", "ann_ivf_materialized", "ann_ivf_kmeans",

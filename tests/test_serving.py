@@ -9,6 +9,8 @@ import pytest
 from pyspark.ml import Pipeline
 
 from customer_churn_prediction_spark.ml import dataset, models, serving
+
+# noqa: dataset is also used by the manifest-derivation test
 from customer_churn_prediction_spark.ml.pipeline import build_feature_pipeline
 
 
@@ -64,6 +66,51 @@ def test_score_records_fills_missing_and_rejects_unknown(spark, bundle):
     assert len(out) == 1 and 0.0 <= out[0]["p_churn"] <= 1.0
     with pytest.raises(ValueError, match="unknown feature keys"):
         serving.score_records(spark, path, [{"not_a_feature": 1}])
+
+
+def test_reexport_over_served_path_invalidates_cache(spark, bundle, tmp_path):
+    """Exporting a new model to an already-served bundle path must
+    evict the memoized load — the next request answers with the NEW
+    model, not the cached one (review r6)."""
+    _, manifest, data, fitted = bundle
+    path = str(tmp_path / "hot_bundle")
+    serving.export_serving_bundle(fitted, path)
+    rec = _feature_dict(data.limit(1).collect()[0], manifest)
+    first = serving.score_records(spark, path, [rec])[0]  # caches
+    # re-train the final stage on a label-inverted frame: a genuinely
+    # different model lands at the same bundle path
+    import pyspark.ml as M
+    from pyspark.sql import functions as F
+
+    inv = data.withColumn("label", 1 - F.col("label"))
+    stages = fitted.stages[:-1]
+    feat = M.PipelineModel(stages)
+    refit = models.make_estimator("lr", "small").fit(
+        feat.transform(inv).select("features", "label")
+    )
+    flipped = M.PipelineModel(stages + [refit])
+    serving.export_serving_bundle(flipped, path)
+    second = serving.score_records(spark, path, [rec])[0]
+    assert second["p_churn"] != first["p_churn"], (
+        "stale cached model served after re-export"
+    )
+
+
+def test_manifest_derives_from_fitted_stages(bundle):
+    """The manifest must describe the model's own stages: every
+    categorical is a fitted StringIndexer input, every numeric is an
+    assembler input that is not an encoder output."""
+    _, manifest, _, fitted = bundle
+    from pyspark.ml.feature import StringIndexerModel
+
+    idx_inputs = [
+        s.getInputCol()
+        for s in fitted.stages
+        if isinstance(s, StringIndexerModel)
+    ]
+    assert manifest["categorical"] == idx_inputs
+    assert set(manifest["continuous"]) == set(dataset.CONTINUOUS)
+    assert set(manifest["flags"]) == set(dataset.FLAGS)
 
 
 def test_serving_stream_scores_every_row_and_matches_batch(
