@@ -1,0 +1,179 @@
+"""Right-to-be-forgotten propagation (sources/forget.py): erasure
+reaches every derived at-rest store, is partition-scoped where the
+layout allows it (untouched IVF cells' files are not rewritten),
+handles the emptied-cell edge (dynamic overwrite cannot express an
+empty partition), and is idempotent."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from customer_churn_prediction_spark.sources import forget
+from customer_churn_prediction_spark.sources.writers import (
+    sf_tag,
+    warehouse_store,
+)
+
+# vec_ids safely away from the fixed query set (vec_id < 5) and the
+# coarse-centroid block (vec_id in [100, 100+k)).
+FORGET_IDS = [400, 401, 402]
+
+import pytest
+import shutil
+
+
+@pytest.fixture(autouse=True)
+def _restore_stores_after(spark, sf_dir):
+    """These tests MUTATE the persistent managed stores other oracle
+    tests serve from — drop the touched tables afterwards so the next
+    consumer's managed_ingest rebuilds them from the pristine source
+    (in-session tableExists() goes False on DROP, which is the rebuild
+    trigger)."""
+    yield
+    tag = sf_tag(sf_dir)
+    for table in (
+        f"ivf_lists_{tag}", f"ivf_pq_store_{tag}",
+        f"int8_store_{tag}", f"corpus_bands_{tag}",
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(
+            os.path.join(warehouse_store(), table), ignore_errors=True
+        )
+
+
+def _files_mtimes(table: str, pattern: str) -> dict[str, float]:
+    return {
+        f: os.path.getmtime(f)
+        for f in glob.glob(
+            os.path.join(warehouse_store(), table, pattern, "*")
+        )
+        if not os.path.basename(f).startswith(("_", "."))
+    }
+
+
+def test_forget_vectors_erases_all_stores_partition_scoped(spark, sf_dir):
+    tag = sf_tag(sf_dir)
+    report1 = forget.forget_vectors(spark, sf_dir, FORGET_IDS)
+    rows = {r.store: r for r in report1.collect()}
+    assert set(rows) == {
+        f"ivf_lists_{tag}", f"ivf_pq_store_{tag}", f"int8_store_{tag}"
+    }
+    for r in rows.values():
+        # exactly the ids' rows go, nothing else (each store holds one
+        # row per vec_id) — also guards against the staged rewrite
+        # reading back empty and emptying the store
+        assert r.rows_before - r.rows_after in (0, len(FORGET_IDS)), r
+        assert r.rows_after > 0, r
+
+    for table in rows:
+        remaining = (
+            spark.table(table).where(F.col("vec_id").isin(FORGET_IDS)).count()
+        )
+        assert remaining == 0, f"{table} still serves forgotten ids"
+
+    # partition-scoped: an IVF cell containing none of the ids keeps
+    # its exact files (same paths, same mtimes)
+    lists_tbl = f"ivf_lists_{tag}"
+    touched_cells = {
+        str(r[0])
+        for r in spark.sql(
+            f"SELECT DISTINCT centroid_id FROM {lists_tbl}"
+        ).collect()
+    }
+    # find an untouched cell by re-running: second forget is a no-op
+    before = {
+        cell: _files_mtimes(lists_tbl, f"centroid_id={cell}")
+        for cell in touched_cells
+    }
+    report2 = forget.forget_vectors(spark, sf_dir, FORGET_IDS)
+    for r in report2.collect():
+        assert r.partitions_touched == 0, r
+        assert r.rows_before == r.rows_after
+    after = {
+        cell: _files_mtimes(lists_tbl, f"centroid_id={cell}")
+        for cell in touched_cells
+    }
+    assert before == after, "idempotent re-run rewrote store files"
+
+    # the serving queries still run and cannot return forgotten ids
+    from customer_churn_prediction_spark.similarity.ann import (
+        ann_bruteforce_int8_stored,
+        ann_ivf_materialized,
+    )
+    from customer_churn_prediction_spark.similarity.pq import (
+        ann_ivf_pq_stored,
+    )
+
+    for q in (ann_ivf_materialized, ann_bruteforce_int8_stored,
+              ann_ivf_pq_stored):
+        got = {r.neighbor_id for r in q(spark, sf_dir).collect()}
+        assert not (got & set(FORGET_IDS)), q.__name__
+
+
+def test_forget_vectors_drops_emptied_cells(spark, sf_dir):
+    """Forgetting EVERY vector of a cell must remove the partition
+    directory itself — dynamic overwrite alone would leave the rows."""
+    tag = sf_tag(sf_dir)
+    table = f"ivf_lists_{tag}"
+    from customer_churn_prediction_spark.similarity.ann import (
+        ivf_lists_ingest,
+    )
+
+    ivf_lists_ingest(spark, sf_dir)
+    cell_sizes = (
+        spark.table(table).groupBy("centroid_id").count().collect()
+    )
+    cell = min(cell_sizes, key=lambda r: r["count"])
+    victims = [
+        r.vec_id
+        for r in spark.table(table)
+        .where(F.col("centroid_id") == cell.centroid_id)
+        .select("vec_id")
+        .collect()
+    ]
+    forget.forget_vectors(spark, sf_dir, victims)
+    left = (
+        spark.table(table)
+        .where(F.col("centroid_id") == cell.centroid_id)
+        .count()
+    )
+    assert left == 0
+    assert not os.path.exists(
+        os.path.join(
+            warehouse_store(), table, f"centroid_id={cell.centroid_id}"
+        )
+    )
+    # store still readable end to end
+    assert spark.table(table).count() > 0
+
+
+def test_forget_documents_scrubs_band_rows_idempotently(spark, sf_dir):
+    tag = sf_tag(sf_dir)
+    table = f"corpus_bands_{tag}"
+    from customer_churn_prediction_spark.text.dedup import (
+        corpus_bands_ingest,
+    )
+
+    bands = corpus_bands_ingest(spark, sf_dir)
+    victim = bands.select("doc_id").first().doc_id
+    n_victim_rows = bands.where(F.col("doc_id") == victim).count()
+    r1 = forget.forget_documents(spark, sf_dir, [victim]).collect()[0]
+    assert r1.rows_before - r1.rows_after == n_victim_rows
+    assert r1.rows_after > 0
+    assert (
+        spark.table(table).where(F.col("doc_id") == victim).count() == 0
+    )
+    # bucketing survives the rewrite: incremental dedup still plans
+    # zero-Exchange on the corpus side (the property the table exists
+    # for), proven by it still running green
+    from customer_churn_prediction_spark.text.dedup import (
+        dedup_incremental_materialized,
+    )
+
+    dedup_incremental_materialized(spark, sf_dir).count()
+    r2 = forget.forget_documents(spark, sf_dir, [victim]).collect()[0]
+    assert r2.partitions_touched == 0
+    assert r2.rows_before == r2.rows_after == r1.rows_after
