@@ -1,0 +1,82 @@
+"""Erasure-on-ingest (streaming/forget.py): a drained request stream
+removes the ids from every derived store, publishes the audit report
+atomically, and epoch replay of the same requests is a reported no-op."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from customer_churn_prediction_spark.streaming import forget as sforget
+from customer_churn_prediction_spark.streaming.drift import read_report
+from customer_churn_prediction_spark.sources.writers import (
+    sf_tag,
+    warehouse_store,
+)
+
+IDS = [410, 411]
+
+
+@pytest.fixture(autouse=True)
+def _restore_stores_after(spark, sf_dir):
+    yield
+    tag = sf_tag(sf_dir)
+    for table in (
+        f"ivf_lists_{tag}", f"ivf_pq_store_{tag}",
+        f"int8_store_{tag}", f"corpus_bands_{tag}",
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(
+            os.path.join(warehouse_store(), table), ignore_errors=True
+        )
+
+
+def test_erasure_stream_drains_requests_and_replays_as_noop(
+    spark, sf_dir, tmp_path
+):
+    tag = sf_tag(sf_dir)
+    src = str(tmp_path / "requests")
+    spark.createDataFrame(
+        [("vector", i) for i in IDS] + [("document", 7)],
+        sforget.REQUEST_SCHEMA,
+    ).repartition(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(sforget.REQUEST_SCHEMA).parquet(src)
+    report_path = str(tmp_path / "erasure_report")
+    q = sforget.start_erasure_available_now(
+        spark, sf_dir, stream, report_path,
+        checkpoint=str(tmp_path / "ckpt1"),
+    )
+    assert q.awaitTermination(180), "drain timed out"
+
+    # ids gone from every store
+    for table in (f"ivf_lists_{tag}", f"ivf_pq_store_{tag}",
+                  f"int8_store_{tag}"):
+        assert (
+            spark.table(table).where(F.col("vec_id").isin(IDS)).count() == 0
+        ), table
+    assert (
+        spark.table(f"corpus_bands_{tag}")
+        .where(F.col("doc_id") == 7)
+        .count()
+        == 0
+    )
+    report = {r.store: r for r in read_report(spark, report_path).collect()}
+    assert set(report) == {
+        f"ivf_lists_{tag}", f"ivf_pq_store_{tag}",
+        f"int8_store_{tag}", f"corpus_bands_{tag}",
+    }
+
+    # replay: same source, FRESH checkpoint — the stores already lack
+    # the ids, so every store reports zero removed (erasure idempotent
+    # under epoch replay) and the republished report says so
+    q2 = sforget.start_erasure_available_now(
+        spark, sf_dir, stream, report_path,
+        checkpoint=str(tmp_path / "ckpt2"),
+    )
+    assert q2.awaitTermination(180), "replay drain timed out"
+    replay = {r.store: r for r in read_report(spark, report_path).collect()}
+    for r in replay.values():
+        assert r.rows_before == r.rows_after, r
