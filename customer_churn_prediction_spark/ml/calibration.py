@@ -225,8 +225,8 @@ FROM frac
 ORDER BY feature, band
 """
 
-# Staged for the r6 registry (driver PRIORITY budget is full this
-# round); tests/test_calibration.py holds these to driver rigor.
+# Registered in the r6 rotation; tests/test_calibration.py additionally holds
+# these to driver rigor between their PRIORITY windows.
 QUERIES = {
     "model_calibration": model_calibration,
     "feature_iv": feature_iv,

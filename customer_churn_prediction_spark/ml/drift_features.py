@@ -172,7 +172,9 @@ FROM frac
 ORDER BY feature, bucket
 """
 
-# Staged for the r6 registry (driver PRIORITY budget is full this
-# round); tests/test_drift_features.py holds these to driver rigor.
+# Staged permanently by design: the 100-entry registry ceiling
+# (50-row driver budget x 2-round proof cycle) binds, and these lost
+# the priority call (ROADMAP round-6 state); tests/test_drift_features.py holds
+# them to driver rigor regardless.
 QUERIES = {"drift_psi_features": drift_psi_features}
 ORACLES = {"drift_psi_features": DRIFT_FEATURES_ORACLE}

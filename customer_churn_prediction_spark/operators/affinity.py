@@ -299,8 +299,10 @@ SELECT c_custkey, rec_brand, via_brand, lift, rank FROM (
 WHERE rank <= {TOP_RECS}
 """
 
-# Staged for the r6 registry (driver PRIORITY budget is full this
-# round); tests/test_affinity.py holds these to driver rigor.
+# Staged permanently by design: the 100-entry registry ceiling
+# (50-row driver budget x 2-round proof cycle) binds, and these lost
+# the priority call (ROADMAP round-6 state); tests/test_affinity.py holds
+# them to driver rigor regardless.
 QUERIES = {
     "basket_pair_lift": basket_pair_lift,
     "brand_recommendations": brand_recommendations,

@@ -150,7 +150,9 @@ SELECT hour, CAST(n_events AS BIGINT) AS n_events, mean_trailing, z,
 FROM scored WHERE cnt >= {MIN_TRAIL}
 """
 
-# Staged for the r6 registry (driver PRIORITY budget is full this
-# round); tests/test_anomaly.py holds these to driver rigor.
+# Staged permanently by design: the 100-entry registry ceiling
+# (50-row driver budget x 2-round proof cycle) binds, and these lost
+# the priority call (ROADMAP round-6 state); tests/test_anomaly.py holds
+# them to driver rigor regardless.
 QUERIES = {"hourly_anomalies": hourly_anomalies}
 ORACLES = {"hourly_anomalies": ANOMALY_ORACLE}

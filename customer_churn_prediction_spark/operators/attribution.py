@@ -119,7 +119,9 @@ SELECT channel, count(*) AS n_conversions,
 FROM conv GROUP BY channel ORDER BY channel
 """
 
-# Staged for the r6 registry (driver PRIORITY budget is full this
-# round); tests/test_attribution.py holds these to driver rigor.
+# Staged permanently by design: the 100-entry registry ceiling
+# (50-row driver budget x 2-round proof cycle) binds, and these lost
+# the priority call (ROADMAP round-6 state); tests/test_attribution.py holds
+# them to driver rigor regardless.
 QUERIES = {"attribution_last_touch": attribution_last_touch}
 ORACLES = {"attribution_last_touch": ATTRIBUTION_ORACLE}

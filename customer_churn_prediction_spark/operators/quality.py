@@ -237,7 +237,9 @@ FROM rows_out
 ORDER BY table_name, "check"
 """
 
-# Staged for the r6 registry (driver PRIORITY budget is full this
-# round); tests/test_quality_audit.py holds these to driver rigor.
+# Staged permanently by design: the 100-entry registry ceiling
+# (50-row driver budget x 2-round proof cycle) binds, and these lost
+# the priority call (ROADMAP round-6 state); tests/test_quality_audit.py holds
+# them to driver rigor regardless.
 QUERIES = {"dq_audit": dq_audit}
 ORACLES = {"dq_audit": DQ_ORACLE}

@@ -109,7 +109,9 @@ WHERE n >= {MIN_ROWS} AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
 ORDER BY p_brand
 """
 
-# Staged for the r6 registry (driver PRIORITY budget is full this
-# round); tests/test_regression.py holds these to driver rigor.
+# Staged permanently by design: the 100-entry registry ceiling
+# (50-row driver budget x 2-round proof cycle) binds, and these lost
+# the priority call (ROADMAP round-6 state); tests/test_regression.py holds
+# them to driver rigor regardless.
 QUERIES = {"brand_price_elasticity": brand_price_elasticity}
 ORACLES = {"brand_price_elasticity": ELASTICITY_ORACLE}

@@ -70,7 +70,9 @@ SELECT l_returnflag,
 FROM lineitem GROUP BY l_returnflag
 """
 
-# Staged for the r6 registry (driver PRIORITY budget is full this
-# round); tests/test_sketches.py holds these to driver rigor.
+# Staged permanently by design: the 100-entry registry ceiling
+# (50-row driver budget x 2-round proof cycle) binds, and these lost
+# the priority call (ROADMAP round-6 state); tests/test_sketches.py holds
+# them to driver rigor regardless.
 QUERIES = {"approx_percentile_bands": approx_percentile_bands}
 ORACLES = {"approx_percentile_bands": APPROX_PERCENTILE_ORACLE}

@@ -113,7 +113,9 @@ ORDER BY m.method
 
 RECALL_MATRIX_ORACLE = _oracle()
 
-# Staged for the r6 registry (driver PRIORITY budget is full this
-# round); tests/test_recall_matrix.py holds these to driver rigor.
+# Staged permanently by design: the 100-entry registry ceiling
+# (50-row driver budget x 2-round proof cycle) binds, and these lost
+# the priority call (ROADMAP round-6 state); tests/test_recall_matrix.py holds
+# them to driver rigor regardless.
 QUERIES = {"ann_recall_matrix": ann_recall_matrix}
 ORACLES = {"ann_recall_matrix": RECALL_MATRIX_ORACLE}

@@ -78,7 +78,7 @@ SELECT doc_id, label AS group_label,
 FROM comp
 """
 
-# Staged for the r6 registry (driver PRIORITY budget is full this
-# round); tests/test_splits.py holds these to driver rigor.
+# Registered in the r6 rotation; tests/test_splits.py additionally holds
+# these to driver rigor between their PRIORITY windows.
 QUERIES = {"corpus_split_leakproof": corpus_split_leakproof}
 ORACLES = {"corpus_split_leakproof": SPLIT_ORACLE}

@@ -289,8 +289,10 @@ FROM documents d LEFT JOIN counts c USING (doc_id)
 
 TOKENIZE_ORACLE = _tokenize_oracle()
 
-# Staged for the r6 registry (driver PRIORITY budget is full this
-# round); tests/test_vocab.py holds these to driver rigor.
+# Staged permanently by design: the 100-entry registry ceiling
+# (50-row driver budget x 2-round proof cycle) binds, and these lost
+# the priority call (ROADMAP round-6 state); tests/test_vocab.py holds
+# them to driver rigor regardless.
 QUERIES = {
     "vocab_bpe_merges": bpe_merges,
     "text_tokenize_bpe": tokenize_bpe,
