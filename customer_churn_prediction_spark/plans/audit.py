@@ -1,0 +1,65 @@
+"""Plan auditing: count the RUNTIME shuffles a DataFrame will pay.
+
+`count_shuffle_exchanges` walks the executed-plan string and counts
+shuffle Exchange operators (`hashpartitioning`, `rangepartitioning`,
+`SinglePartition`, `RoundRobinPartitioning` — NOT BroadcastExchange,
+which moves a dimension-sized build side, not the data), skipping
+everything printed under an `InMemoryRelation`: a cached frame's
+nested plan is its recompute FALLBACK, not work the query performs —
+the iterative operators (`lsh_dedup_components`) cache each round, so
+their final frame's string embeds every round's lineage while the
+runtime reads one InMemoryTableScan.
+
+This is the number that matters at 100 TB: every counted Exchange is
+a full reshuffle of the operator's data volume. The count is taken
+from the STATIC plan, so a subtree a query references twice counts
+twice even though AQE will collapse the second occurrence into a
+ReusedExchange at runtime — i.e. the budget is a deterministic upper
+bound on runtime shuffles, which is exactly the right direction for a
+regression tripwire. `tests/
+test_shuffle_budget.py` holds every registered query to a golden
+per-query budget (`tests/shuffle_budgets.json`, regenerated
+deliberately via `scripts/gen_shuffle_budgets.py`) so an edit that
+sneaks an extra shuffle into a registered plan fails CI instead of
+surfacing as a 2× wall regression three rounds later.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+# Tree-art prefix of a plan line (":- ", "+- ", ":  ", "   ", "|").
+_TREE_ART = re.compile(r"^[\s:+|-]*")
+_SHUFFLE = re.compile(
+    r"\bExchange (hashpartitioning|rangepartitioning|SinglePartition"
+    r"|RoundRobinPartitioning)"
+)
+
+
+def count_shuffles_in_plan_string(plan: str) -> int:
+    """Count shuffle Exchanges outside InMemoryRelation subtrees."""
+    n = 0
+    skip_depth: int | None = None
+    for line in plan.splitlines():
+        depth = _TREE_ART.match(line).end()
+        if skip_depth is not None:
+            if depth > skip_depth:
+                continue
+            skip_depth = None
+        if "InMemoryRelation" in line:
+            skip_depth = depth
+            continue
+        if _SHUFFLE.search(line):
+            n += 1
+    return n
+
+
+def count_shuffle_exchanges(df: DataFrame) -> int:
+    """Runtime shuffle count of ``df``'s executed plan (pre-execution:
+    with AQE this is the statically planned shape, the comparable and
+    deterministic form for regression testing)."""
+    return count_shuffles_in_plan_string(
+        df._jdf.queryExecution().executedPlan().toString()
+    )
