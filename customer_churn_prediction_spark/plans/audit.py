@@ -19,7 +19,7 @@ bound on runtime shuffles, which is exactly the right direction for a
 regression tripwire. `tests/
 test_shuffle_budget.py` holds every registered query to a golden
 per-query budget (`tests/shuffle_budgets.json`, regenerated
-deliberately via `scripts/gen_shuffle_budgets.py`) so an edit that
+deliberately via `scripts/gen_plan_goldens.py`) so an edit that
 sneaks an extra shuffle into a registered plan fails CI instead of
 surfacing as a 2× wall regression three rounds later.
 """
@@ -63,3 +63,47 @@ def count_shuffle_exchanges(df: DataFrame) -> int:
     return count_shuffles_in_plan_string(
         df._jdf.queryExecution().executedPlan().toString()
     )
+
+
+# A FileScan line carries everything scan hygiene needs on one line:
+#   FileScan parquet [c_custkey#1L,c_mktsegment#7] ... Location:
+#   InMemoryFileIndex(1 paths)[file:/.../customer.parquet], ...,
+#   PushedFilters: [IsNotNull(c_custkey)], ReadSchema: ...
+_SCAN_COLS = re.compile(r"FileScan \w+ \[([^\]]*)\]")
+_SCAN_PATH = re.compile(r"\[file:([^\],]+)")
+_SCAN_PUSHED = re.compile(r"PushedFilters: \[([^\]]*)")
+
+
+def scan_profiles(df: DataFrame, data_root: str) -> dict:
+    """Column-pruning / filter-pushdown profile of every parquet scan
+    ``df`` plans against source tables under ``data_root``: a map
+    ``{table: {"cols": n, "pushed": bool}}`` with the WIDEST scan of
+    each table (a query may scan a table twice at different widths —
+    hygiene is judged by the worst one) and whether at least one of its
+    scans reached the parquet reader with pushed filters. Scans inside
+    InMemoryRelation subtrees count too: a cached frame's build paid
+    its scan. Managed-store scans (warehouse paths) are excluded —
+    their layouts are narrow by construction and their names embed
+    fixture tags."""
+    out: dict[str, dict] = {}
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "FileScan" not in line:
+            continue
+        path = _SCAN_PATH.search(line)
+        if not path or data_root not in path.group(1):
+            continue
+        table = path.group(1).rstrip("/").rsplit("/", 1)[-1]
+        table = table.removesuffix(".parquet")
+        cols_m = _SCAN_COLS.search(line)
+        cols = (
+            len([c for c in cols_m.group(1).split(",") if c.strip()])
+            if cols_m
+            else 0
+        )
+        pushed_m = _SCAN_PUSHED.search(line)
+        pushed = bool(pushed_m and pushed_m.group(1).strip())
+        prev = out.setdefault(table, {"cols": 0, "pushed": False})
+        prev["cols"] = max(prev["cols"], cols)
+        prev["pushed"] = prev["pushed"] or pushed
+    return out

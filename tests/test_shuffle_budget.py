@@ -1,6 +1,6 @@
 """Shuffle-budget regression guard: every registered query's plan must
 not shuffle MORE than its golden budget (`shuffle_budgets.json`,
-regenerated deliberately via `scripts/gen_shuffle_budgets.py`).
+regenerated deliberately via `scripts/gen_plan_goldens.py`).
 
 The budget is the static plan's shuffle-Exchange count outside cache
 barriers (`plans/audit.py`) — a deterministic upper bound on the
@@ -45,7 +45,7 @@ def test_every_budgeted_query_is_registered():
     assert set(_BUDGETS) == plannable, (
         f"stale: {sorted(set(_BUDGETS) - plannable)}, "
         f"unguarded: {sorted(plannable - set(_BUDGETS))} — "
-        "regenerate with scripts/gen_shuffle_budgets.py"
+        "regenerate with scripts/gen_plan_goldens.py"
     )
 
 
@@ -61,5 +61,5 @@ def test_shuffle_count_within_budget(spark, sf_dir, name):
         f"{name} plans {n} shuffle Exchanges, budget {_BUDGETS[name]} — "
         "either restore the cheaper plan or accept the regression "
         "deliberately by regenerating tests/shuffle_budgets.json "
-        "(scripts/gen_shuffle_budgets.py)"
+        "(scripts/gen_plan_goldens.py)"
     )
