@@ -116,7 +116,16 @@ def _forget_full_rewrite(
     """Filtered rewrite of a flat or bucketed store, staged to a
     sibling path first (Spark refuses to overwrite a table from a plan
     that reads it — and that refusal is the crash-safety we want: the
-    live table stays intact until the staged copy is complete)."""
+    live table stays intact until the staged copy is complete).
+
+    The bucketed path drops the live table before re-bucketing the
+    staged survivors; a crash in that window leaves no live table —
+    and needs NO recovery code, because every derived store here is a
+    cache of the source lake: the next consumer (including a re-run of
+    this erasure batch, which ingests before deleting) rebuilds it via
+    ``managed_ingest``'s tableExists() trigger and the batch re-deletes
+    its ids (crash-state simulated and converged in
+    ``tests/test_forget.py::test_forget_documents_self_heals_after_crash_mid_swap``)."""
     store = spark.table(table)
     n_before = store.count()
     if store.where(F.col(id_col).isin(ids)).limit(1).count() == 0:

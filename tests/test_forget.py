@@ -177,3 +177,45 @@ def test_forget_documents_scrubs_band_rows_idempotently(spark, sf_dir):
     r2 = forget.forget_documents(spark, sf_dir, [victim]).collect()[0]
     assert r2.partitions_touched == 0
     assert r2.rows_before == r2.rows_after == r1.rows_after
+
+
+def test_forget_documents_self_heals_after_crash_mid_swap(spark, sf_dir):
+    """Crash window of the bucketed rewrite: the live table is dropped
+    before the survivors are re-bucketed. The system self-heals WITHOUT
+    special recovery code because every derived store is a cache of the
+    source lake — the next forget (or any consumer) re-ingests the
+    table via managed_ingest's tableExists() trigger, and the erasure
+    batch then re-deletes its ids. This test simulates the crash state
+    (table dropped, stage dir left behind) and asserts the re-run
+    converges to exactly the survivors."""
+    tag = sf_tag(sf_dir)
+    table = f"corpus_bands_{tag}"
+    from customer_churn_prediction_spark.text.dedup import (
+        corpus_bands_ingest,
+    )
+
+    bands = corpus_bands_ingest(spark, sf_dir)
+    n_total = bands.count()
+    victim = bands.select("doc_id").first().doc_id
+    n_victim_rows = bands.where(F.col("doc_id") == victim).count()
+
+    # Simulate: a prior forget staged its survivors, dropped the live
+    # table, then died before write_bucketed.
+    stage = os.path.join(warehouse_store(), f"{table}__forget_stage")
+    bands.where(F.col("doc_id") != victim).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    shutil.rmtree(
+        os.path.join(warehouse_store(), table), ignore_errors=True
+    )
+
+    r = forget.forget_documents(spark, sf_dir, [victim]).collect()[0]
+    # Re-ingest restored the full table from source; the batch then
+    # re-deleted its ids — the report shows the full delta again.
+    assert r.rows_before == n_total
+    assert r.rows_before - r.rows_after == n_victim_rows
+    assert (
+        spark.table(table).where(F.col("doc_id") == victim).count() == 0
+    )
+    assert not os.path.exists(stage)  # stale stage garbage-collected
