@@ -117,8 +117,9 @@ def export_serving_bundle(fitted: PipelineModel, path: str) -> dict:
         json.dump(manifest, f, indent=1)
     os.replace(tmp, os.path.join(path, _MANIFEST))  # atomic publish
     # Re-exporting over a served path must not keep answering with the
-    # previous model (review r6): drop any memoized load for it.
-    _MODEL_CACHE.pop(path, None)
+    # previous model (review r6): drop any memoized load for it (cache
+    # keys are absolute paths — see load_serving_bundle).
+    _MODEL_CACHE.pop(os.path.abspath(path), None)
     return manifest
 
 
@@ -126,7 +127,11 @@ def load_serving_bundle(path: str) -> tuple[PipelineModel, dict]:
     """Load (model, manifest), memoized per bundle path — a model is
     loaded once and scored many times (the request path must not pay
     the deserialization per call, which is also why the reference's
-    per-process unpickle is its scoring bottleneck)."""
+    per-process unpickle is its scoring bottleneck). Keys are
+    normalized to the absolute path so a relative-path load and an
+    absolute-path re-export hit the SAME cache entry (otherwise the
+    re-export invalidation could miss)."""
+    path = os.path.abspath(path)
     if path not in _MODEL_CACHE:
         with open(os.path.join(path, _MANIFEST)) as f:
             manifest = json.load(f)

@@ -94,6 +94,17 @@ def test_reexport_over_served_path_invalidates_cache(spark, bundle, tmp_path):
     assert second["p_churn"] != first["p_churn"], (
         "stale cached model served after re-export"
     )
+    # Invalidation must survive path spelling: re-export the original
+    # model through a non-normalized alias of the same directory and
+    # the served answer must flip back (cache keys are abspaths).
+    # (string-composed: pathlib would collapse the dot segment away)
+    alias = str(tmp_path) + "/./hot_bundle"
+    assert alias != path
+    serving.export_serving_bundle(fitted, alias)
+    third = serving.score_records(spark, path, [rec])[0]
+    assert third["p_churn"] == first["p_churn"], (
+        "alias-path re-export did not evict the cached model"
+    )
 
 
 def test_manifest_derives_from_fitted_stages(bundle):
