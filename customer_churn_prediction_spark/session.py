@@ -64,6 +64,12 @@ def get_spark(
         # AQE: runtime re-planning, partition coalescing, skew-join split.
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        # parallelismFirst stays at its default (true): an A/B over the
+        # full bench showed coalescing to the 64 MB advisory size wins
+        # 1.2-1.9× on the sub-second reduction-light tier but LOSES
+        # more on the dedup tier, whose post-shuffle stages (gram
+        # explosion + Jaccard verification after the band join) are
+        # CPU-heavy and serialize when coalesced — net +5% total.
         "spark.sql.adaptive.skewJoin.enabled": "true",
         # Sized for local[32]; a cluster deployment overrides this.
         "spark.sql.shuffle.partitions": str(

@@ -40,12 +40,24 @@ zero forgotten rows.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .layout import _fs_for, _must
 from .writers import sf_tag, warehouse_store, write_bucketed
+
+
+def _fs_delete(spark: SparkSession, path: str) -> None:
+    """Recursive delete through the Hadoop FileSystem API — the
+    erasure paths must be object-store/HDFS-correct like the sibling
+    compaction (`layout.py`), and a false return from delete means the
+    forgotten rows SURVIVED, which must abort loudly, never pass."""
+    fs, jvm = _fs_for(spark, path)
+    target = jvm.org.apache.hadoop.fs.Path(path)
+    if fs.exists(target):
+        _must(fs.delete(target, True), "delete", target)
+
 
 _REPORT_SCHEMA = (
     "store string, layout string, partitions_touched int, "
@@ -97,9 +109,9 @@ def _forget_partitioned(
     # Cells with no survivors: dynamic overwrite never touches them, so
     # the forgotten rows would survive — drop the partition dir itself.
     for cell in set(cells) - live_cells:
-        shutil.rmtree(
+        _fs_delete(
+            spark,
             os.path.join(warehouse_store(), table, f"{part_col}={cell}"),
-            ignore_errors=True,
         )
     spark.sql(f"REFRESH TABLE {table}")
     return len(cells), n_before, spark.table(table).count()
@@ -138,7 +150,7 @@ def _forget_full_rewrite(
     # at the warehouse root under its own name — no table reader scans
     # there, so visibility to table scans is not a concern.
     stage = os.path.join(warehouse_store(), f"{table}__forget_stage")
-    shutil.rmtree(stage, ignore_errors=True)
+    _fs_delete(spark, stage)
     survivors.write.mode("overwrite").parquet(stage)
     staged = spark.read.parquet(stage)
     n_staged = staged.count()
@@ -149,9 +161,7 @@ def _forget_full_rewrite(
         )
     if bucket_col is not None:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
-        shutil.rmtree(
-            os.path.join(warehouse_store(), table), ignore_errors=True
-        )
+        _fs_delete(spark, os.path.join(warehouse_store(), table))
         write_bucketed(
             staged, bucket_col, table, n_buckets,
             path=os.path.join(warehouse_store(), table),
@@ -160,7 +170,7 @@ def _forget_full_rewrite(
         staged.write.mode("overwrite").insertInto(table, overwrite=True)
     spark.sql(f"REFRESH TABLE {table}")
     n_after = spark.table(table).count()
-    shutil.rmtree(stage, ignore_errors=True)
+    _fs_delete(spark, stage)
     return 1, n_before, n_after
 
 
