@@ -231,6 +231,7 @@ def serve_scoring_stream(
     guarantee holds only if a restart resumes from committed offsets
     with the same epoch numbering — a temp checkpoint renumbers epochs
     from 0 and leaves stale epoch partitions behind as duplicates.
+    Retention of drained epochs is ``sources/layout.vacuum_epochs``.
     """
     model, _ = load_serving_bundle(bundle_path)
 

@@ -1,7 +1,7 @@
 """At-rest data layout management: partitioned+sorted corpus layout and
 small-file compaction.
 
-Two maintenance operators every 100 TB deployment needs around the
+Maintenance operators every 100 TB deployment needs around the
 query tiers:
 
 * **write_corpus_layout** — the at-rest shape for the documents table:
@@ -22,6 +22,10 @@ query tiers:
   renames, not atomic (a table format — Delta/Iceberg — is the real
   answer when readers race maintenance; their commit protocol replaces
   the rename pair, the bin-packing below is the same).
+
+* **vacuum_epochs** — retention for the exactly-once epoch-partitioned
+  sinks: drops epoch partitions below a caller-committed frontier
+  (see its docstring for why the watermark is epoch-id-based).
 
 ``scan_metrics`` executes a plan and returns the scan's real executed
 metrics (files read, rows output) — the evidence layer: layout claims
@@ -282,3 +286,39 @@ def compact_partitions(
     return spark.createDataFrame(
         report, "partition string, files_before int, files_after int, bytes long"
     )
+
+
+def vacuum_epochs(
+    spark: SparkSession, path: str, retain_from_epoch: int
+) -> DataFrame:
+    """Drop epoch partitions older than ``retain_from_epoch`` from an
+    epoch-partitioned sink directory (the exactly-once sinks —
+    ``ml/serving.serve_scoring_stream``, ``streaming/ingest`` — write
+    ``epoch=N`` partitions that accumulate forever; once downstream
+    consumers have drained an epoch, retention is a POLICY decision
+    this operator actuates). The watermark is epoch-id-based, not
+    mtime-based, because epoch ids are the unit the replay guarantee
+    is stated in: a crash-replayed epoch REWRITES its own partition,
+    so vacuuming any epoch at or above the checkpoint's frontier could
+    race a replay — callers pass a frontier their checkpoint has
+    committed past.
+
+    Hadoop-FS-correct and loud on failure like the sibling maintenance
+    ops (a false delete means retained data was reported vacuumed).
+    Returns the audit frame (epoch, action): 'deleted' per vacuumed
+    epoch — idempotent: a second run reports nothing.
+    """
+    fs, jvm = _fs_for(spark, path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    root = Path(path)
+    report = []
+    if fs.exists(root):
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if not (st.isDirectory() and name.startswith("epoch=")):
+                continue
+            epoch = int(name.split("=", 1)[1])
+            if epoch < retain_from_epoch:
+                _must(fs.delete(st.getPath(), True), "delete", st.getPath())
+                report.append((epoch, "deleted"))
+    return spark.createDataFrame(report, "epoch long, action string")

@@ -302,3 +302,29 @@ def test_zorder_key_properties(spark):
         layout.zorder_key(F.lit(0), F.lit(7), bits=3).alias("k_clamped"),
     ).collect()[0]
     assert edge.k_oob == edge.k_clamped
+
+
+def test_vacuum_epochs_drops_only_below_watermark(spark, tmp_path):
+    """Epoch retention on an exactly-once sink layout: epochs below
+    the committed frontier are vacuumed, the frontier and everything
+    newer survives byte-identically, non-epoch paths are untouched,
+    and a re-run is an idempotent no-op."""
+    sink = str(tmp_path / "scores")
+    for e in range(5):
+        spark.range(3).withColumn("epoch", F.lit(e)).write.mode(
+            "append"
+        ).partitionBy("epoch").parquet(sink)
+    # a non-epoch sibling (checkpoint-ish dir) must not be touched
+    os.makedirs(os.path.join(sink, "_state"), exist_ok=True)
+
+    r1 = layout.vacuum_epochs(spark, sink, retain_from_epoch=3)
+    assert sorted(r.epoch for r in r1.collect()) == [0, 1, 2]
+    kept = spark.read.parquet(sink)
+    assert sorted(
+        r.epoch for r in kept.select("epoch").distinct().collect()
+    ) == [3, 4]
+    assert kept.count() == 6
+    assert os.path.isdir(os.path.join(sink, "_state"))
+
+    r2 = layout.vacuum_epochs(spark, sink, retain_from_epoch=3)
+    assert r2.count() == 0
