@@ -143,6 +143,7 @@ def main() -> None:
     force(queries["ann_ivf_materialized"](spark, SF_DIR))
     force(queries["ann_bruteforce_int8_stored"](spark, SF_DIR))
     force(queries["ann_ivf_pq_stored"](spark, SF_DIR))
+    force(queries["corpus_split_leakproof"](spark, SF_DIR))
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # Median of N interleaved passes (r2 VERDICT: single-shot timings

@@ -56,10 +56,41 @@ def split_from_components(components: DataFrame) -> DataFrame:
     )
 
 
+def components_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MATERIALIZED component-label table this module's docstring
+    promises ("at 100 TB the labels would be computed once, stored"):
+    ``lsh_dedup_components``' fixpoint run once per corpus, persisted
+    as a managed parquet table (doc_id, label, is_rep). Every
+    label-granularity consumer — split assignment here, retention
+    policies, leak audits — becomes a scan instead of an O(log
+    diameter) propagation re-run. Same idempotent tag/rebuild
+    discipline as the corpus bands and the int8 store
+    (``sources/writers.managed_ingest``); the iterative computation
+    itself stays independently driver-verified as
+    ``dedup_lsh_components``."""
+    from ..sources.writers import managed_ingest, sf_tag
+
+    table = f"dedup_components_{sf_tag(sf_dir)}"
+
+    def _write(path: str) -> None:
+        (
+            lsh_dedup_components(spark, sf_dir)
+            .write.mode("overwrite")
+            .option("path", path)
+            .format("parquet")
+            .saveAsTable(table)
+        )
+
+    return managed_ingest(spark, table, _write)
+
+
 def corpus_split_leakproof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document split assignment with the no-straddle guarantee:
-    any two docs sharing an LSH band (transitively) share a split."""
-    return split_from_components(lsh_dedup_components(spark, sf_dir))
+    any two docs sharing an LSH band (transitively) share a split.
+    Served from the stored component labels (``components_ingest``) —
+    the split is a pure map over the label table, so after the
+    once-per-corpus ingest this query is a single narrow scan."""
+    return split_from_components(components_ingest(spark, sf_dir))
 
 
 # ---------------------------------------------------------------- oracle
