@@ -196,6 +196,44 @@ def get_oracles() -> dict[str, str]:
     return {name: flat[name] for name in queries if name in flat}
 
 
+def staged_modules() -> tuple:
+    """Operator modules whose QUERIES stay pytest-only PERMANENTLY BY
+    DESIGN: the driver's 50-row budget caps the registry at 100
+    provable-every-other-round entries and it sits at 99. Each module
+    carries a same-named ORACLES entry per query and driver-rigor
+    parity in its own test file (`tests/test_staged_surface.py` holds
+    the contract); the plan-hygiene goldens cover them too
+    (`scripts/gen_plan_goldens.py`)."""
+    from ..ml import drift_features, survival
+    from ..operators import (
+        affinity,
+        anomaly,
+        attribution,
+        funnels,
+        quality,
+        regression,
+        sketches,
+    )
+    from ..similarity import recall
+    from ..text import vocab
+
+    return (
+        survival, funnels, quality, sketches, affinity, attribution,
+        anomaly, vocab, regression, drift_features, recall,
+    )
+
+
+def get_staged_queries() -> dict[str, QueryFn]:
+    out: dict[str, QueryFn] = {}
+    registered = get_queries()
+    for mod in staged_modules():
+        for name, fn in mod.QUERIES.items():
+            if name in out or name in registered:
+                raise ValueError(f"staged name collision: {name!r}")
+            out[name] = fn
+    return out
+
+
 # Materialized once at import for convenience.
 QUERIES = get_queries()
 ORACLES = get_oracles()

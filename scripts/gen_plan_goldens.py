@@ -51,13 +51,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     budgets = {}
     scans = {}
-    for name in registry.QUERIES:
+    surface = dict(registry.QUERIES)
+    surface.update(registry.get_staged_queries())  # pytest-only tier too
+    for name, fn in surface.items():
         # ML fits and the multimodal Arrow path execute whole jobs at
         # plan-construction time; their cost is not plan-shaped the
         # same way and they are excluded (as in test_plan_hygiene).
         if name.startswith(("ml_", "multimodal_")):
             continue
-        df = registry.QUERIES[name](spark, SF_DIR)
+        df = fn(spark, SF_DIR)
         budgets[name] = count_shuffle_exchanges(df)
         scans[name] = scan_profiles(df, SF_DIR)
     for out, data in ((BUDGETS_OUT, budgets), (SCANS_OUT, scans)):

@@ -32,7 +32,8 @@ _default_smoke = SF_SMOKE == "/root/testdata/sf0.001"
 
 def test_every_query_has_a_scan_profile():
     plannable = {
-        n for n in registry.QUERIES
+        n
+        for n in {**registry.QUERIES, **registry.get_staged_queries()}
         if not n.startswith(("ml_", "multimodal_"))
     }
     assert set(_GOLDEN) == plannable, (
@@ -48,7 +49,8 @@ def test_every_query_has_a_scan_profile():
 )
 @pytest.mark.parametrize("name", sorted(_GOLDEN))
 def test_scans_stay_pruned_and_pushed(spark, sf_dir, name):
-    actual = scan_profiles(registry.QUERIES[name](spark, sf_dir), sf_dir)
+    surface = {**registry.QUERIES, **registry.get_staged_queries()}
+    actual = scan_profiles(surface[name](spark, sf_dir), sf_dir)
     golden = _GOLDEN[name]
     for table, prof in actual.items():
         assert table in golden, (

@@ -39,7 +39,8 @@ def test_every_budgeted_query_is_registered():
     would silently shrink the guard — and a registered plannable query
     with no budget row is unguarded."""
     plannable = {
-        n for n in registry.QUERIES
+        n
+        for n in {**registry.QUERIES, **registry.get_staged_queries()}
         if not n.startswith(("ml_", "multimodal_"))
     }
     assert set(_BUDGETS) == plannable, (
@@ -55,7 +56,8 @@ def test_every_budgeted_query_is_registered():
 )
 @pytest.mark.parametrize("name", sorted(_BUDGETS))
 def test_shuffle_count_within_budget(spark, sf_dir, name):
-    df = registry.QUERIES[name](spark, sf_dir)
+    surface = {**registry.QUERIES, **registry.get_staged_queries()}
+    df = surface[name](spark, sf_dir)
     n = count_shuffle_exchanges(df)
     assert n <= _BUDGETS[name], (
         f"{name} plans {n} shuffle Exchanges, budget {_BUDGETS[name]} — "

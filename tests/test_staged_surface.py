@@ -9,32 +9,15 @@ from __future__ import annotations
 
 import inspect
 
-from customer_churn_prediction_spark.ml import (
-    drift_features,
-    survival,
-)
-from customer_churn_prediction_spark.operators import (
-    affinity,
-    anomaly,
-    attribution,
-    funnels,
-    quality,
-    regression,
-    sketches,
-)
 from customer_churn_prediction_spark.plans import registry
-from customer_churn_prediction_spark.similarity import recall
-from customer_churn_prediction_spark.text import vocab
 
 # Round 6 registered pq / spans / splits / calibration / sessions; the
 # remainder stays pytest-only PERMANENTLY BY DESIGN — the driver's
 # 50-row budget caps the registry at 100 provable-every-other-round
-# entries and it sits at 99. Each module below carries driver-rigor
-# oracle parity in its own test file.
-STAGED_MODULES = (
-    survival, funnels, quality, sketches, affinity, attribution,
-    anomaly, vocab, regression, drift_features, recall,
-)
+# entries and it sits at 99. The canonical module list lives in the
+# registry (plans/registry.staged_modules) so the plan-golden
+# generator and these contract tests can never drift apart.
+STAGED_MODULES = registry.staged_modules()
 
 
 def _staged():
