@@ -124,14 +124,25 @@ def read_report(spark: SparkSession, report_path: str) -> DataFrame:
 
 
 def publish_epoch_report(
-    report_df: DataFrame, report_path: str, epoch_id: int
+    report_df: DataFrame, report_path: str, epoch_id: int,
+    keep_history: bool = False,
 ) -> None:
     """The ONE atomic report-publish discipline for every maintenance
     sink (drift PSI, streaming DQ): write the epoch's report dir, flip
     the ``_LATEST`` pointer via ``os.replace`` (readers never observe a
     half-written report — plain overwrite is delete-then-write), GC
     epochs older than the previous one. Idempotent under epoch replay
-    whenever the report is a pure function of the running aggregate."""
+    whenever the report is a pure function of the running aggregate.
+
+    ``keep_history=True`` switches the sink to APPEND-ONLY: no GC,
+    every epoch's report is retained alongside the ``_LATEST`` pointer
+    — required when epochs are RECORDS, not snapshots of a running
+    aggregate (the erasure audit trail: each epoch documents a
+    distinct compliance action; destroying it on the next epoch would
+    defeat the trail's purpose). Replay stays idempotent — a replayed
+    epoch overwrites exactly its own ``epoch=`` dir. Retention then
+    becomes a deliberate policy call (``sources/layout.vacuum_epochs``
+    against a frontier), never an implicit side effect."""
     os.makedirs(report_path, exist_ok=True)
     epoch_dir = f"epoch={epoch_id}"
     report_df.coalesce(1).write.mode("overwrite").parquet(
@@ -141,6 +152,8 @@ def publish_epoch_report(
     with open(tmp, "w") as f:
         f.write(epoch_dir)
     os.replace(tmp, os.path.join(report_path, _LATEST))  # atomic flip
+    if keep_history:
+        return
     for d in os.listdir(report_path):
         if (
             d.startswith("epoch=")

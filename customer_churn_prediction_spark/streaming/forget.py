@@ -59,7 +59,11 @@ def apply_erasure_batch(
 def _apply_epoch_fn(spark: SparkSession, sf_dir: str, report_path: str):
     def apply_epoch(batch_df: DataFrame, epoch_id: int) -> None:
         report = apply_erasure_batch(spark, sf_dir, batch_df)
-        publish_epoch_report(report, report_path, epoch_id)
+        # keep_history: erasure reports are compliance RECORDS — the
+        # audit trail must never be GC'd by the next epoch's publish.
+        publish_epoch_report(
+            report, report_path, epoch_id, keep_history=True
+        )
 
     return apply_epoch
 
@@ -74,7 +78,8 @@ def maintain_erasure(
     """Start the continuous erasure maintenance query: every epoch
     drains the arrived requests, applies them to all derived stores,
     and publishes the audit report through the shared atomic
-    ``_LATEST`` discipline (``drift.publish_epoch_report``)."""
+    ``_LATEST`` discipline (``drift.publish_epoch_report``) in its
+    append-only form — every epoch's audit record is retained."""
     return stream_to_batch_sink(
         request_stream,
         _apply_epoch_fn(spark, sf_dir, report_path),

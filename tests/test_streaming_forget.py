@@ -80,3 +80,34 @@ def test_erasure_stream_drains_requests_and_replays_as_noop(
     replay = {r.store: r for r in read_report(spark, report_path).collect()}
     for r in replay.values():
         assert r.rows_before == r.rows_after, r
+
+
+def test_erasure_audit_trail_is_append_only(spark, sf_dir, tmp_path):
+    """Erasure reports are compliance RECORDS: a later epoch's publish
+    must never GC an earlier epoch's audit record (the running-
+    aggregate sinks' GC discipline does not apply here). Two separate
+    one-epoch drains against the same report path must leave BOTH
+    epoch records on disk, with _LATEST pointing at the newer."""
+    report_path = str(tmp_path / "audit")
+    src = str(tmp_path / "requests")
+    ckpt = str(tmp_path / "ckpt")  # SAME checkpoint: epochs advance
+    for vec in (401, 402):
+        spark.createDataFrame(
+            [("vector", vec)], sforget.REQUEST_SCHEMA
+        ).repartition(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(sforget.REQUEST_SCHEMA).parquet(src)
+        )
+        q = sforget.start_erasure_available_now(
+            spark, sf_dir, stream, report_path, checkpoint=ckpt
+        )
+        assert q.awaitTermination(180), "drain timed out"
+    epochs = sorted(
+        d for d in os.listdir(report_path) if d.startswith("epoch=")
+    )
+    assert len(epochs) == 2, epochs
+    # the full trail remains queryable as one frame
+    trail = spark.read.parquet(
+        *[os.path.join(report_path, d) for d in epochs]
+    )
+    assert trail.count() >= 2
