@@ -57,19 +57,20 @@ def upsert_partitioned(
     stale row behind as a duplicate key. Route partition moves through
     a maintenance window that deletes the old row explicitly.
 
-    DURABILITY: this reads and dynamically overwrites the same parquet
-    path in one job. Spark stages the merged output in a job-scoped
-    temporary directory first, but the COMMIT phase then
-    deletes-and-renames each touched partition in turn — a crash
-    inside that window can lose touched partitions, because the only
-    copy of the surviving base rows is in the files being replaced.
-    That commit window is inherent to plain-parquet dynamic overwrite;
-    run it under a retryable orchestrator slot (re-running the same
-    batch is safe for every crash point EXCEPT mid-commit, which needs
-    restore-from-upstream), or use a transactional table format where
-    available — the atomic-swap discipline ``compact_partitions`` uses
-    is per-partition-directory and does not compose with a multi-
-    partition dynamic overwrite."""
+    DURABILITY: the merged output for ALL touched partitions is staged
+    to a sibling root in one Spark job (the base is untouched while
+    the only copy of its surviving rows is being rewritten), then each
+    partition directory is swapped in via the compaction rename
+    discipline — the only loss windows left are the per-partition
+    rename pairs (metadata ops, no data rewrite inside them), and a
+    crashed swap self-recovers on the next run: leftover ``_old`` dirs
+    are restored when the live dir is absent and GC'd when it exists,
+    exactly as in ``compact_partitions``. Re-running the same batch
+    after ANY crash point converges (asserted in
+    tests/test_merge.py::test_upsert_recovers_from_crash_mid_swap);
+    readers racing the swap can observe a partition briefly absent —
+    the same caveat as compaction, where a transactional table format
+    is the real answer."""
     parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
     if any(p is None for p in parts):
         raise ValueError(f"updates contain NULL {partition_col}")
@@ -78,6 +79,25 @@ def upsert_partitioned(
             f"updates contain duplicate {key} rows; an upsert batch must "
             f"carry one row per key (pre-reduce the batch upstream)"
         )
+    from .layout import _fs_for, _must
+
+    fs, jvm = _fs_for(spark, path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    _OLD = "._upsert_old"
+    # Recover/GC a crashed earlier run FIRST (the compact_partitions
+    # discipline): live dir present -> the swap completed, GC the old
+    # copy; live dir absent -> the crash hit between the two renames
+    # and the old dir holds the ONLY copy — restore it.
+    for st in fs.listStatus(Path(path)):
+        name = st.getPath().getName()
+        if not (name.startswith(".") and name.endswith(_OLD)):
+            continue
+        live = Path(path, name[1:-len(_OLD)])
+        if fs.exists(live):
+            _must(fs.delete(st.getPath(), True), "delete", st.getPath())
+        else:
+            _must(fs.rename(st.getPath(), live), "rename", st.getPath(), live)
+
     base = spark.read.parquet(path).where(F.col(partition_col).isin(parts))
     n_base = base.count()
     n_upd = updates.count()
@@ -85,12 +105,29 @@ def upsert_partitioned(
         updates.select(key, partition_col), [key, partition_col], "left_anti"
     )
     merged = survivors.select(*updates.columns).unionByName(updates)
-    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    # Stage ALL touched partitions in one job; the base stays intact
+    # while the only copy of its surviving rows is rewritten.
+    stage_root = path.rstrip("/") + "__upsert_stage"
+    stage_path = Path(stage_root)
+    if fs.exists(stage_path):
+        _must(fs.delete(stage_path, True), "delete", stage_path)
+    merged.write.mode("overwrite").partitionBy(partition_col).parquet(
+        stage_root
+    )
+    # Swap per partition directory — enumerate the STAGE's dirs so
+    # hive value encoding is never reproduced by hand.
+    for st in fs.listStatus(stage_path):
+        pname = st.getPath().getName()
+        if not (st.isDirectory() and pname.startswith(f"{partition_col}=")):
+            continue
+        live = Path(path, pname)
+        old = Path(path, f".{pname}{_OLD}")
+        if fs.exists(live):
+            _must(fs.rename(live, old), "rename", live, old)
+        _must(fs.rename(st.getPath(), live), "rename", st.getPath(), live)
+        if fs.exists(old):
+            _must(fs.delete(old, True), "delete", old)
+    _must(fs.delete(stage_path, True), "delete", stage_path)
     n_out = spark.read.parquet(path).where(
         F.col(partition_col).isin(parts)
     ).count()

@@ -194,3 +194,45 @@ def test_duplicate_key_batches_are_rejected(spark, sf_dir, tmp_path):
     )
     with pytest.raises(ValueError, match="duplicate"):
         merge.scd2_apply(hist, dup2, "cust", "2024-02-01")
+
+
+def test_upsert_recovers_from_crash_mid_swap(spark, tmp_path):
+    """Simulate every distinct crash state of the staged-swap commit
+    and assert a re-run of the same batch converges to the correct
+    merged table: (a) live dir renamed away but stage not yet swapped
+    in (the only copy of survivors is the _old dir — must be RESTORED,
+    never GC'd), (b) stage root left behind after a completed swap."""
+    import os
+
+    path = str(tmp_path / "facts")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30)], "k int, p string, v int"
+    )
+    base.write.partitionBy("p").parquet(path)
+    updates = spark.createDataFrame(
+        [(2, "a", 99), (4, "a", 40)], "k int, p string, v int"
+    )
+
+    # Crash state (a): live p=a renamed to the _old name, no swap yet.
+    os.rename(
+        os.path.join(path, "p=a"), os.path.join(path, ".p=a._upsert_old")
+    )
+    merge.upsert_partitioned(spark, path, updates, key="k",
+                             partition_col="p")
+    got = {
+        (r.k, r.p, r.v)
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {(1, "a", 10), (2, "a", 99), (3, "b", 30), (4, "a", 40)}
+
+    # Crash state (b): stage root left behind with stale content.
+    stale = spark.createDataFrame([(9, "a", 900)], "k int, p string, v int")
+    stale.write.partitionBy("p").parquet(path + "__upsert_stage")
+    merge.upsert_partitioned(spark, path, updates, key="k",
+                             partition_col="p")
+    got = {
+        (r.k, r.p, r.v)
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {(1, "a", 10), (2, "a", 99), (3, "b", 30), (4, "a", 40)}
+    assert not os.path.exists(path + "__upsert_stage")
