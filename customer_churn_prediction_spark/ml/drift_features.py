@@ -42,6 +42,8 @@ ASOF_CURR = "1998-06-30"
 
 
 def drift_psi_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-feature PSI between the training and scoring snapshots —
+    one row per monitored feature with its stability verdict."""
     o = load_table(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit(FEAT_START).cast("timestamp"))
         & (F.col("o_orderdate") < F.lit(LABEL_END_EXCL).cast("timestamp"))

@@ -38,6 +38,8 @@ _METHODS = {
 
 
 def ann_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every ANN tier graded against exact search in one report:
+    per-tier recall@k over the shared query set."""
     exact = ann.ann_bruteforce_topk(spark, sf_dir).select(
         "query_id", "neighbor_id"
     )
