@@ -46,6 +46,10 @@ def _table_files(spark: SparkSession, table_path: str) -> list[tuple]:
     fs, jvm = _fs_for(spark, table_path)
     Path = jvm.org.apache.hadoop.fs.Path
     root = Path(table_path)
+    if not fs.exists(root):
+        # a vanished table (dropped store, unmounted snapshot) is a
+        # 'missing' verdict at verify time, not a listing exception
+        return []
     out = []
     stack = [root]
     while stack:
@@ -150,6 +154,83 @@ def verify_manifest(
         elif cur.bytes != r["bytes"] or (
             not relocated and cur.modified != r["modified"]
         ):
+            problems.append((r["table"], r["file"], "changed"))
+        elif cur.n_rows != r["n_rows"]:
+            problems.append((r["table"], r["file"], "rowcount"))
+    for key, cur in current.items():
+        if key not in seen:
+            problems.append((key[0], key[1], "added"))
+    return spark.createDataFrame(
+        problems, "table string, file string, status string"
+    )
+
+
+# ------------------------------------------------------------- stores
+
+def freeze_stores(
+    spark: SparkSession, tables: tuple | list
+) -> DataFrame:
+    """The manifest frame for derived MANAGED stores (IVF lists, PQ
+    codes, corpus bands, int8 store …): same inventory the input
+    manifest records, rooted at the warehouse. A serving deployment
+    pins the exact index version it answers from — after an erasure
+    batch, a compaction, or a re-ingest the manifest no longer
+    verifies, which is precisely the signal to re-pin."""
+    from .writers import warehouse_store
+
+    rows = []
+    for t in tables:
+        path = os.path.join(warehouse_store(), t)
+        files = _table_files(spark, path)
+        if not files:
+            continue
+        try:
+            n = spark.table(t).count()
+        except Exception:
+            n = -1
+        for f, size, mtime in files:
+            rows.append((t, f, size, mtime, n))
+    return spark.createDataFrame(rows, _SCHEMA)
+
+
+def write_store_manifest(
+    spark: SparkSession, tables: tuple | list, manifest_path: str
+) -> dict:
+    """Freeze and persist the store manifest (atomic publish)."""
+    frame = freeze_stores(spark, tables)
+    doc = {
+        "kind": "stores",
+        "tables": sorted(tables),
+        "files": [r.asDict() for r in frame.collect()],
+    }
+    os.makedirs(os.path.dirname(manifest_path) or ".", exist_ok=True)
+    tmp = manifest_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(doc, f, indent=1, sort_keys=True)
+    os.replace(tmp, manifest_path)
+    return doc
+
+
+def verify_store_manifest(
+    spark: SparkSession, manifest_path: str
+) -> DataFrame:
+    """Discrepancy frame for a frozen store manifest — empty IS the
+    verification, same statuses as ``verify_manifest``."""
+    with open(manifest_path) as f:
+        doc = json.load(f)
+    current = {
+        (r.table, r.file): r
+        for r in freeze_stores(spark, tuple(doc["tables"])).collect()
+    }
+    problems = []
+    seen = set()
+    for r in doc["files"]:
+        key = (r["table"], r["file"])
+        seen.add(key)
+        cur = current.get(key)
+        if cur is None:
+            problems.append((r["table"], r["file"], "missing"))
+        elif (cur.bytes, cur.modified) != (r["bytes"], r["modified"]):
             problems.append((r["table"], r["file"], "changed"))
         elif cur.n_rows != r["n_rows"]:
             problems.append((r["table"], r["file"], "rowcount"))

@@ -97,3 +97,40 @@ def test_verify_relocated_copy_passes_without_mtime(
     )
     bad = manifest.verify_manifest(spark, mpath, sf_dir=moved)
     assert bad.where(F.col("table") == "region").count() > 0
+
+
+def test_store_manifest_detects_erasure(spark, sf_dir, tmp_path):
+    """A serving deployment pins its index version: the store manifest
+    verifies clean until an erasure batch touches the store, then
+    reports the drift — the re-pin signal."""
+    from customer_churn_prediction_spark.similarity.pq import (
+        ivf_pq_store_ingest,
+    )
+    from customer_churn_prediction_spark.sources import forget
+    from customer_churn_prediction_spark.sources.writers import (
+        sf_tag,
+        warehouse_store,
+    )
+
+    tag = sf_tag(sf_dir)
+    table = f"ivf_pq_store_{tag}"
+    ivf_pq_store_ingest(spark, sf_dir)
+    try:
+        mpath = str(tmp_path / "stores.json")
+        manifest.write_store_manifest(spark, (table,), mpath)
+        assert manifest.verify_store_manifest(spark, mpath).count() == 0
+        victim = int(
+            spark.table(table).select("vec_id").first().vec_id
+        )
+        forget.forget_vectors(spark, sf_dir, [victim])
+        drift = manifest.verify_store_manifest(spark, mpath)
+        assert drift.count() > 0
+        assert {r.table for r in drift.collect()} == {table}
+    finally:
+        # restore discipline: erasure mutated the shared store
+        for t in (f"ivf_lists_{tag}", f"ivf_pq_store_{tag}",
+                  f"int8_store_{tag}"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(
+                os.path.join(warehouse_store(), t), ignore_errors=True
+            )
