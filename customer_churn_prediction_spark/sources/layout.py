@@ -317,7 +317,12 @@ def vacuum_epochs(
             name = st.getPath().getName()
             if not (st.isDirectory() and name.startswith("epoch=")):
                 continue
-            epoch = int(name.split("=", 1)[1])
+            try:
+                epoch = int(name.split("=", 1)[1])
+            except ValueError:
+                # not one of our integer epochs (e.g. a hive null
+                # partition) — never delete what we can't order
+                continue
             if epoch < retain_from_epoch:
                 _must(fs.delete(st.getPath(), True), "delete", st.getPath())
                 report.append((epoch, "deleted"))
