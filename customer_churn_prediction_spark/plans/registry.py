@@ -99,66 +99,65 @@ BASELINES = {
 
 
 # Driver-budget rotation (the driver checks ~50 entries per round):
-# round 6 front-loads (a) the 39 surviving entries whose most recent
-# driver row is round 4 (44 per tests/test_registry_rotation.py minus
-# the 5 RETIRED twins), and (b) the 11 entries that are new or changed
-# this round: the PQ tier, dup-span removal, the leak-proof split,
-# calibration reports, sessionization, and dedup_semantic (whose
-# registered default switched to the k∝N vectorized scale shape).
+# round 7 front-loads the 49 entries whose most recent driver row is
+# round 5 (everything r6's PRIORITY did not cover), plus dedup_semantic
+# as the 50th — its registered default switched to the k∝N vectorized
+# scale shape in r6, so this buys the new shape a second green row and
+# keeps the round-8 rotation at 49 stale + 1 spare as well.
 # tests/test_registry_rotation.py asserts this list keeps every
 # entry's latest green row at most one round old.
 PRIORITY = [
-    # latest green row is r4 — re-prove before the evidence goes stale
-    "rfm_groupby",
-    "feature_assembly",
-    "feature_assembly_onepass",
-    "label_churn",
-    "label_churned_anti",
-    "label_class_balance",
-    "scan_filter_project",
-    "having_repurchase",
-    "isin_filter",
-    "na_fill_left_join",
-    "topk_orders",
-    "sampled_orders",
-    "groupby_count",
-    "avg_by_segment",
-    "approx_distinct_users",
-    "grouping_sets_revenue",
-    "pivot_status_priority",
-    "percentile_quantity",
-    "eval_confusion",
-    "latest_order_per_customer",
-    "purchase_gaps",
-    "running_spend",
-    "asof_join_clicks",
-    "text_tfidf_topk",
-    "corpus_sample_stratified",
-    "text_chunks",
-    "corpus_pack",
-    "text_redact",
-    "dedup_lsh_components",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_lsh_verified",
-    "dedup_incremental",
-    "dedup_incremental_materialized",
-    "dedup_cross_modal",
-    "ann_bruteforce_topk",
-    "ann_ivf",
-    "ann_ivf_materialized",
-    "feature_bucketize",
-    # new or changed this round — need first/fresh rows
-    "embedding_pq",
-    "ann_pq_adc",
-    "ann_ivf_pq",
-    "ann_ivf_pq_stored",
-    "text_dup_spans",
-    "corpus_clean_spans",
-    "corpus_split_leakproof",
-    "model_calibration",
-    "feature_iv",
-    "event_sessions",
+    # latest green row is r5 — re-prove before the evidence goes stale
+    "set_ops_buyers",
+    "distinct_pairs",
+    "salted_join_revenue",
+    "groupby_sum",
+    "user_event_sequences",
+    "range_join_events",
+    "date_functions",
+    "round_bround",
+    "md5_salted_key",
+    "string_functions",
+    "json_extract_events",
+    "text_sentences",
+    "stream_tumbling_counts",
+    "stream_sliding_counts",
+    "stream_session_windows",
+    "stream_dedup_events",
+    "stream_user_totals",
+    "rollup_daily_from_hourly",
+    "text_stats",
+    "text_lang_id",
+    "text_token_counts",
+    "text_fingerprint",
+    "corpus_curation",
+    "text_repetition",
+    "corpus_mix",
+    "text_logprob",
+    "corpus_keep_decision",
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "dedup_minhash_lsh_pairs",
+    "dedup_lsh_groups",
+    "corpus_dedup_keep",
+    "contamination_check",
+    "ann_lsh_bucketed",
+    "ann_ivf_kmeans",
+    "embedding_quantize",
+    "ann_bruteforce_int8",
+    "ann_bruteforce_int8_stored",
+    "ann_recall_eval",
+    "ml_rf_churn",
+    "ml_gbt_churn",
+    "ml_lr_churn",
+    "ml_fm_churn",
+    "ml_feature_vectors",
+    "drift_psi",
+    "score_band_lift",
+    "eval_ks",
+    "multimodal_features",
+    "multimodal_frames",
+    # changed in r6 (scale-shape default) — buy a second green row
     "dedup_semantic",
 ]
 
