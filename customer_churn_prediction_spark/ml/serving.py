@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
 
 from pyspark.ml import PipelineModel
 from pyspark.ml.functions import vector_to_array
@@ -54,7 +55,13 @@ _MODEL_DIR = "model"
 _NUMERIC_FILL = 0.0
 _CATEGORICAL_FILL = "__missing__"
 
-_MODEL_CACHE: dict[str, tuple[PipelineModel, dict]] = {}
+# path -> (model, manifest, manifest_stat). The stat fingerprint
+# ((mtime_ns, size) of manifest.json) makes cache invalidation work
+# ACROSS processes: the realistic deploy is trainer-writes /
+# scorer-serves, where the scorer process never sees the trainer's
+# in-process cache pop — every load re-stats the manifest (one cheap
+# syscall, no deserialization) and drops a stale entry itself.
+_MODEL_CACHE: dict[str, tuple[PipelineModel, dict, tuple]] = {}
 
 
 def _manifest_from_model(fitted: PipelineModel) -> dict:
@@ -111,6 +118,10 @@ def export_serving_bundle(fitted: PipelineModel, path: str) -> dict:
     fill 0.0) and categorical columns (strings, unseen labels legal).
     Returns the manifest dict."""
     manifest = _manifest_from_model(fitted)
+    # Unique id per export: distinguishes two exports even when the
+    # filesystem's mtime granularity cannot (and gives ops a stable
+    # provenance handle for "which model answered this request").
+    manifest["export_id"] = uuid.uuid4().hex
     fitted.write().overwrite().save(os.path.join(path, _MODEL_DIR))
     tmp = os.path.join(path, f".{_MANIFEST}.tmp")
     with open(tmp, "w") as f:
@@ -118,7 +129,8 @@ def export_serving_bundle(fitted: PipelineModel, path: str) -> dict:
     os.replace(tmp, os.path.join(path, _MANIFEST))  # atomic publish
     # Re-exporting over a served path must not keep answering with the
     # previous model (review r6): drop any memoized load for it (cache
-    # keys are absolute paths — see load_serving_bundle).
+    # keys are absolute paths — see load_serving_bundle). Cross-process
+    # staleness is handled by the stat fingerprint at load time.
     _MODEL_CACHE.pop(os.path.abspath(path), None)
     return manifest
 
@@ -130,14 +142,27 @@ def load_serving_bundle(path: str) -> tuple[PipelineModel, dict]:
     per-process unpickle is its scoring bottleneck). Keys are
     normalized to the absolute path so a relative-path load and an
     absolute-path re-export hit the SAME cache entry (otherwise the
-    re-export invalidation could miss)."""
+    re-export invalidation could miss).
+
+    Every hit re-stats ``manifest.json`` (one syscall — no JSON parse,
+    no model deserialization): a bundle re-exported by a DIFFERENT
+    process (trainer writes, this scorer serves) changes the manifest's
+    (mtime_ns, size) fingerprint, and the stale cache entry is dropped
+    and reloaded instead of answering with the previous model. The
+    manifest is the right sentinel because export publishes it LAST
+    (atomic ``os.replace`` after the model write), so a new fingerprint
+    implies the new model directory is already complete."""
     path = os.path.abspath(path)
-    if path not in _MODEL_CACHE:
+    st = os.stat(os.path.join(path, _MANIFEST))
+    fingerprint = (st.st_mtime_ns, st.st_size)
+    cached = _MODEL_CACHE.get(path)
+    if cached is None or cached[2] != fingerprint:
         with open(os.path.join(path, _MANIFEST)) as f:
             manifest = json.load(f)
         model = PipelineModel.load(os.path.join(path, _MODEL_DIR))
-        _MODEL_CACHE[path] = (model, manifest)
-    return _MODEL_CACHE[path]
+        _MODEL_CACHE[path] = (model, manifest, fingerprint)
+    model, manifest, _ = _MODEL_CACHE[path]
+    return model, manifest
 
 
 def clear_serving_cache() -> None:
@@ -219,6 +244,7 @@ def serve_scoring_stream(
     checkpoint: str,
     query_name: str = "model-serving",
     available_now: bool = False,
+    fault=None,
 ):
     """Continuous scoring: every micro-batch of ``feature_stream`` is
     scored through the bundle's model and appended to ``out_path`` as
@@ -232,6 +258,12 @@ def serve_scoring_stream(
     with the same epoch numbering — a temp checkpoint renumbers epochs
     from 0 and leaves stale epoch partitions behind as duplicates.
     Retention of drained epochs is ``sources/layout.vacuum_epochs``.
+
+    ``fault`` is the crash-injection hook the sibling exactly-once
+    sinks expose (``streaming/ingest.py``, ``vector_ingest.py``):
+    called with the epoch_id AFTER the epoch's write and BEFORE its
+    offset commit — the worst-case window, where a restart re-delivers
+    the epoch and the dynamic partition overwrite must absorb it.
     """
     model, _ = load_serving_bundle(bundle_path)
 
@@ -244,6 +276,8 @@ def serve_scoring_stream(
             .partitionBy("epoch")
             .parquet(out_path)
         )
+        if fault is not None:
+            fault(epoch_id)
 
     writer = (
         feature_stream.writeStream.foreachBatch(score_epoch)

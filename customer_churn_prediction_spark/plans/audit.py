@@ -70,7 +70,12 @@ def count_shuffle_exchanges(df: DataFrame) -> int:
 #   InMemoryFileIndex(1 paths)[file:/.../customer.parquet], ...,
 #   PushedFilters: [IsNotNull(c_custkey)], ReadSchema: ...
 _SCAN_COLS = re.compile(r"FileScan \w+ \[([^\]]*)\]")
-_SCAN_PATH = re.compile(r"\[file:([^\],]+)")
+# Any filesystem scheme (file:, hdfs:, s3a:, abfss:, ...), not just the
+# local fixtures' file: URIs — the profile matchers run wherever the
+# engine runs. A multi-path index prints comma-separated URIs; the first
+# one is enough to identify the table, and a path containing a literal
+# comma would be truncated at it (don't name fixture dirs with commas).
+_SCAN_PATH = re.compile(r"\[\w+:([^\],]+)")
 _SCAN_PUSHED = re.compile(r"PushedFilters: \[([^\]]*)")
 
 

@@ -31,6 +31,19 @@ Deleting from the SOURCE parquet is the lake's move (see
 trained on forgotten data are a retraining decision, not a row
 deletion — both are documented contract boundaries, not gaps.
 
+**Erasure is durable across rebuilds.** Every derived store here is a
+cache of the source lake, and a rebuild (fresh session catalog,
+post-crash recovery) re-materializes from a source that may still hold
+the rows — which would silently UNDO an attested erasure. So every
+erasure batch is first recorded in a persisted per-tag ledger
+(``erasure_ledger_{tag}`` parquet under the warehouse root), and
+``writers.managed_ingest`` calls :func:`scrub_rebuilt_store` after any
+rebuild to re-apply the ledgered ids to the freshly built store. The
+ledger is written BEFORE the store deletes (write-ahead): a crash
+mid-erasure leaves the ids recorded, and the replayed batch (or the
+next rebuild's scrub) converges the stores. :func:`reapply_erasure_ledger`
+is the manual recovery form covering all stores at once.
+
 Every function returns the audit report frame a compliance workflow
 records: (store, layout, partitions_touched, rows_before, rows_after).
 Idempotent: re-running with the same ids touches nothing and reports
@@ -63,6 +76,76 @@ _REPORT_SCHEMA = (
     "store string, layout string, partitions_touched int, "
     "rows_before long, rows_after long"
 )
+
+_LEDGER_SCHEMA = "kind string, id long"
+
+# Derived stores a rebuild can re-materialize: name prefix -> (request
+# kind, layout spec scrub_rebuilt_store replays the erasure with).
+_DERIVED_STORES = (
+    ("ivf_lists_", "vector", {"id_col": "vec_id", "layout": "partitioned"}),
+    ("ivf_pq_store_", "vector", {"id_col": "vec_id", "layout": "partitioned"}),
+    ("int8_store_", "vector", {"id_col": "vec_id", "layout": "flat"}),
+    ("corpus_bands_", "document", {"id_col": "doc_id", "layout": "bucketed"}),
+)
+
+
+def _ledger_path(tag: str) -> str:
+    from .writers import warehouse_store
+
+    return os.path.join(warehouse_store(), f"erasure_ledger_{tag}")
+
+
+def _record_erasure(spark: SparkSession, tag: str, kind: str,
+                    ids: list[int]) -> None:
+    """Write-ahead ledger append — erasure requests are human-scale
+    (thousands), so a single appended file per batch is the right
+    grain. Duplicate rows from replays are deduped at read time."""
+    spark.createDataFrame(
+        [(kind, int(i)) for i in ids], _LEDGER_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(_ledger_path(tag))
+
+
+def read_erasure_ledger(spark: SparkSession, tag: str) -> DataFrame:
+    """Distinct (kind, id) rows ever erased for this fixture tag; empty
+    frame when no erasure has been recorded. Local-path existence check
+    matches ``managed_ingest``'s own local-warehouse discipline."""
+    path = _ledger_path(tag)
+    if not os.path.exists(path):
+        return spark.createDataFrame([], _LEDGER_SCHEMA)
+    return spark.read.parquet(path).distinct()
+
+
+def scrub_rebuilt_store(spark: SparkSession, table: str) -> None:
+    """Re-apply the persisted erasure ledger to a freshly REBUILT
+    derived store (called by ``writers.managed_ingest`` right after its
+    ``write_fn``): a rebuild reads the source lake, which may legally
+    still contain rows whose derived copies were erased — without this
+    hook the rebuild would resurrect them and silently invalidate the
+    audit report that attested the erasure. No-op (one existence check)
+    for non-derived tables and when no ledger exists."""
+    for prefix, kind, spec in _DERIVED_STORES:
+        if table.startswith(prefix):
+            tag = table[len(prefix):]
+            break
+    else:
+        return
+    ledger = read_erasure_ledger(spark, tag)
+    ids = sorted(
+        int(r.id) for r in ledger.where(F.col("kind") == kind).collect()
+    )
+    if not ids:
+        return
+    if spec["layout"] == "partitioned":
+        _forget_partitioned(spark, table, spec["id_col"], ids)
+    elif spec["layout"] == "bucketed":
+        from ..text.dedup import CORPUS_BANDS_BUCKETS
+
+        _forget_full_rewrite(
+            spark, table, spec["id_col"], ids,
+            bucket_col="band_key", n_buckets=CORPUS_BANDS_BUCKETS,
+        )
+    else:
+        _forget_full_rewrite(spark, table, spec["id_col"], ids)
 
 
 def _overwrite_dynamic(spark: SparkSession, df: DataFrame, table: str) -> None:
@@ -175,13 +258,17 @@ def _forget_full_rewrite(
 
 
 def forget_vectors(
-    spark: SparkSession, sf_dir: str, vec_ids: list[int]
+    spark: SparkSession, sf_dir: str, vec_ids: list[int],
+    record: bool = True,
 ) -> DataFrame:
     """Erase ``vec_ids`` from every derived vector store (IVF lists,
     IVF-PQ codes, int8 store), ingesting any store that is not yet
     materialized first (erasure must cover stores a later job would
     rebuild from the pre-deletion source only if the source itself is
-    already clean — ingest-then-forget keeps the report truthful)."""
+    already clean — ingest-then-forget keeps the report truthful).
+    The batch is ledgered (write-ahead) before any delete so a later
+    rebuild re-applies it; ``record=False`` is the ledger-replay path
+    (:func:`reapply_erasure_ledger`), which must not re-append."""
     from ..similarity.ann import int8_store_ingest, ivf_lists_ingest
     from ..similarity.pq import ivf_pq_store_ingest
 
@@ -189,6 +276,8 @@ def forget_vectors(
     ivf_pq_store_ingest(spark, sf_dir)
     int8_store_ingest(spark, sf_dir)
     tag = sf_tag(sf_dir)
+    if record:
+        _record_erasure(spark, tag, "vector", vec_ids)
     rows = []
     for table, layout in (
         (f"ivf_lists_{tag}", "hive-partitioned"),
@@ -204,16 +293,20 @@ def forget_vectors(
 
 
 def forget_documents(
-    spark: SparkSession, sf_dir: str, doc_ids: list[int]
+    spark: SparkSession, sf_dir: str, doc_ids: list[int],
+    record: bool = True,
 ) -> DataFrame:
     """Erase ``doc_ids``' LSH band rows from the materialized corpus
     bands table, so future incremental-dedup batches can no longer
     collide with (and therefore reconstruct the fingerprints of) the
-    forgotten documents."""
+    forgotten documents. Ledgered like :func:`forget_vectors`."""
     from ..text.dedup import CORPUS_BANDS_BUCKETS, corpus_bands_ingest
 
     corpus_bands_ingest(spark, sf_dir)
-    table = f"corpus_bands_{sf_tag(sf_dir)}"
+    tag = sf_tag(sf_dir)
+    if record:
+        _record_erasure(spark, tag, "document", doc_ids)
+    table = f"corpus_bands_{tag}"
     p, b, a = _forget_full_rewrite(
         spark, table, "doc_id", doc_ids,
         bucket_col="band_key", n_buckets=CORPUS_BANDS_BUCKETS,
@@ -221,3 +314,25 @@ def forget_documents(
     return spark.createDataFrame(
         [(table, "bucketed", p, b, a)], _REPORT_SCHEMA
     )
+
+
+def reapply_erasure_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual recovery: re-apply every ledgered erasure to every
+    derived store (idempotent — already-clean stores report zero rows
+    removed). The bulk form of the per-table ``scrub_rebuilt_store``
+    hook, for operators restoring a warehouse wholesale."""
+    tag = sf_tag(sf_dir)
+    rows = read_erasure_ledger(spark, tag).collect()
+    vec_ids = sorted(int(r.id) for r in rows if r.kind == "vector")
+    doc_ids = sorted(int(r.id) for r in rows if r.kind == "document")
+    reports = []
+    if vec_ids:
+        reports.append(forget_vectors(spark, sf_dir, vec_ids, record=False))
+    if doc_ids:
+        reports.append(forget_documents(spark, sf_dir, doc_ids, record=False))
+    if not reports:
+        return spark.createDataFrame([], _REPORT_SCHEMA)
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out

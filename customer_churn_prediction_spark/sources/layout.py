@@ -307,11 +307,38 @@ def vacuum_epochs(
     ops (a false delete means retained data was reported vacuumed).
     Returns the audit frame (epoch, action): 'deleted' per vacuumed
     epoch — idempotent: a second run reports nothing.
+
+    If the sink carries a ``_LATEST`` pointer (the report sinks written
+    through ``streaming/drift.publish_epoch_report``, including the
+    append-only audit trails), the frontier is CAPPED at the pointed-to
+    epoch: a frontier above it would delete the very directory
+    ``read_report`` resolves, turning a retention-policy mistake into a
+    broken reader. The cap is reported as a ``'pinned:_LATEST'`` row so
+    the caller sees the policy was overridden rather than silently
+    honored.
     """
     fs, jvm = _fs_for(spark, path)
     Path = jvm.org.apache.hadoop.fs.Path
     root = Path(path)
     report = []
+    latest = Path(path, "_LATEST")
+    if fs.exists(root) and fs.isFile(latest):
+        stream = fs.open(latest)
+        try:
+            reader = jvm.java.io.BufferedReader(
+                jvm.java.io.InputStreamReader(stream, "UTF-8")
+            )
+            pointed = (reader.readLine() or "").strip()
+        finally:
+            stream.close()
+        if pointed.startswith("epoch="):
+            try:
+                pointed_epoch = int(pointed.split("=", 1)[1])
+            except ValueError:
+                pointed_epoch = None
+            if pointed_epoch is not None and retain_from_epoch > pointed_epoch:
+                retain_from_epoch = pointed_epoch
+                report.append((pointed_epoch, "pinned:_LATEST"))
     if fs.exists(root):
         for st in fs.listStatus(root):
             name = st.getPath().getName()

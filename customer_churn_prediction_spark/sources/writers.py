@@ -65,7 +65,13 @@ def managed_ingest(
     the pinned location to write. One copy of this logic: the three
     ingest sites previously each re-implemented it, the same
     silent-de-sync risk class as the duplicated quality expression
-    (r3 ADVICE)."""
+    (r3 ADVICE).
+
+    A rebuild reads the source lake, which may still hold rows whose
+    derived copies were ERASED (right-to-be-forgotten) — so every
+    rebuild re-applies the persisted erasure ledger before any reader
+    sees the table (``forget.scrub_rebuilt_store``; a one-existence-
+    check no-op for tables without a ledger)."""
     import os
     import shutil
 
@@ -74,6 +80,9 @@ def managed_ingest(
         path = os.path.join(warehouse_store(), table)
         shutil.rmtree(path, ignore_errors=True)
         write_fn(path)
+        from .forget import scrub_rebuilt_store
+
+        scrub_rebuilt_store(spark, table)
     return spark.table(table)
 
 

@@ -30,26 +30,51 @@ from .windows import stream_to_batch_sink
 # Request schema: kind in ('vector', 'document'), id = vec_id/doc_id.
 REQUEST_SCHEMA = "kind string, id long"
 
+_REPORT_SCHEMA = (
+    "store string, layout string, partitions_touched int, "
+    "rows_before long, rows_after long"
+)
+
 
 def apply_erasure_batch(
     spark: SparkSession, sf_dir: str, batch_df: DataFrame
 ) -> DataFrame:
     """One erasure pass for a batch of requests; returns the combined
-    audit report (may be empty if the batch held no valid requests)."""
+    audit report (may be empty if the batch held no valid requests).
+
+    Requests whose ``kind`` is not in the known set (a typo'd
+    'documents', a NULL) are NEVER silently discarded: each bad kind
+    gets a ``layout='rejected'`` report row counting its requests, so
+    the epoch's audit record shows a malformed compliance request was
+    received and NOT applied — the sender retries with a valid kind
+    instead of assuming erasure happened. A raise here would wedge the
+    maintenance stream on a poison record; a rejected AUDIT row keeps
+    the trail append-only and the stream alive."""
     reqs = batch_df.select("kind", "id").collect()
     vec_ids = sorted({int(r.id) for r in reqs if r.kind == "vector"})
     doc_ids = sorted({int(r.id) for r in reqs if r.kind == "document"})
+    bad: dict[str, int] = {}
+    for r in reqs:
+        if r.kind not in ("vector", "document"):
+            key = "NULL" if r.kind is None else str(r.kind)
+            bad[key] = bad.get(key, 0) + 1
     reports = []
     if vec_ids:
         reports.append(forget_vectors(spark, sf_dir, vec_ids))
     if doc_ids:
         reports.append(forget_documents(spark, sf_dir, doc_ids))
-    if not reports:
-        return spark.createDataFrame(
-            [],
-            "store string, layout string, partitions_touched int, "
-            "rows_before long, rows_after long",
+    if bad:
+        reports.append(
+            spark.createDataFrame(
+                [
+                    (f"request:kind={kind}", "rejected", n, 0, 0)
+                    for kind, n in sorted(bad.items())
+                ],
+                _REPORT_SCHEMA,
+            )
         )
+    if not reports:
+        return spark.createDataFrame([], _REPORT_SCHEMA)
     out = reports[0]
     for r in reports[1:]:
         out = out.unionByName(r)

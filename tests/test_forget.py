@@ -42,6 +42,13 @@ def _restore_stores_after(spark, sf_dir):
         shutil.rmtree(
             os.path.join(warehouse_store(), table), ignore_errors=True
         )
+    # The persisted erasure ledger would otherwise make every later
+    # rebuild re-apply these test deletions — scrub it so the other
+    # oracle tests' stores stay faithful to the pristine source.
+    shutil.rmtree(
+        os.path.join(warehouse_store(), f"erasure_ledger_{tag}"),
+        ignore_errors=True,
+    )
 
 
 def _files_mtimes(table: str, pattern: str) -> dict[str, float]:
@@ -219,3 +226,61 @@ def test_forget_documents_self_heals_after_crash_mid_swap(spark, sf_dir):
         spark.table(table).where(F.col("doc_id") == victim).count() == 0
     )
     assert not os.path.exists(stage)  # stale stage garbage-collected
+
+
+def test_rebuild_does_not_resurrect_forgotten_rows(spark, sf_dir):
+    """Erasure durability: a managed_ingest REBUILD (fresh session
+    catalog / post-crash recovery) re-materializes a derived store from
+    the source lake, which still holds the forgotten rows — the
+    persisted erasure ledger must make the rebuild re-apply the
+    deletion, or the audit report attested an erasure a rebuild
+    silently undid."""
+    from customer_churn_prediction_spark.similarity.ann import (
+        int8_store_ingest,
+        ivf_lists_ingest,
+    )
+    from customer_churn_prediction_spark.text.dedup import (
+        corpus_bands_ingest,
+    )
+
+    tag = sf_tag(sf_dir)
+    forget.forget_vectors(spark, sf_dir, FORGET_IDS)
+    doc_victim = (
+        corpus_bands_ingest(spark, sf_dir).select("doc_id").first().doc_id
+    )
+    forget.forget_documents(spark, sf_dir, [doc_victim])
+
+    # the ledger recorded both batches
+    ledger = forget.read_erasure_ledger(spark, tag).collect()
+    assert {(r.kind, r.id) for r in ledger} == (
+        {("vector", i) for i in FORGET_IDS} | {("document", doc_victim)}
+    )
+
+    # simulate the fresh-session rebuild the advisory describes: drop
+    # the table + files, then let managed_ingest rebuild from source
+    for table in (f"ivf_lists_{tag}", f"int8_store_{tag}",
+                  f"corpus_bands_{tag}"):
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(
+            os.path.join(warehouse_store(), table), ignore_errors=True
+        )
+    ivf_lists_ingest(spark, sf_dir)
+    int8_store_ingest(spark, sf_dir)
+    corpus_bands_ingest(spark, sf_dir)
+
+    for table in (f"ivf_lists_{tag}", f"int8_store_{tag}"):
+        assert (
+            spark.table(table).where(F.col("vec_id").isin(FORGET_IDS)).count()
+            == 0
+        ), f"{table} resurrected forgotten vectors on rebuild"
+    assert (
+        spark.table(f"corpus_bands_{tag}")
+        .where(F.col("doc_id") == doc_victim)
+        .count()
+        == 0
+    ), "corpus bands resurrected a forgotten document on rebuild"
+
+    # bulk recovery form: idempotent (everything already clean)
+    replay = forget.reapply_erasure_ledger(spark, sf_dir)
+    for r in replay.collect():
+        assert r.rows_before == r.rows_after, r

@@ -328,3 +328,33 @@ def test_vacuum_epochs_drops_only_below_watermark(spark, tmp_path):
 
     r2 = layout.vacuum_epochs(spark, sink, retain_from_epoch=3)
     assert r2.count() == 0
+
+
+def test_vacuum_epochs_never_deletes_the_latest_pointer_target(
+    spark, tmp_path
+):
+    """A report sink (publish_epoch_report layout) carries a _LATEST
+    pointer; a retention frontier above the pointed-to epoch would
+    delete the directory read_report resolves. The frontier must be
+    capped at the pointer, with a 'pinned:_LATEST' audit row showing
+    the policy was overridden rather than silently honored."""
+    sink = str(tmp_path / "audit")
+    for e in range(5):
+        spark.range(2).withColumn("epoch", F.lit(e)).write.mode(
+            "append"
+        ).partitionBy("epoch").parquet(sink)
+    with open(os.path.join(sink, "_LATEST"), "w") as f:
+        f.write("epoch=2")
+
+    r = layout.vacuum_epochs(spark, sink, retain_from_epoch=4)
+    actions = {r_.epoch: r_.action for r_ in r.collect()}
+    assert actions == {0: "deleted", 1: "deleted", 2: "pinned:_LATEST"}
+    kept = spark.read.parquet(sink)
+    assert sorted(
+        x.epoch for x in kept.select("epoch").distinct().collect()
+    ) == [2, 3, 4]
+    # the pointer still resolves to an existing directory
+    assert os.path.isdir(os.path.join(sink, "epoch=2"))
+    # a frontier at or below the pointer is unaffected by the cap
+    r2 = layout.vacuum_epochs(spark, sink, retain_from_epoch=2)
+    assert r2.count() == 0

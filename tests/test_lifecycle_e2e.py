@@ -43,6 +43,12 @@ def _restore_stores_after(spark, sf_dir):
         shutil.rmtree(
             os.path.join(warehouse_store(), table), ignore_errors=True
         )
+    # also the persisted erasure ledger, or later rebuilds re-apply
+    # this test's deletions to the shared oracle fixtures
+    shutil.rmtree(
+        os.path.join(warehouse_store(), f"erasure_ledger_{tag}"),
+        ignore_errors=True,
+    )
 
 
 def _erase(spark, sf_dir, tmp_path, tag_name, vec_id, report_path, ckpt):

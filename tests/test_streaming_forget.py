@@ -32,6 +32,10 @@ def _restore_stores_after(spark, sf_dir):
         shutil.rmtree(
             os.path.join(warehouse_store(), table), ignore_errors=True
         )
+    shutil.rmtree(
+        os.path.join(warehouse_store(), f"erasure_ledger_{tag}"),
+        ignore_errors=True,
+    )
 
 
 def test_erasure_stream_drains_requests_and_replays_as_noop(
@@ -111,3 +115,31 @@ def test_erasure_audit_trail_is_append_only(spark, sf_dir, tmp_path):
         *[os.path.join(report_path, d) for d in epochs]
     )
     assert trail.count() >= 2
+
+
+def test_malformed_request_kinds_leave_rejected_audit_rows(spark, sf_dir):
+    """A request whose kind is not in the known set (typo'd
+    'documents', NULL) must NOT vanish silently: the batch's audit
+    report carries one layout='rejected' row per bad kind with the
+    request count, and the bad rows trigger no store erasure."""
+    batch = spark.createDataFrame(
+        [("documents", 7), ("documents", 8), (None, 9)],
+        sforget.REQUEST_SCHEMA,
+    )
+    report = sforget.apply_erasure_batch(spark, sf_dir, batch)
+    rows = {r.store: r for r in report.collect()}
+    # no valid requests -> no store rows, only the rejections
+    assert set(rows) == {"request:kind=documents", "request:kind=NULL"}
+    assert rows["request:kind=documents"].layout == "rejected"
+    assert rows["request:kind=documents"].partitions_touched == 2
+    assert rows["request:kind=NULL"].partitions_touched == 1
+    # mixed batch: valid kinds still apply, rejections still reported
+    tag = sf_tag(sf_dir)
+    mixed = spark.createDataFrame(
+        [("document", 7), ("documents", 8)], sforget.REQUEST_SCHEMA
+    )
+    report2 = sforget.apply_erasure_batch(spark, sf_dir, mixed)
+    rows2 = {r.store: r for r in report2.collect()}
+    assert set(rows2) == {
+        f"corpus_bands_{tag}", "request:kind=documents"
+    }
