@@ -67,3 +67,24 @@ def test_bench_stdout_object_stays_compact():
     # And the full form (with spread) goes to the file, not stdout:
     # keep the stdout schema free of the per-query spread lists.
     assert "spread" not in result
+
+
+def test_prev_median_loader_guards(tmp_path):
+    """The noise-check path compares against the previous bench_out
+    only when it is present, parseable, and at the SAME scale factor —
+    cross-SF deltas would flag every query as moved."""
+    bench = _load_bench()
+    out = tmp_path / "bench_out.json"
+    assert bench._load_prev_medians(str(out), 0.1) == {}  # absent
+    out.write_text("not json {")
+    assert bench._load_prev_medians(str(out), 0.1) == {}  # unreadable
+    out.write_text(json.dumps(
+        {"sf": 0.01, "queries": {"q": 1.0}}
+    ))
+    assert bench._load_prev_medians(str(out), 0.1) == {}  # other SF
+    out.write_text(json.dumps(
+        {"sf": 0.1, "queries": {"q1": 1.5, "q2": 0.25}}
+    ))
+    assert bench._load_prev_medians(str(out), 0.1) == {
+        "q1": 1.5, "q2": 0.25
+    }
