@@ -157,3 +157,79 @@ def test_serving_stream_scores_every_row_and_matches_batch(
     for k in want:
         assert got[k][0] == pytest.approx(want[k][0], abs=1e-6)
         assert got[k][1] == want[k][1]
+
+
+def test_three_serving_paths_agree_across_crash_replay(
+    spark, bundle, tmp_path
+):
+    """The full serving parity contract off ONE exported bundle: the
+    request path (score_records), the batch path (score_batch on the
+    bundle-loaded model), and the continuous sink
+    (serve_scoring_stream) must produce equal scores for the same
+    feature rows — INCLUDING when the stream crashes after an epoch's
+    write and replays it on restart (the reference's server answers
+    from one artifact regardless of transport;
+    GBDT/python/churn_xgb_server.py:32, README.md:141-145)."""
+    path, manifest, data, _ = bundle
+    serving.clear_serving_cache()
+    model, _m = serving.load_serving_bundle(path)
+    cols = manifest["continuous"] + manifest["flags"] + manifest["categorical"]
+    feats = data.select("c_custkey", *cols)
+
+    # path 1: batch, from the bundle-loaded model (not the in-memory fit)
+    batch = {
+        r.c_custkey: (r.p_churn, r.prediction)
+        for r in serving.score_batch(feats, model).collect()
+    }
+
+    # path 2: request records — exact equality (both paths round to
+    # 1e-6 inside score_batch, fed identical feature values)
+    sample = feats.limit(8).collect()
+    recs = serving.score_records(
+        spark, path, [_feature_dict(r, manifest) for r in sample]
+    )
+    for row, scored in zip(sample, recs):
+        assert (scored["p_churn"], scored["prediction"]) == batch[
+            row.c_custkey
+        ], f"records path diverged for {row.c_custkey}"
+
+    # path 3: the streaming sink, crashed after epoch 1's write and
+    # restarted from the same checkpoint (epoch replay)
+    src = str(tmp_path / "features_in")
+    feats.repartition(3).write.mode("overwrite").parquet(src)
+    stream_df = lambda: (  # noqa: E731 — rebuilt per start
+        spark.readStream.schema(feats.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out_path = str(tmp_path / "scores_out")
+    ckpt = str(tmp_path / "ckpt")
+    crashed = {"done": False}
+
+    def fault(epoch_id):
+        if epoch_id == 1 and not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("injected crash before offset commit")
+
+    q = serving.serve_scoring_stream(
+        spark, path, stream_df(), out_path, checkpoint=ckpt,
+        available_now=True, fault=fault,
+    )
+    with pytest.raises(Exception):
+        q.awaitTermination()
+    q2 = serving.serve_scoring_stream(
+        spark, path, stream_df(), out_path, checkpoint=ckpt,
+        available_now=True, fault=fault,
+    )
+    try:
+        assert q2.awaitTermination(300), "post-crash drain timed out"
+    finally:
+        q2.stop()
+
+    streamed = spark.read.parquet(out_path)
+    # exactly-once: no duplicated customers after the replay
+    assert streamed.count() == len(batch)
+    got = {
+        r.c_custkey: (r.p_churn, r.prediction) for r in streamed.collect()
+    }
+    assert got == batch, "stream path diverged from batch after replay"
