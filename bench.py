@@ -45,7 +45,6 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 N_ITERS = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "5"))
 
 BENCH_QUERIES = [
-    "feature_assembly_onepass",
     "feature_assembly",
     "dedup_lsh_groups",
     "rfm_groupby",
@@ -117,6 +116,10 @@ BENCH_QUERIES = [
     "model_calibration",
     "feature_iv",
     "event_sessions",
+    # r7 addition: BPE tokenizer training graduated from the staged
+    # tier (feature_assembly_onepass retired to its verified-equal
+    # chain twin, freeing the slot).
+    "vocab_bpe_merges",
 ]
 
 

@@ -48,11 +48,13 @@ def _modules():
         from ..text import dedup as text_dedup
         from ..text import spans as text_spans
         from ..text import splits as text_splits
+        from ..text import vocab as text_vocab
 
         _MODULES = [rfm, assembly, labeling, relational, aggregates,
                     windows, asof, sessions, scalars, fn_udtf,
                     stream_windows, stream_stateful, stream_rollup,
                     text_analysis, text_dedup, text_spans, text_splits,
+                    text_vocab,
                     ann, sim_pq, ml_pipeline, ml_jobs, ml_monitoring,
                     ml_calibration, multimodal]
     return _MODULES
@@ -82,6 +84,13 @@ RETIRED = {
     # ann_bruteforce_topk and the scalable threshold-pair forms are
     # ann_lsh_bucketed / dedup_semantic.
     "embedding_neardup_pairs": "ann_lsh_bucketed",
+    # r7: ≡ feature_assembly (same ASSEMBLY_ORACLE; permanent equality
+    # pytest tests/test_assembly.py::test_join_chain_equals_onepass).
+    # The freed slot registers vocab_bpe_merges — the staged tier's
+    # headline (BPE training, 10.8x faster than its oracle at sf0.1).
+    # The onepass scale shape stays in the module, benched and
+    # scale-curved; the registered chain carries the driver row.
+    "feature_assembly_onepass": "feature_assembly",
 }
 
 # Deliberate non-scale baselines kept registered for recall/correctness
@@ -100,12 +109,14 @@ BASELINES = {
 
 # Driver-budget rotation (the driver checks ~50 entries per round):
 # round 7 front-loads the 49 entries whose most recent driver row is
-# round 5 (everything r6's PRIORITY did not cover), plus dedup_semantic
-# as the 50th — its registered default switched to the k∝N vectorized
-# scale shape in r6, so this buys the new shape a second green row and
-# keeps the round-8 rotation at 49 stale + 1 spare as well.
-# tests/test_registry_rotation.py asserts this list keeps every
-# entry's latest green row at most one round old.
+# round 5 (everything r6's PRIORITY did not cover), plus the newly
+# registered vocab_bpe_merges as the 50th (a new entry has no history,
+# so it must be proven in its registration round). dedup_semantic
+# (green r6) rotates into round 8 alongside the 48 other r6-green
+# entries — feature_assembly_onepass's retirement keeps that list at
+# 49, preserving the 1-spare-per-cycle slack the 100-entry ceiling
+# otherwise erases. tests/test_registry_rotation.py asserts this list
+# keeps every entry's latest green row at most one round old.
 PRIORITY = [
     # latest green row is r5 — re-prove before the evidence goes stale
     "set_ops_buyers",
@@ -157,8 +168,8 @@ PRIORITY = [
     "eval_ks",
     "multimodal_features",
     "multimodal_frames",
-    # changed in r6 (scale-shape default) — buy a second green row
-    "dedup_semantic",
+    # registered in r7 — first driver row this round
+    "vocab_bpe_merges",
 ]
 
 
@@ -196,12 +207,15 @@ def get_oracles() -> dict[str, str]:
 
 
 def staged_modules() -> tuple:
-    """Operator modules whose QUERIES stay pytest-only PERMANENTLY BY
-    DESIGN: the driver's 50-row budget caps the registry at 100
-    provable-every-other-round entries and it sits at 99. Each module
-    carries a same-named ORACLES entry per query and driver-rigor
-    parity in its own test file (`tests/test_staged_surface.py` holds
-    the contract); the plan-hygiene goldens cover them too
+    """Operator modules whose staged queries stay pytest-only
+    PERMANENTLY BY DESIGN: the driver's 50-row budget caps the registry
+    at 100 provable-every-other-round entries and it sits at 99. A
+    module normally stages its whole ``QUERIES`` dict; a module that is
+    ALSO registered (vocab since r7) splits the staged remainder into
+    ``STAGED_QUERIES``/``STAGED_ORACLES``. Each staged query carries a
+    same-named oracle and driver-rigor parity in its own test file
+    (`tests/test_staged_surface.py` holds the contract); the
+    plan-hygiene goldens cover them too
     (`scripts/gen_plan_goldens.py`)."""
     from ..ml import drift_features, survival
     from ..operators import (
@@ -226,7 +240,8 @@ def get_staged_queries() -> dict[str, QueryFn]:
     out: dict[str, QueryFn] = {}
     registered = get_queries()
     for mod in staged_modules():
-        for name, fn in mod.QUERIES.items():
+        staged = getattr(mod, "STAGED_QUERIES", mod.QUERIES)
+        for name, fn in staged.items():
             if name in out or name in registered:
                 raise ValueError(f"staged name collision: {name!r}")
             out[name] = fn

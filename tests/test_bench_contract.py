@@ -45,6 +45,8 @@ def test_bench_covers_recent_additions():
         "embedding_pq", "ann_pq_adc", "ann_ivf_pq", "ann_ivf_pq_stored",
         "text_dup_spans", "corpus_clean_spans", "corpus_split_leakproof",
         "model_calibration", "feature_iv", "event_sessions",
+        # r7 registration
+        "vocab_bpe_merges",
     }
     assert tracked <= names, sorted(tracked - names)
 

@@ -13,7 +13,6 @@ from customer_churn_prediction_spark.plans import registry
 EXPECTED = {
     # relational / feature surface
     "rfm_groupby", "feature_assembly",
-    "feature_assembly_onepass",
     "label_churn", "label_churned_anti",
     "label_class_balance", "scan_filter_project",
     "having_repurchase", "isin_filter", "na_fill_left_join", "topk_orders",
@@ -40,6 +39,7 @@ EXPECTED = {
     "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_lsh_verified", "dedup_cross_modal",
     "text_dup_spans", "corpus_clean_spans", "corpus_split_leakproof",
+    "vocab_bpe_merges",  # r7: graduated from the staged tier
     "dedup_semantic", "text_repetition", "corpus_mix",
     "contamination_check", "text_logprob", "ann_recall_eval",
     "user_event_sequences", "corpus_keep_decision",
