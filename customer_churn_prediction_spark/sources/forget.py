@@ -99,10 +99,16 @@ def _record_erasure(spark: SparkSession, tag: str, kind: str,
                     ids: list[int]) -> None:
     """Write-ahead ledger append — erasure requests are human-scale
     (thousands), so a single appended file per batch is the right
-    grain. Duplicate rows from replays are deduped at read time."""
+    grain. Duplicate rows from replays are deduped at read time.
+
+    ``repartition(1)``, not ``coalesce(1)``: a local-list DataFrame
+    parallelizes into defaultParallelism Python partitions, and a
+    coalesced single task evaluates them SERIALLY (one Python worker
+    spin-up each — measured ~4.5 s at local[32] for a 16-row batch vs
+    ~0.4 s with the shuffle, which evaluates upstream in parallel)."""
     spark.createDataFrame(
         [(kind, int(i)) for i in ids], _LEDGER_SCHEMA
-    ).coalesce(1).write.mode("append").parquet(_ledger_path(tag))
+    ).repartition(1).write.mode("append").parquet(_ledger_path(tag))
 
 
 def read_erasure_ledger(spark: SparkSession, tag: str) -> DataFrame:

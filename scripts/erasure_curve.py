@@ -57,20 +57,31 @@ DOC_SCALES = [
 ]
 
 
-def _drop(spark, tables: list[str]) -> None:
+def _drop(spark, tables: list[str], tag: str | None = None) -> None:
     for t in tables:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(
             os.path.join(warehouse_store(), t), ignore_errors=True
         )
+    if tag is not None:
+        # The measurement batches land in the persisted erasure ledger;
+        # left behind, the next consumer's managed_ingest rebuild would
+        # re-apply them to the SHARED fixture stores and break oracle
+        # parity (the test_forget restore discipline, ledger included).
+        shutil.rmtree(
+            os.path.join(warehouse_store(), f"erasure_ledger_{tag}"),
+            ignore_errors=True,
+        )
 
 
-def _sample_ids(spark, sf_dir: str, table: str, col: str) -> list[int]:
+def _sample_ids(
+    spark, sf_dir: str, table: str, col: str, n: int = N_IDS
+) -> list[int]:
     # Deterministic mid-table ids: skip the low range some fixed query
     # sets pin (vec_id < 5, the coarse-centroid block at [100, 100+k)).
     df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
     rows = (
-        df.select(col).where(f"{col} >= 400").orderBy(col).limit(N_IDS)
+        df.select(col).where(f"{col} >= 400").orderBy(col).limit(n)
     ).collect()
     return [int(r[0]) for r in rows]
 
@@ -113,7 +124,7 @@ def main() -> None:
         forget.forget_vectors(spark, sf_dir, ids)
         replay = time.monotonic() - t0
         print(f"| {label} | {sizes} | {first:.2f} | {replay:.2f} |")
-        _drop(spark, tables)
+        _drop(spark, tables, tag)
 
     print(f"\n## Erasure curve: forget_documents ({N_IDS}-id batch)\n")
     print("| scale | band rows | first (s) | replay (s) |")
@@ -134,7 +145,42 @@ def main() -> None:
         forget.forget_documents(spark, sf_dir, ids)
         replay = time.monotonic() - t0
         print(f"| {label} | {size} | {first:.2f} | {replay:.2f} |")
-        _drop(spark, [table])
+        _drop(spark, [table], tag)
+
+    # Fractional batches (VERDICT r6 item 4): the bucketed corpus-bands
+    # store is the honest full-rewrite path — its first-application cost
+    # is ~flat in BATCH size (one staged rewrite regardless), so per-id
+    # cost falls linearly with the batch and the break-even vs a
+    # per-request loop is roughly batch_size ≈ 1. These rows bound that
+    # claim with batches sized as a FRACTION of the corpus at each
+    # scale, the shape a real compliance backlog has.
+    print("\n## Fractional-batch erasure: forget_documents\n")
+    print("| scale | docs | batch (frac) | first (s) | per-id (ms) |")
+    print("|---|---|---|---|---|")
+    for label, sf_dir in DOC_SCALES[1:]:  # sf0.1 and x10docs
+        if not os.path.isdir(sf_dir):
+            print(f"| {label} | (fixture absent) | - | - | - |")
+            continue
+        tag = sf_tag(sf_dir)
+        table = f"corpus_bands_{tag}"
+        n_docs = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).count()
+        for frac in (0.001, 0.01):
+            n_batch = max(1, int(n_docs * frac))
+            ids = _sample_ids(
+                spark, sf_dir, "documents", "doc_id", n=n_batch
+            )
+            corpus_bands_ingest(spark, sf_dir)  # fresh store per batch
+            t0 = time.monotonic()
+            forget.forget_documents(spark, sf_dir, ids)
+            first = time.monotonic() - t0
+            per_id_ms = first / len(ids) * 1000
+            print(
+                f"| {label} | {n_docs} | {len(ids)} ({frac:.1%}) "
+                f"| {first:.2f} | {per_id_ms:.1f} |"
+            )
+            _drop(spark, [table], tag)
 
     spark.stop()
 
