@@ -46,10 +46,18 @@ from ..catalog import load_table
 N_MERGES = 6
 EOW = "EOW"  # end-of-word marker symbol (standard BPE </w>)
 
+# Guarded for fully-merged words: sequence(1, size-1) DESCENDS when
+# size < 2 (Spark yields [1, 0] and element_at(syms, 2) throws on a
+# 1-element array) — a word whose whole symbol string became one
+# merge token contributes no pairs, exactly like the oracle's
+# generate_series(1, 0), which is empty. Not reachable in 6 rounds at
+# the driver SFs, but the x10 corpus merges a 1-char word + EOW.
 _PAIRS_EXPR = (
+    "if(size(syms) >= 2, "
     "transform(sequence(1, size(syms) - 1), "
     "i -> named_struct('l', element_at(syms, i), "
-    "'r', element_at(syms, i + 1)))"
+    "'r', element_at(syms, i + 1))), "
+    "cast(array() as array<struct<l:string,r:string>>))"
 )
 
 

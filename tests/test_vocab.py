@@ -65,6 +65,22 @@ def test_greedy_left_merge_on_runs(spark, sf_dir, tmp_path):
     )
 
 
+def test_fully_merged_word_stops_contributing_pairs(spark, sf_dir,
+                                                    tmp_path):
+    """A word whose whole symbol string collapses into ONE merge token
+    must simply stop contributing pairs (like the oracle's empty
+    generate_series), not crash: unguarded, sequence(1, size-1)
+    DESCENDS at size 1 and element_at(syms, 2) throws
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT. 'a a a ...' merges (a, EOW)
+    in round 1, making every 'a' word the single symbol 'aEOW'."""
+    src = _corpus(spark, sf_dir, tmp_path, ["a a a a a"] * 3)
+    rows = vocab.bpe_merges(spark, src, 4).collect()
+    assert (rows[0].left, rows[0].right) == ("a", "EOW")
+    # Round 2 finds no remaining adjacent pair anywhere -> fit stops
+    # early with just the one merge instead of raising.
+    assert len(rows) == 1
+
+
 def test_merges_weighted_by_word_frequency(spark, sf_dir, tmp_path):
     """BPE trains on the word-frequency table: a rare long word must
     lose to a frequent short one."""
