@@ -178,10 +178,19 @@ def main() -> None:
     # run jitter reads as ±60% "regressions"). Interleaving the passes
     # — all queries in pass 1, then pass 2, ... — decorrelates slow
     # drift (GC, JIT recompiles) from any single query's samples.
+    # Fit-memo queries whose WHOLE output is the cached model artifact
+    # (not just a cached codebook feeding per-call work, like
+    # embedding_pq): drop the memo before each timed pass so the bench
+    # measures the fit, not a LocalRelation replay of it.
+    from customer_churn_prediction_spark.text import vocab as _vocab
+
+    _FIT_MEMOS = {"vocab_bpe_merges": _vocab._MERGE_CACHE}
+
     samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
     for _ in range(N_ITERS):
         for name in BENCH_QUERIES:
             fn = queries[name]
+            _FIT_MEMOS.get(name, {}).clear()
             t0 = time.perf_counter()
             force(fn(spark, SF_DIR))
             samples[name].append(time.perf_counter() - t0)
