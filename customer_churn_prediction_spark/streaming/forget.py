@@ -43,21 +43,30 @@ def apply_erasure_batch(
     audit report (may be empty if the batch held no valid requests).
 
     Requests whose ``kind`` is not in the known set (a typo'd
-    'documents', a NULL) are NEVER silently discarded: each bad kind
-    gets a ``layout='rejected'`` report row counting its requests, so
-    the epoch's audit record shows a malformed compliance request was
-    received and NOT applied — the sender retries with a valid kind
+    'documents', a NULL) — or whose ``id`` is NULL — are NEVER
+    silently discarded: each malformed shape gets a
+    ``layout='rejected'`` report row counting its requests, so the
+    epoch's audit record shows a malformed compliance request was
+    received and NOT applied — the sender retries with a valid request
     instead of assuming erasure happened. A raise here would wedge the
     maintenance stream on a poison record; a rejected AUDIT row keeps
     the trail append-only and the stream alive."""
     reqs = batch_df.select("kind", "id").collect()
-    vec_ids = sorted({int(r.id) for r in reqs if r.kind == "vector"})
-    doc_ids = sorted({int(r.id) for r in reqs if r.kind == "document"})
+    vec_ids = sorted(
+        {int(r.id) for r in reqs if r.kind == "vector" and r.id is not None}
+    )
+    doc_ids = sorted(
+        {int(r.id) for r in reqs if r.kind == "document" and r.id is not None}
+    )
     bad: dict[str, int] = {}
     for r in reqs:
         if r.kind not in ("vector", "document"):
-            key = "NULL" if r.kind is None else str(r.kind)
-            bad[key] = bad.get(key, 0) + 1
+            key = "kind=" + ("NULL" if r.kind is None else str(r.kind))
+        elif r.id is None:
+            key = f"id=NULL:kind={r.kind}"
+        else:
+            continue
+        bad[key] = bad.get(key, 0) + 1
     reports = []
     if vec_ids:
         reports.append(forget_vectors(spark, sf_dir, vec_ids))
@@ -67,8 +76,8 @@ def apply_erasure_batch(
         reports.append(
             spark.createDataFrame(
                 [
-                    (f"request:kind={kind}", "rejected", n, 0, 0)
-                    for kind, n in sorted(bad.items())
+                    (f"request:{key}", "rejected", n, 0, 0)
+                    for key, n in sorted(bad.items())
                 ],
                 _REPORT_SCHEMA,
             )

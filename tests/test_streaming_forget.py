@@ -123,16 +123,22 @@ def test_malformed_request_kinds_leave_rejected_audit_rows(spark, sf_dir):
     report carries one layout='rejected' row per bad kind with the
     request count, and the bad rows trigger no store erasure."""
     batch = spark.createDataFrame(
-        [("documents", 7), ("documents", 8), (None, 9)],
+        [("documents", 7), ("documents", 8), (None, 9),
+         # valid kind, NULL id: the other poison shape — unguarded,
+         # int(None) raises in the epoch fn and wedges the stream
+         ("document", None)],
         sforget.REQUEST_SCHEMA,
     )
     report = sforget.apply_erasure_batch(spark, sf_dir, batch)
     rows = {r.store: r for r in report.collect()}
     # no valid requests -> no store rows, only the rejections
-    assert set(rows) == {"request:kind=documents", "request:kind=NULL"}
+    assert set(rows) == {"request:kind=documents", "request:kind=NULL",
+                         "request:id=NULL:kind=document"}
     assert rows["request:kind=documents"].layout == "rejected"
     assert rows["request:kind=documents"].partitions_touched == 2
     assert rows["request:kind=NULL"].partitions_touched == 1
+    assert rows["request:id=NULL:kind=document"].layout == "rejected"
+    assert rows["request:id=NULL:kind=document"].partitions_touched == 1
     # mixed batch: valid kinds still apply, rejections still reported
     tag = sf_tag(sf_dir)
     mixed = spark.createDataFrame(
