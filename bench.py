@@ -132,7 +132,9 @@ def _load_prev_medians(out_path: str, sf: float) -> dict[str, float]:
         if float(prev.get("sf", -1)) != sf:
             return {}
         return {k: float(v) for k, v in prev.get("queries", {}).items()}
-    except (OSError, ValueError, KeyError):
+    except (OSError, ValueError, KeyError, TypeError, AttributeError):
+        # a structurally-unexpected file (array top-level, null medians)
+        # must degrade to "no previous run", not crash a finished bench
         return {}
 
 
@@ -226,6 +228,7 @@ def main() -> None:
         for name in moved:
             re_samples = []
             for _ in range(N_ITERS):
+                _FIT_MEMOS.get(name, {}).clear()  # same rule as main loop
                 t0 = time.perf_counter()
                 force(queries[name](spark, SF_DIR))
                 re_samples.append(time.perf_counter() - t0)

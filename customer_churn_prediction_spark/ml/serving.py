@@ -215,15 +215,24 @@ def score_batch(scored_input: DataFrame, model: PipelineModel) -> DataFrame:
 
 
 def score_records(
-    spark: SparkSession, bundle_path: str, records: list[dict]
+    spark: SparkSession, bundle_path: str, records: list[dict],
+    bundle: tuple[PipelineModel, dict] | None = None,
 ) -> list[dict]:
     """Single/micro-record synchronous scoring — the engine's
     ``churn_xgb_server.py`` request path. Returns one dict per input
     record (input order preserved) with ``p_churn`` and
-    ``prediction`` appended."""
+    ``prediction`` appended.
+
+    ``bundle``: a (model, manifest) pair already obtained from
+    :func:`load_serving_bundle`. Pass it when the caller also reports
+    WHICH model answered (the HTTP shim's ``export_id``): loading here
+    again could race a concurrent re-export and pair one bundle's
+    scores with another's provenance."""
     if not records:
         return []
-    model, manifest = load_serving_bundle(bundle_path)
+    model, manifest = (
+        bundle if bundle is not None else load_serving_bundle(bundle_path)
+    )
     req = _request_frame(spark, manifest, records).withColumn(
         "_req_idx", F.monotonically_increasing_id()
     )

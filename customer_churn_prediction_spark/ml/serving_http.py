@@ -51,8 +51,10 @@ def create_app(spark: SparkSession, bundle_path: str):
     ``POST /predict``: JSON list of records. Each record may carry an
     ``"id"`` key (the reference's USR_NUM_ID role — echoed as the
     response key, never fed to the model); records without one key by
-    list position. Unknown feature keys are a 400 naming them; an
-    empty or non-list payload is a 400 (reference's ``bad_request``).
+    list position. Unknown feature keys, non-scalar feature values,
+    duplicate ids (after string coercion — the response is keyed by
+    id), and an empty or non-list payload are each a 400 naming the
+    problem (reference's ``bad_request``).
     Response: ``{"predictions": {id: p_churn}, "export_id": ...}`` —
     the export id tells the caller exactly which model answered.
 
@@ -90,19 +92,31 @@ def create_app(spark: SparkSession, bundle_path: str):
             if not isinstance(rec, dict):
                 return _bad_request(f"record {i} is not an object")
             rec = dict(rec)
-            ids.append(rec.pop("id", i))
+            ids.append(str(rec.pop("id", i)))
             feats.append(rec)
+        # The response keys a dict by id: colliding ids (two records
+        # claiming the same explicit id, or an explicit id equal to
+        # another record's positional index) would silently drop a
+        # prediction — reject instead of misattributing a score.
+        if len(set(ids)) != len(ids):
+            dupes = sorted({k for k in ids if ids.count(k) > 1})
+            return _bad_request(f"duplicate record ids: {dupes}")
+        # ONE bundle load serves both the scores and the provenance:
+        # loading again after scoring could race a concurrent re-export
+        # and stamp one model's predictions with another's export_id.
+        bundle = load_serving_bundle(bundle_path)
         try:
-            scored = score_records(spark, bundle_path, feats)
-        except ValueError as e:
+            scored = score_records(spark, bundle_path, feats, bundle=bundle)
+        except (ValueError, TypeError) as e:
+            # TypeError covers non-scalar feature values (nested
+            # objects/lists) — a client error, not a server fault.
             return _bad_request(str(e))
-        _, manifest = load_serving_bundle(bundle_path)
         return flask.jsonify(
             {
                 "predictions": {
-                    str(k): s["p_churn"] for k, s in zip(ids, scored)
+                    k: s["p_churn"] for k, s in zip(ids, scored)
                 },
-                "export_id": manifest.get("export_id"),
+                "export_id": bundle[1].get("export_id"),
             }
         )
 

@@ -23,17 +23,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..sources.forget import forget_documents, forget_vectors
+from ..sources.forget import _REPORT_SCHEMA, forget_documents, forget_vectors
 from .drift import publish_epoch_report
 from .windows import stream_to_batch_sink
 
 # Request schema: kind in ('vector', 'document'), id = vec_id/doc_id.
 REQUEST_SCHEMA = "kind string, id long"
-
-_REPORT_SCHEMA = (
-    "store string, layout string, partitions_touched int, "
-    "rows_before long, rows_after long"
-)
 
 
 def apply_erasure_batch(

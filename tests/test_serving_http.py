@@ -85,6 +85,29 @@ def test_predict_rejects_malformed_payloads(served):
     assert "unknown feature keys" in resp.get_json()["message"]
 
 
+def test_predict_rejects_colliding_and_nonscalar(served):
+    client, _, manifest, data, _ = served
+    rec = _feature_dict(data.limit(1).collect()[0], manifest)
+    num_col = manifest["continuous"][0]
+    # explicit id shadowing another record's positional id would drop
+    # a prediction from the id-keyed response dict -> 400, not silent
+    resp = client.post("/predict", json=[dict(rec), {"id": 0, **rec}])
+    assert resp.status_code == 400
+    assert "duplicate record ids" in resp.get_json()["message"]
+    # same explicit id twice; int/str collide after str() coercion too
+    resp = client.post(
+        "/predict", json=[{"id": 7, **rec}, {"id": "7", **rec}]
+    )
+    assert resp.status_code == 400
+    # a non-scalar feature value raises TypeError in the request-frame
+    # build — a client error, so 400, not a 500
+    resp = client.post(
+        "/predict", json=[{"id": 1, **rec, num_col: {"nested": 1}}]
+    )
+    assert resp.status_code == 400
+    assert "message" in resp.get_json()
+
+
 def test_healthz_reports_manifest(served):
     client, _, manifest, _, _ = served
     resp = client.get("/healthz")
