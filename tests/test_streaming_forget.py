@@ -86,6 +86,35 @@ def test_erasure_stream_drains_requests_and_replays_as_noop(
         assert r.rows_before == r.rows_after, r
 
 
+def test_poison_requests_do_not_wedge_the_stream(spark, sf_dir, tmp_path):
+    """The design claim behind the rejected-row path: a malformed
+    request (bad kind, NULL id) arriving THROUGH the stream must leave
+    the query alive and terminating cleanly, with the rejections in
+    the published epoch report and the valid request still applied."""
+    tag = sf_tag(sf_dir)
+    src = str(tmp_path / "requests")
+    spark.createDataFrame(
+        [("document", 7), ("documents", 8), ("vector", None)],
+        sforget.REQUEST_SCHEMA,
+    ).repartition(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(sforget.REQUEST_SCHEMA).parquet(src)
+    report_path = str(tmp_path / "poison_report")
+    q = sforget.start_erasure_available_now(
+        spark, sf_dir, stream, report_path,
+        checkpoint=str(tmp_path / "ckpt_poison"),
+    )
+    assert q.awaitTermination(180), "drain timed out"
+    assert q.exception() is None
+    report = {r.store: r for r in read_report(spark, report_path).collect()}
+    assert report["request:kind=documents"].layout == "rejected"
+    assert report["request:id=NULL:kind=vector"].layout == "rejected"
+    assert f"corpus_bands_{tag}" in report  # the valid request applied
+    assert (
+        spark.table(f"corpus_bands_{tag}")
+        .where(F.col("doc_id") == 7).count() == 0
+    )
+
+
 def test_erasure_audit_trail_is_append_only(spark, sf_dir, tmp_path):
     """Erasure reports are compliance RECORDS: a later epoch's publish
     must never GC an earlier epoch's audit record (the running-
