@@ -163,12 +163,18 @@ def eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(((F.col("pred") == 0) & (F.col("label") == 0)).cast("long")).alias("tn"),
         F.sum(((F.col("pred") == 0) & (F.col("label") == 1)).cast("long")).alias("fn"),
     )
+    # try_divide, not '/': a scoring window with zero predicted (or
+    # zero actual) positives has tp+fp = 0 (tp+fn = 0) — under ANSI a
+    # plain divide RAISES there, while the DuckDB oracle's division
+    # yields NULL. Undefined ratio -> NULL is the metric's contract
+    # (scikit-learn's zero_division warning case); values are
+    # bit-identical wherever the denominator is nonzero.
     return cm.select(
         "tp", "fp", "tn", "fn",
         ((F.col("tp") + F.col("tn")) / (F.col("tp") + F.col("fp") + F.col("tn") + F.col("fn"))).alias("accuracy"),
-        (F.col("tp") / (F.col("tp") + F.col("fp"))).alias("precision"),
-        (F.col("tp") / (F.col("tp") + F.col("fn"))).alias("recall"),
-        (2 * F.col("tp") / (2 * F.col("tp") + F.col("fp") + F.col("fn"))).alias("f1"),
+        F.try_divide(F.col("tp"), F.col("tp") + F.col("fp")).alias("precision"),
+        F.try_divide(F.col("tp"), F.col("tp") + F.col("fn")).alias("recall"),
+        F.try_divide(2 * F.col("tp"), 2 * F.col("tp") + F.col("fp") + F.col("fn")).alias("f1"),
     )
 
 

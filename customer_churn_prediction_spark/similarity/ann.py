@@ -50,8 +50,14 @@ def _with_norm(df: DataFrame, vcol: str = "v") -> DataFrame:
 
 
 def _cosine(a: str, b: str, na: str, nb: str):
+    # try_divide, not '/': a zero-norm vector (an all-zeros embedding —
+    # a padding row or a failed encoder upstream) makes the denominator
+    # 0, which RAISES under ANSI while every DuckDB oracle's division
+    # yields NULL. NULL cosine then falls out of >=threshold filters
+    # and ranks last, exactly like the oracle; values are bit-identical
+    # wherever the norms are nonzero (the fixtures' always are).
     dot = F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (a, x) -> a + x)")
-    return F.round(dot / (F.col(na) * F.col(nb)), 6)
+    return F.round(F.try_divide(dot, F.col(na) * F.col(nb)), 6)
 
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
