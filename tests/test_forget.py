@@ -284,3 +284,42 @@ def test_rebuild_does_not_resurrect_forgotten_rows(spark, sf_dir):
     replay = forget.reapply_erasure_ledger(spark, sf_dir)
     for r in replay.collect():
         assert r.rows_before == r.rows_after, r
+
+
+def test_ledger_compaction_preserves_the_set(spark, sf_dir):
+    """compact_erasure_ledger folds the one-file-per-batch appends into
+    a single file WITHOUT a missing-rows window: the compacted file is
+    appended before the superseded files are deleted, so an
+    interruption anywhere only duplicates rows (deduped at read)."""
+    tag = sf_tag(sf_dir)
+    forget._record_erasure(spark, tag, "document", [401, 402])
+    forget._record_erasure(spark, tag, "document", [402, 403])
+    forget._record_erasure(spark, tag, "vector", [401])
+    want = {
+        (r.kind, r.id)
+        for r in forget.read_erasure_ledger(spark, tag).collect()
+    }
+    assert len(want) == 4  # the cross-batch duplicate already deduped
+
+    before, after = forget.compact_erasure_ledger(spark, tag)
+    assert before >= 3 and after == 1, (before, after)
+    got = {
+        (r.kind, r.id)
+        for r in forget.read_erasure_ledger(spark, tag).collect()
+    }
+    assert got == want
+    # idempotent: a single-file ledger is a reported no-op
+    assert forget.compact_erasure_ledger(spark, tag) == (1, 1)
+
+    # crash half-window: the compacted appendix exists but the old
+    # files were never deleted -> only duplicates, set unchanged
+    forget._record_erasure(spark, tag, "vector", [402])
+    rows = forget.read_erasure_ledger(spark, tag).collect()
+    forget._record_erasure(
+        spark, tag, "vector",
+        [r.id for r in rows if r.kind == "vector"],
+    )  # simulate the append step having landed twice
+    assert {
+        (r.kind, r.id)
+        for r in forget.read_erasure_ledger(spark, tag).collect()
+    } == want | {("vector", 402)}
