@@ -142,6 +142,14 @@ def main() -> None:
     from customer_churn_prediction_spark.plans import get_queries
     from customer_churn_prediction_spark.session import get_spark
 
+    # Contention context (the recurring false-regression source: bench
+    # totals inflate ~15% when anything else runs — twice investigated
+    # as a regression before being traced to session noise). A 1-min
+    # loadavg already near the core count BEFORE Spark starts means
+    # this run's numbers carry that caveat; it is recorded in the
+    # output so a reader triaging a delta sees it without forensics.
+    load_at_start = round(os.getloadavg()[0], 1)
+
     spark = get_spark(
         app_name="ccp-spark-bench",
         master=f"local[{CPUS}]",
@@ -256,6 +264,10 @@ def main() -> None:
         "queries": timings,
         "iters": N_ITERS,
         "sf": float(sf),
+        "load_at_start": load_at_start,
+        # contended runs read high: compare against prev_delta before
+        # believing a regression (see bench --check)
+        "contended": load_at_start >= int(CPUS) / 4,
     }
     with open(out_path, "w") as fh:
         json.dump(
