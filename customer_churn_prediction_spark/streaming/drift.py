@@ -145,7 +145,14 @@ def publish_epoch_report(
     against a frontier), never an implicit side effect."""
     os.makedirs(report_path, exist_ok=True)
     epoch_dir = f"epoch={epoch_id}"
-    report_df.coalesce(1).write.mode("overwrite").parquet(
+    # repartition(1), not coalesce(1): the erasure sink's report frames
+    # are unions of createDataFrame(local-list) parts, and coalescing a
+    # parallelized local collection evaluates all its Python partitions
+    # SERIALLY inside the one task (~100 ms of worker spin-up each at
+    # local[32] — the _record_erasure trap, sources/forget.py). The
+    # shuffle is ~10 report rows; for JVM-computed reports (drift/DQ)
+    # the cost difference is noise in either direction.
+    report_df.repartition(1).write.mode("overwrite").parquet(
         os.path.join(report_path, epoch_dir)
     )
     tmp = os.path.join(report_path, f".{_LATEST}.tmp")
