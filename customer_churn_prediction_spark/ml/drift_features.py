@@ -174,9 +174,128 @@ FROM frac
 ORDER BY feature, bucket
 """
 
+def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift: cell-occupancy PSI of the vector
+    population against the frozen coarse-centroid model — the
+    monitoring tier's missing modality (scalar features are covered by
+    ``drift_psi`` / ``drift_psi_features``; a vector store drifts when
+    its EMBEDDINGS move, e.g. after an encoder re-train or a content
+    shift, and the scalar reports cannot see it).
+
+    Shape: the centroid model is the SAME frozen fit every ANN tier
+    serves from (``ann._centroids``, collected once and re-emitted as
+    expression literals), so assignment is a pure map — one scan of
+    the embeddings table, one tiny hash aggregate over (cell, side),
+    then the ONE shared PSI formula (``monitoring.psi_from_counts``)
+    over the 8-cell histogram pair. At 100 TB: O(scan) + an 8-row
+    report, no shuffle wider than the aggregate.
+
+    Snapshots (fixture convention): baseline = even ``vec_id``;
+    current = odd ``vec_id`` with the upper half of each vector's
+    dimensions scaled 1.5× — a deterministic drift injection standing
+    in for a re-embedded scoring corpus, mirrored exactly by the
+    oracle so the PSI is hash-gated, not just smoke-tested."""
+    from ..similarity.ann import (
+        DIM, N_CENTROIDS, _cells_expr, _centroids, _with_norm,
+    )
+
+    raw = load_table(spark, sf_dir, "embeddings", spread=True)
+    sided = raw.select(
+        "vec_id",
+        (F.col("vec_id") % 2 == 0).cast("int").alias("is_base"),
+        # 0-based lambda index: dims DIM/2..DIM-1 are the shifted half
+        F.expr(
+            f"transform(embedding, (x, i) -> cast(x as double) * "
+            f"if(vec_id % 2 = 1 and i >= {DIM // 2}, 1.5D, 1.0D))"
+        ).alias("v"),
+    )
+    cells = _cells_expr(_centroids(spark, sf_dir))
+    assigned = _with_norm(sided).select(
+        "is_base", (-F.element_at(cells, 1)["nid"]).alias("bucket")
+    )
+    per_bucket = assigned.groupBy("bucket").agg(
+        F.sum("is_base").cast("long").alias("base_n"),
+        F.sum(1 - F.col("is_base")).cast("long").alias("curr_n"),
+    )
+    return psi_from_counts(per_bucket, nbins=N_CENTROIDS, eps=_PSI_EPS)
+
+
+def _embedding_drift_oracle() -> str:
+    from ..similarity.ann import DIM, N_CENTROIDS
+
+    # DuckDB range(1, n+1) is 1-based: i > DIM/2 == Spark's 0-based
+    # i >= DIM/2. Cosines rounded to 6dp before the rank on BOTH sides
+    # (the ann tier's bit-stability convention); sums of the int side
+    # flags cast from HUGEINT to BIGINT (the house gotcha).
+    smooth = _PSI_EPS * N_CENTROIDS
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS centroid_id, v AS cv,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS cn
+  FROM e WHERE vec_id >= 100 AND vec_id < {100 + N_CENTROIDS}
+),
+sided AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END AS is_base,
+         list_transform(range(1, len(v) + 1),
+           i -> v[i::INT] * (CASE WHEN vec_id % 2 = 1 AND i > {DIM // 2}
+                             THEN 1.5 ELSE 1.0 END)) AS sv
+  FROM e
+),
+sn AS (
+  SELECT vec_id, is_base, sv,
+         sqrt(list_sum(list_transform(sv, x -> x * x))) AS snrm
+  FROM sided
+),
+asg AS (
+  SELECT vec_id, is_base, centroid_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY c_sim DESC, centroid_id) AS c_rank
+  FROM (
+    SELECT s.vec_id, s.is_base, c.centroid_id,
+           round(list_sum(list_transform(range(1, len(s.sv) + 1),
+                          i -> s.sv[i::INT] * c.cv[i::INT]))
+                 / (s.snrm * c.cn), 6) AS c_sim
+    FROM sn s CROSS JOIN cents c)
+),
+per_bucket AS (
+  SELECT centroid_id AS bucket,
+         CAST(sum(is_base) AS BIGINT) AS base_n,
+         CAST(sum(1 - is_base) AS BIGINT) AS curr_n
+  FROM asg WHERE c_rank = 1
+  GROUP BY 1
+),
+frac AS (
+  SELECT *,
+    (base_n + {_PSI_EPS}) / (sum(base_n) OVER () + {smooth}) AS p_base,
+    (curr_n + {_PSI_EPS}) / (sum(curr_n) OVER () + {smooth}) AS p_curr
+  FROM per_bucket
+)
+SELECT bucket, base_n, curr_n,
+  round(p_base, 6) AS base_frac,
+  round(p_curr, 6) AS curr_frac,
+  round((p_base - p_curr) * ln(p_base / p_curr), 6) AS psi_term,
+  round(sum((p_base - p_curr) * ln(p_base / p_curr)) OVER (), 6)
+    AS psi_total
+FROM frac
+ORDER BY bucket
+"""
+
+
 # Staged permanently by design: the 100-entry registry ceiling
 # (50-row driver budget x 2-round proof cycle) binds, and these lost
 # the priority call (ROADMAP round-6 state); tests/test_drift_features.py holds
-# them to driver rigor regardless.
-QUERIES = {"drift_psi_features": drift_psi_features}
-ORACLES = {"drift_psi_features": DRIFT_FEATURES_ORACLE}
+# them to driver rigor regardless. embedding_drift (r7) extends the
+# tier to the vector modality.
+QUERIES = {
+    "drift_psi_features": drift_psi_features,
+    "embedding_drift": embedding_drift,
+}
+ORACLES = {
+    "drift_psi_features": DRIFT_FEATURES_ORACLE,
+    "embedding_drift": _embedding_drift_oracle(),
+}

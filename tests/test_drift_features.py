@@ -80,3 +80,28 @@ def test_shared_psi_core_is_the_same_function(spark):
     got = {r.psi_total for r in out}
     assert len(got) == 1
     assert abs(got.pop() - round(want, 6)) < 1e-9
+
+
+def test_embedding_drift_oracle_parity_sf001(spark, sf_dir):
+    assert_matches_oracle(
+        drift_features.embedding_drift(spark, sf_dir),
+        drift_features.ORACLES["embedding_drift"],
+        sf_dir,
+    )
+
+
+def test_embedding_drift_detects_the_injected_shift(spark, sf_dir):
+    """The current snapshot's scaled upper-half dims must move vectors
+    across coarse cells — psi_total has to clear the classic 0.1
+    'investigate' band by construction of the injection; and the
+    report must cover every populated cell exactly once with the full
+    population split across the two sides."""
+    rep = drift_features.embedding_drift(spark, sf_dir).collect()
+    assert len(rep) >= 2  # drift means >1 occupied cell
+    total = rep[0].psi_total
+    assert all(r.psi_total == total for r in rep)  # replicated total
+    assert total > 0.1  # 'investigate' band (measured ~0.17 at any SF)
+    import math
+    n_vec = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert sum(r.base_n + r.curr_n for r in rep) == n_vec
+    assert sum(r.base_n for r in rep) == math.ceil(n_vec / 2)
