@@ -190,25 +190,38 @@ def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the 8-cell histogram pair. At 100 TB: O(scan) + an 8-row
     report, no shuffle wider than the aggregate.
 
-    Snapshots (fixture convention): baseline = even ``vec_id``;
-    current = odd ``vec_id`` with the upper half of each vector's
-    dimensions scaled 1.5× — a deterministic drift injection standing
-    in for a re-embedded scoring corpus, mirrored exactly by the
-    oracle so the PSI is hash-gated, not just smoke-tested."""
+    Snapshots (fixture convention): baseline = the stored corpus;
+    current = a deterministic RE-EMBEDDING of the same corpus
+    (element-wise ``abs`` — the encoder-swap stand-in: same documents,
+    a representation space the index was never built for), mirrored
+    exactly by the oracle so the PSI is hash-gated, not just
+    smoke-tested. Comparing the same population under two encoders
+    makes the null floor exactly zero — an even/odd row split at
+    fixture sizes carries a sampling-noise PSI of ~0.1 by itself,
+    which would swamp the signal the report exists to flag."""
     from ..similarity.ann import (
-        DIM, N_CENTROIDS, _cells_expr, _centroids, _with_norm,
+        N_CENTROIDS, _cells_expr, _centroids, _with_norm,
     )
 
     raw = load_table(spark, sf_dir, "embeddings", spread=True)
     sided = raw.select(
-        "vec_id",
-        (F.col("vec_id") % 2 == 0).cast("int").alias("is_base"),
-        # 0-based lambda index: dims DIM/2..DIM-1 are the shifted half
-        F.expr(
-            f"transform(embedding, (x, i) -> cast(x as double) * "
-            f"if(vec_id % 2 = 1 and i >= {DIM // 2}, 1.5D, 1.0D))"
-        ).alias("v"),
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("is_base"),
+                    F.expr(
+                        "transform(embedding, x -> cast(x as double))"
+                    ).alias("v"),
+                ),
+                F.struct(
+                    F.lit(0).alias("is_base"),
+                    F.expr(
+                        "transform(embedding, x -> abs(cast(x as double)))"
+                    ).alias("v"),
+                ),
+            )
+        ).alias("s")
+    ).select(F.col("s.is_base").alias("is_base"), F.col("s.v").alias("v"))
     cells = _cells_expr(_centroids(spark, sf_dir))
     assigned = _with_norm(sided).select(
         "is_base", (-F.element_at(cells, 1)["nid"]).alias("bucket")
@@ -221,12 +234,11 @@ def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _embedding_drift_oracle() -> str:
-    from ..similarity.ann import DIM, N_CENTROIDS
+    from ..similarity.ann import N_CENTROIDS
 
-    # DuckDB range(1, n+1) is 1-based: i > DIM/2 == Spark's 0-based
-    # i >= DIM/2. Cosines rounded to 6dp before the rank on BOTH sides
-    # (the ann tier's bit-stability convention); sums of the int side
-    # flags cast from HUGEINT to BIGINT (the house gotcha).
+    # Cosines rounded to 6dp before the rank on BOTH sides (the ann
+    # tier's bit-stability convention); sums of the int side flags
+    # cast from HUGEINT to BIGINT (the house gotcha).
     smooth = _PSI_EPS * N_CENTROIDS
     return f"""
 WITH e AS (
@@ -239,11 +251,10 @@ cents AS (
   FROM e WHERE vec_id >= 100 AND vec_id < {100 + N_CENTROIDS}
 ),
 sided AS (
-  SELECT vec_id,
-         CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END AS is_base,
-         list_transform(range(1, len(v) + 1),
-           i -> v[i::INT] * (CASE WHEN vec_id % 2 = 1 AND i > {DIM // 2}
-                             THEN 1.5 ELSE 1.0 END)) AS sv
+  SELECT vec_id, 1 AS is_base, v AS sv FROM e
+  UNION ALL
+  SELECT vec_id, 0 AS is_base,
+         list_transform(v, x -> abs(x)) AS sv
   FROM e
 ),
 sn AS (
@@ -253,7 +264,7 @@ sn AS (
 ),
 asg AS (
   SELECT vec_id, is_base, centroid_id,
-         row_number() OVER (PARTITION BY vec_id
+         row_number() OVER (PARTITION BY vec_id, is_base
                             ORDER BY c_sim DESC, centroid_id) AS c_rank
   FROM (
     SELECT s.vec_id, s.is_base, c.centroid_id,

@@ -90,18 +90,17 @@ def test_embedding_drift_oracle_parity_sf001(spark, sf_dir):
     )
 
 
-def test_embedding_drift_detects_the_injected_shift(spark, sf_dir):
-    """The current snapshot's scaled upper-half dims must move vectors
-    across coarse cells — psi_total has to clear the classic 0.1
-    'investigate' band by construction of the injection; and the
-    report must cover every populated cell exactly once with the full
-    population split across the two sides."""
+def test_embedding_drift_detects_the_injected_reembedding(spark, sf_dir):
+    """The abs() re-embedding must move cell occupancy decisively —
+    psi_total far above the classic 0.25 'action' band (measured 1.4
+    at sf0.001, 4.4 at sf0.01; it GROWS with n because the shift is
+    systematic, unlike split noise). Both sides carry the full corpus
+    and every report row replicates the same total."""
     rep = drift_features.embedding_drift(spark, sf_dir).collect()
-    assert len(rep) >= 2  # drift means >1 occupied cell
+    assert len(rep) >= 2  # baseline occupies >1 cell
     total = rep[0].psi_total
     assert all(r.psi_total == total for r in rep)  # replicated total
-    assert total > 0.1  # 'investigate' band (measured ~0.17 at any SF)
-    import math
+    assert total > 0.5
     n_vec = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
-    assert sum(r.base_n + r.curr_n for r in rep) == n_vec
-    assert sum(r.base_n for r in rep) == math.ceil(n_vec / 2)
+    assert sum(r.base_n for r in rep) == n_vec
+    assert sum(r.curr_n for r in rep) == n_vec
