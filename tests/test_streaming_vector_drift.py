@@ -75,3 +75,45 @@ def test_identity_stream_scores_near_zero(spark, sf_smoke, tmp_path):
     # full population accounted on both sides
     n = sum(r.curr_n for r in rep)
     assert n == sum(r.base_n for r in rep) and n > 0
+
+
+def test_restart_converges_on_same_checkpoint(spark, sf_smoke, tmp_path):
+    """Mid-run stop/restart on the same checkpoint: the complete-mode
+    cell state restores and the final report equals the batch answer
+    (the sibling drift sink's restart contract, on the vector twin)."""
+    src = str(tmp_path / "stream_restart")
+    _write_stream_dir(spark, sf_smoke, src, shift=True)
+    report_path = str(tmp_path / "report_restart")
+    ckpt = str(tmp_path / "ckpt_restart")
+
+    def start():
+        stream = (
+            spark.readStream.schema(EMB_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return vd.maintain_embedding_drift(
+            spark, sf_smoke, stream, report_path, checkpoint=ckpt
+        )
+
+    q = start()
+    try:
+        while len(q.recentProgress) < 1:
+            q.awaitTermination(1)
+    finally:
+        q.stop()
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    rep = read_report(spark, report_path).orderBy("bucket").collect()
+    baseline = vd.baseline_cell_histogram(spark, sf_smoke)
+    cur = vd.streaming_cell_histogram(
+        spark, sf_smoke, spark.read.parquet(src)
+    )
+    want = vd.cell_psi_report(spark, baseline, cur).orderBy(
+        "bucket"
+    ).collect()
+    assert [tuple(r) for r in rep] == [tuple(r) for r in want]
