@@ -1,0 +1,177 @@
+"""TFRecord as a REGISTERED Spark data source (Python Data Source API).
+
+``sources/tfrecord.py`` gives the reference-parity codec and the
+mapInPandas read/write helpers (S6/S8); this module exposes the same
+dependency-free codec through Spark 4's Python Data Source V2 API, so
+the format composes with the ordinary reader/writer surface a Spark
+user expects::
+
+    from customer_churn_prediction_spark.sources.tfrecord_datasource \
+        import register_tfrecord_format
+    register_tfrecord_format(spark)
+    df = spark.read.format("tfrecord").load(path)      # S6
+    df.write.format("tfrecord").mode(...).save(path)   # S8
+
+Semantics mirror the helpers exactly (same Example layout as the
+reference, ``LR/TFRecord_process.py:30-33``): rows are
+``(features array<float>, label float)``.
+
+Scale shape: read parallelism is one input partition per ``.tfrecord``
+file (the natural grain — records are length-framed, not splittable
+without an index); the write lands one file per task into a temp name
+and the COMMIT renames all of them (the V2 contract: executors return
+commit messages, the driver publishes — a failed job leaves only
+``.inprogress`` temps, never a half-visible file set). Filters/column
+pruning are left to Spark above the source — a record format with no
+column statistics has nothing to push into.
+
+Path discipline: plain ``os``/``glob`` like the sibling helpers — the
+driver's commit renames files the tasks wrote, which requires a
+filesystem shared between them (local mode, NFS, FUSE-mounted object
+store). A multi-node deployment on raw object storage would swap the
+file ops for the Hadoop-FS API, as ``sources/layout.py`` does for the
+maintenance tier; the record codec and the commit protocol carry over
+unchanged.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import uuid
+from collections.abc import Iterator, Sequence
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+from .tfrecord import (
+    decode_example,
+    encode_example,
+    frame_record,
+    unframe_records,
+)
+
+_SCHEMA = "features array<float>, label float"
+
+
+class TFRecordDataSource(DataSource):
+    """``format("tfrecord")`` — reference-layout Example records."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "tfrecord"
+
+    def schema(self) -> str:
+        return _SCHEMA
+
+    def reader(self, schema: StructType) -> "TFRecordReader":
+        return TFRecordReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> "TFRecordWriter":
+        return TFRecordWriter(self.options, overwrite)
+
+
+class TFRecordReader(DataSourceReader):
+    def __init__(self, options) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("tfrecord source requires a path (load(path))")
+        self._path = path
+
+    def partitions(self) -> Sequence[InputPartition]:
+        # One partition per file: the natural parallelism grain for a
+        # length-framed record format. A missing/empty dir is an empty
+        # scan, matching the file-source convention.
+        pattern = (
+            os.path.join(self._path, "*.tfrecord")
+            if os.path.isdir(self._path)
+            else self._path
+        )
+        return [InputPartition(p) for p in sorted(glob.glob(pattern))]
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        import numpy as np
+
+        with open(partition.value, "rb") as f:
+            blob = f.read()
+        for rec in unframe_records(blob):
+            ex = decode_example(rec)
+            vec = np.frombuffer(ex["feature"], dtype=np.float32)
+            yield (vec.tolist(), float(ex["label"][0]))
+
+
+@dataclass
+class _Committed(WriterCommitMessage):
+    tmp_path: str
+    final_path: str
+    n_records: int
+
+
+class TFRecordWriter(DataSourceWriter):
+    def __init__(self, options, overwrite: bool) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("tfrecord sink requires a path (save(path))")
+        self._path = path
+        self._overwrite = overwrite
+        # One id per write job: temps from a failed previous job can
+        # never be confused with (or published by) this one's commit.
+        self._job_id = uuid.uuid4().hex[:12]
+
+    def write(self, iterator) -> _Committed:
+        import numpy as np
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        os.makedirs(self._path, exist_ok=True)
+        final = os.path.join(self._path, f"part-{pid:05d}.tfrecord")
+        tmp = f"{final}.inprogress-{self._job_id}-{ctx.taskAttemptId()}"
+        n = 0
+        with open(tmp, "wb") as f:
+            for row in iterator:
+                f.write(
+                    frame_record(
+                        encode_example(
+                            {
+                                "feature": np.asarray(
+                                    row[0], dtype=np.float32
+                                ).tobytes(),
+                                "label": [float(row[1])],
+                            }
+                        )
+                    )
+                )
+                n += 1
+        return _Committed(tmp_path=tmp, final_path=final, n_records=n)
+
+    def commit(self, messages) -> None:
+        # Driver-side publish: clear stale files (overwrite, plus any
+        # shorter previous write's tail), then rename every task temp.
+        if self._overwrite:
+            for stale in glob.glob(os.path.join(self._path, "*.tfrecord")):
+                os.remove(stale)
+        for m in messages:
+            if m is None:
+                continue
+            if m.n_records == 0:
+                os.remove(m.tmp_path)
+                continue
+            os.replace(m.tmp_path, m.final_path)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+
+
+def register_tfrecord_format(spark) -> None:
+    """Idempotent registration of the ``tfrecord`` format name."""
+    spark.dataSource.register(TFRecordDataSource)

@@ -208,3 +208,74 @@ def test_example_roundtrip_property(features):
 def test_framing_roundtrip_property(records):
     blob = b"".join(tfr.frame_record(r) for r in records)
     assert list(tfr.unframe_records(blob)) == records
+
+
+def _feature_frame(spark, n, parts):
+    return spark.range(0, n).select(
+        F.array(
+            (F.col("id") * 0.5).cast("float"),
+            (F.col("id") % 7).cast("float"),
+        ).alias("features"),
+        (F.col("id") % 2).cast("float").alias("label"),
+    ).repartition(parts)
+
+
+def test_registered_format_roundtrip_and_helper_parity(spark, tmp_path):
+    """S6/S8 through the Python Data Source V2 API: the registered
+    'tfrecord' format round-trips, and what it writes is byte-level
+    the SAME layout the mapInPandas helpers produce — each side can
+    read the other's output."""
+    from customer_churn_prediction_spark.sources.tfrecord_datasource import (
+        register_tfrecord_format,
+    )
+
+    register_tfrecord_format(spark)
+    df = _feature_frame(spark, 97, 4)
+    want = sorted(
+        (tuple(r.features), r.label)
+        for r in df.select("features", "label").collect()
+    )
+
+    out = str(tmp_path / "v2")
+    df.select("features", "label").write.format("tfrecord").mode(
+        "overwrite"
+    ).save(out)
+    via_format = spark.read.format("tfrecord").load(out)
+    assert sorted(
+        (tuple(r.features), r.label) for r in via_format.collect()
+    ) == want
+    # cross-parity: the helper reader consumes the V2 sink's files
+    assert sorted(
+        (tuple(r.features), r.label)
+        for r in tfr.read_tfrecord(spark, out, dim=2).collect()
+    ) == want
+
+    # ...and the V2 reader consumes the helper sink's files
+    out2 = str(tmp_path / "helper")
+    tfr.write_tfrecord(df, out2, "features", "label")
+    assert sorted(
+        (tuple(r.features), r.label)
+        for r in spark.read.format("tfrecord").load(out2).collect()
+    ) == want
+
+
+def test_registered_format_overwrite_clears_stale_tail(spark, tmp_path):
+    """A shorter overwrite must not leave the previous write's extra
+    part files visible (the V2 commit clears then publishes)."""
+    from customer_churn_prediction_spark.sources.tfrecord_datasource import (
+        register_tfrecord_format,
+    )
+
+    register_tfrecord_format(spark)
+    out = str(tmp_path / "ow")
+    _feature_frame(spark, 40, 8).write.format("tfrecord").mode(
+        "overwrite"
+    ).save(out)
+    _feature_frame(spark, 7, 2).write.format("tfrecord").mode(
+        "overwrite"
+    ).save(out)
+    back = spark.read.format("tfrecord").load(out).collect()
+    assert len(back) == 7
+    import glob as _glob
+    assert len(_glob.glob(f"{out}/*.tfrecord")) <= 2
+    assert not _glob.glob(f"{out}/*.inprogress-*")
