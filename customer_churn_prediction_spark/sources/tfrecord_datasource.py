@@ -132,8 +132,13 @@ class TFRecordWriter(DataSourceWriter):
         ctx = TaskContext.get()
         pid = ctx.partitionId()
         os.makedirs(self._path, exist_ok=True)
-        final = os.path.join(self._path, f"part-{pid:05d}.tfrecord")
-        tmp = f"{final}.inprogress-{self._job_id}-{ctx.taskAttemptId()}"
+        # Job-qualified FINAL names: under mode("append") a plain
+        # part-{pid} would collide with the previous job's files and
+        # the commit's os.replace would silently clobber them.
+        final = os.path.join(
+            self._path, f"part-{self._job_id}-{pid:05d}.tfrecord"
+        )
+        tmp = f"{final}.inprogress-{ctx.taskAttemptId()}"
         n = 0
         with open(tmp, "wb") as f:
             for row in iterator:

@@ -279,3 +279,21 @@ def test_registered_format_overwrite_clears_stale_tail(spark, tmp_path):
     import glob as _glob
     assert len(_glob.glob(f"{out}/*.tfrecord")) <= 2
     assert not _glob.glob(f"{out}/*.inprogress-*")
+
+
+def test_registered_format_append_accumulates(spark, tmp_path):
+    """mode('append') must ADD records, never clobber a previous job's
+    same-numbered part files (final names are job-qualified)."""
+    from customer_churn_prediction_spark.sources.tfrecord_datasource import (
+        register_tfrecord_format,
+    )
+
+    register_tfrecord_format(spark)
+    out = str(tmp_path / "ap")
+    _feature_frame(spark, 10, 2).write.format("tfrecord").mode(
+        "overwrite"
+    ).save(out)
+    _feature_frame(spark, 5, 2).write.format("tfrecord").mode(
+        "append"
+    ).save(out)
+    assert spark.read.format("tfrecord").load(out).count() == 15
