@@ -47,6 +47,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
@@ -76,6 +77,11 @@ class TFRecordDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> "TFRecordWriter":
         return TFRecordWriter(self.options, overwrite)
+
+    def simpleStreamReader(
+        self, schema: StructType
+    ) -> "TFRecordStreamReader":
+        return TFRecordStreamReader(self.options)
 
 
 class TFRecordReader(DataSourceReader):
@@ -175,6 +181,68 @@ class TFRecordWriter(DataSourceWriter):
         for m in messages:
             if m is not None and os.path.exists(m.tmp_path):
                 os.remove(m.tmp_path)
+
+
+class TFRecordStreamReader(SimpleDataSourceStreamReader):
+    """``spark.readStream.format("tfrecord")`` over a drop folder.
+
+    Offsets are the set of processed file names, so replay of a
+    committed epoch (``readBetweenOffsets``) re-reads exactly that
+    epoch's files — which is deterministic because the folder's files
+    are immutable once visible (the batch writer publishes via atomic
+    rename; any producer must do the same).
+
+    Scale honesty: the SIMPLE stream-reader variant runs on the
+    DRIVER — every record of an epoch flows through it. That is the
+    right trade for modest training-data drops (the API exists for
+    exactly this class of source); a firehose belongs on the
+    partition-based ``streamReader`` or the built-in file source. The
+    offset dict also carries the full processed-file list, so a
+    long-lived query over an unbounded folder should rotate/compact
+    the drop directory.
+    """
+
+    def __init__(self, options) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("tfrecord stream requires a path (load(path))")
+        self._path = path
+
+    def _current(self) -> list[str]:
+        return sorted(glob.glob(os.path.join(self._path, "*.tfrecord")))
+
+    @staticmethod
+    def _rows(files) -> Iterator[tuple]:
+        import numpy as np
+
+        for path in files:
+            with open(path, "rb") as f:
+                blob = f.read()
+            for rec in unframe_records(blob):
+                ex = decode_example(rec)
+                vec = np.frombuffer(ex["feature"], dtype=np.float32)
+                yield (vec.tolist(), float(ex["label"][0]))
+
+    def initialOffset(self) -> dict:
+        return {"processed": []}
+
+    def read(self, start: dict):
+        done = set(start["processed"])
+        new = [f for f in self._current() if f not in done]
+        # iter(list), not a generator: the runtime's prefetch cache
+        # copy.copy()s the iterator on reuse and next()s it on the
+        # no-advance path — both need a materialized, copyable
+        # iterator (driver-side reader: the records pass through the
+        # driver either way).
+        rows = list(self._rows(new))
+        return iter(rows), {"processed": sorted(done | set(new))}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        new = sorted(set(end["processed"]) - set(start["processed"]))
+        return iter(list(self._rows(new)))
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are self-contained; nothing external to ack
 
 
 def register_tfrecord_format(spark) -> None:

@@ -297,3 +297,39 @@ def test_registered_format_append_accumulates(spark, tmp_path):
         "append"
     ).save(out)
     assert spark.read.format("tfrecord").load(out).count() == 15
+
+
+def test_registered_format_streams_a_drop_folder(spark, tmp_path):
+    """readStream.format('tfrecord'): the first drop's records arrive,
+    a second drop adds ONLY its own (exactly-once across epochs on one
+    checkpoint), and the final total equals the batch read."""
+    from customer_churn_prediction_spark.sources.tfrecord_datasource import (
+        register_tfrecord_format,
+    )
+
+    register_tfrecord_format(spark)
+    src = str(tmp_path / "drops")
+    _feature_frame(spark, 10, 2).write.format("tfrecord").mode(
+        "overwrite"
+    ).save(src)
+
+    stream = spark.readStream.format("tfrecord").load(src)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("tfr_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("select * from tfr_stream").count() == 10
+        _feature_frame(spark, 5, 1).write.format("tfrecord").mode(
+            "append"
+        ).save(src)
+        q.processAllAvailable()
+        got = spark.sql("select * from tfr_stream").count()
+    finally:
+        q.stop()
+    assert got == 15
+    assert spark.read.format("tfrecord").load(src).count() == 15
