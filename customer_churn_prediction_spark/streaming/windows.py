@@ -111,6 +111,36 @@ def as_stream(spark: SparkSession, parquet_dir: str, schema) -> DataFrame:
     return spark.readStream.schema(schema).parquet(parquet_dir)
 
 
+# The Kafka source's fixed wire schema (spark-sql-kafka contract).
+KAFKA_WIRE_SCHEMA = (
+    "key binary, value binary, topic string, partition int, "
+    "offset long, timestamp timestamp, timestampType int"
+)
+
+_EVENT_PAYLOAD_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string,"
+    " value double, props string"
+)
+
+
+def events_from_kafka_records(raw: DataFrame) -> DataFrame:
+    """The value-parsing projection between a Kafka-wire frame and the
+    events shape every operator in this module consumes: JSON payload
+    in ``value``, event time from the PAYLOAD (``ts``), never from the
+    broker append time — a replayed/compacted topic re-stamps
+    ``timestamp`` but must not move the windows. Takes ANY frame with
+    the connector's wire schema (``KAFKA_WIRE_SCHEMA``), batch or
+    stream, so the parse contract is testable without a broker."""
+    payload = F.from_json(
+        F.col("value").cast("string"), _EVENT_PAYLOAD_SCHEMA
+    )
+    return raw.select(
+        F.col("timestamp").alias("kafka_ts"), payload.alias("e")
+    ).select(
+        "e.event_id", "e.ts", "e.user_id", "e.event_type", "e.value", "e.props"
+    )
+
+
 def kafka_stream(
     spark: SparkSession, bootstrap_servers: str, topic: str,
     starting_offsets: str = "latest",
@@ -118,9 +148,12 @@ def kafka_stream(
     """S14: the Kafka connector the reference declares but never uses
     (GBDT/spark/pom.xml:96-114). Emits the same (ts, user_id,
     event_type, value, props) shape as the events table so every
-    operator in this module runs unchanged on a live topic. Requires
-    the spark-sql-kafka package on the classpath — construction only,
-    not exercised in this container (no broker)."""
+    operator in this module runs unchanged on a live topic. The
+    source construction requires the spark-sql-kafka package on the
+    classpath and a broker — neither is in this container — but the
+    entire transformation below ``.load()``
+    (:func:`events_from_kafka_records`) IS exercised end-to-end in
+    tests over a stream carrying the connector's exact wire schema."""
     raw = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
@@ -128,14 +161,7 @@ def kafka_stream(
         .option("startingOffsets", starting_offsets)
         .load()
     )
-    payload = F.from_json(
-        F.col("value").cast("string"),
-        "event_id long, ts timestamp, user_id long, event_type string,"
-        " value double, props string",
-    )
-    return raw.select(F.col("timestamp").alias("kafka_ts"), payload.alias("e")).select(
-        "e.event_id", "e.ts", "e.user_id", "e.event_type", "e.value", "e.props"
-    )
+    return events_from_kafka_records(raw)
 
 
 def streaming_tumbling_counts(events_stream: DataFrame) -> DataFrame:

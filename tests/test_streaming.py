@@ -637,3 +637,46 @@ def test_streaming_user_sequences_converges_to_batch(
         assert got == want and len(got) > 0
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_kafka_wire_parse_pipeline_equals_batch(spark, sf_smoke, tmp_path):
+    """S14 minus the broker: events serialized onto the Kafka
+    connector's EXACT wire schema (binary JSON value + broker
+    metadata), streamed, parsed by events_from_kafka_records, and run
+    through the watermarked tumbling window — the result must equal
+    the batch aggregate over the original events. Event time comes
+    from the payload, so a deliberately wrong broker timestamp must
+    not move the windows."""
+    events = load_table(spark, sf_smoke, "events")
+    wire = events.select(
+        F.col("user_id").cast("string").cast("binary").alias("key"),
+        F.to_json(
+            F.struct("event_id", "ts", "user_id", "event_type",
+                     "value", "props")
+        ).cast("binary").alias("value"),
+        F.lit("events").alias("topic"),
+        (F.col("event_id") % 4).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+        # broker append time deliberately != payload ts
+        F.current_timestamp().alias("timestamp"),
+        F.lit(0).alias("timestampType"),
+    )
+    src = str(tmp_path / "kafka_wire")
+    wire.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(sw.KAFKA_WIRE_SCHEMA).parquet(src)
+    parsed = sw.events_from_kafka_records(stream)
+    q = (
+        sw.streaming_tumbling_counts(parsed)
+        .writeStream.format("memory")
+        .queryName("kafka_wire_smoke")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("select * from kafka_wire_smoke").toPandas()
+    finally:
+        q.stop()
+    want = sw.tumbling_counts(spark, sf_smoke).toPandas()
+    assert canonical_rows(got) == canonical_rows(want)
