@@ -333,3 +333,48 @@ def test_registered_format_streams_a_drop_folder(spark, tmp_path):
         q.stop()
     assert got == 15
     assert spark.read.format("tfrecord").load(src).count() == 15
+
+
+def test_registered_format_stream_restart_no_duplicates(spark, tmp_path):
+    """Restart from the checkpoint: the engine replays the last
+    committed batch through readBetweenOffsets (offset-set diff), so a
+    third drop after restart arrives exactly once and nothing earlier
+    duplicates."""
+    from customer_churn_prediction_spark.sources.tfrecord_datasource import (
+        register_tfrecord_format,
+    )
+
+    register_tfrecord_format(spark)
+    src = str(tmp_path / "drops_r")
+    out = str(tmp_path / "landed")
+    ckpt = str(tmp_path / "ckpt_r")
+    _feature_frame(spark, 10, 2).write.format("tfrecord").mode(
+        "overwrite"
+    ).save(src)
+
+    def start():
+        def land(bdf, _eid):
+            bdf.write.mode("append").parquet(out)
+
+        return (
+            spark.readStream.format("tfrecord").load(src)
+            .writeStream.foreachBatch(land)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    _feature_frame(spark, 5, 1).write.format("tfrecord").mode(
+        "append"
+    ).save(src)
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert spark.read.parquet(out).count() == 15
