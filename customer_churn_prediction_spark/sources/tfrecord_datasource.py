@@ -11,6 +11,8 @@ user expects::
     register_tfrecord_format(spark)
     df = spark.read.format("tfrecord").load(path)      # S6
     df.write.format("tfrecord").mode(...).save(path)   # S8
+    spark.readStream.format("tfrecord").load(path)     # drop folder
+    df.writeStream.format("tfrecord").option("path", p)  # epoch sink
 
 Semantics mirror the helpers exactly (same Example layout as the
 reference, ``LR/TFRecord_process.py:30-33``): rows are
@@ -45,6 +47,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -83,6 +86,11 @@ class TFRecordDataSource(DataSource):
     ) -> "TFRecordStreamReader":
         return TFRecordStreamReader(self.options)
 
+    def streamWriter(
+        self, schema: StructType, overwrite: bool
+    ) -> "TFRecordStreamWriter":
+        return TFRecordStreamWriter(self.options)
+
 
 class TFRecordReader(DataSourceReader):
     def __init__(self, options) -> None:
@@ -120,6 +128,29 @@ class _Committed(WriterCommitMessage):
     n_records: int
 
 
+def _write_records(path: str, iterator) -> int:
+    """Frame every (features, label) row into ``path``; returns count."""
+    import numpy as np
+
+    n = 0
+    with open(path, "wb") as f:
+        for row in iterator:
+            f.write(
+                frame_record(
+                    encode_example(
+                        {
+                            "feature": np.asarray(
+                                row[0], dtype=np.float32
+                            ).tobytes(),
+                            "label": [float(row[1])],
+                        }
+                    )
+                )
+            )
+            n += 1
+    return n
+
+
 class TFRecordWriter(DataSourceWriter):
     def __init__(self, options, overwrite: bool) -> None:
         path = options.get("path")
@@ -132,7 +163,6 @@ class TFRecordWriter(DataSourceWriter):
         self._job_id = uuid.uuid4().hex[:12]
 
     def write(self, iterator) -> _Committed:
-        import numpy as np
         from pyspark import TaskContext
 
         ctx = TaskContext.get()
@@ -145,22 +175,7 @@ class TFRecordWriter(DataSourceWriter):
             self._path, f"part-{self._job_id}-{pid:05d}.tfrecord"
         )
         tmp = f"{final}.inprogress-{ctx.taskAttemptId()}"
-        n = 0
-        with open(tmp, "wb") as f:
-            for row in iterator:
-                f.write(
-                    frame_record(
-                        encode_example(
-                            {
-                                "feature": np.asarray(
-                                    row[0], dtype=np.float32
-                                ).tobytes(),
-                                "label": [float(row[1])],
-                            }
-                        )
-                    )
-                )
-                n += 1
+        n = _write_records(tmp, iterator)
         return _Committed(tmp_path=tmp, final_path=final, n_records=n)
 
     def commit(self, messages) -> None:
@@ -243,6 +258,80 @@ class TFRecordStreamReader(SimpleDataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # offsets are self-contained; nothing external to ack
+
+
+@dataclass
+class _EpochPart(WriterCommitMessage):
+    tmp_path: str
+    partition_id: int
+    n_records: int
+
+
+class TFRecordStreamWriter(DataSourceStreamWriter):
+    """``df.writeStream.format("tfrecord")`` — exactly-once epochs.
+
+    The stream twin of :class:`TFRecordWriter`, same commit protocol
+    with the epoch id as the job qualifier: tasks write ``.inprogress``
+    temps (task-attempt-qualified, so speculative/zombie attempts can't
+    collide), the driver-side ``commit(messages, batchId)`` publishes
+    them under DETERMINISTIC names ``part-b{batchId}-{pid}.tfrecord``.
+    A replayed epoch (crash after the sink published but before the
+    engine logged the commit — the worst-case window) re-runs with the
+    SAME batchId, and commit first clears any ``part-b{batchId}-*``
+    leftovers before renaming, so the replay overwrites its own half-
+    publish instead of appending a duplicate. Earlier epochs' files are
+    never touched — the folder accumulates one immutable file set per
+    epoch, which is exactly the contract the drop-folder stream READER
+    requires of its producers, so a stream can relay tfrecord → tfrecord.
+    """
+
+    def __init__(self, options) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("tfrecord stream sink requires a path")
+        self._path = path
+
+    def write(self, iterator) -> _EpochPart:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        os.makedirs(self._path, exist_ok=True)
+        tmp = os.path.join(
+            self._path,
+            f".epoch-{uuid.uuid4().hex[:12]}-{pid:05d}"
+            f".inprogress-{ctx.taskAttemptId()}",
+        )
+        n = _write_records(tmp, iterator)
+        return _EpochPart(tmp_path=tmp, partition_id=pid, n_records=n)
+
+    def _epoch_final(self, batch_id: int, pid: int) -> str:
+        return os.path.join(
+            self._path, f"part-b{batch_id:08d}-{pid:05d}.tfrecord"
+        )
+
+    def commit(self, messages, batchId: int) -> None:
+        # Replay discipline: clear THIS epoch's previous (half-)publish
+        # first — a crashed attempt may have landed a different number
+        # of parts than this run produces.
+        for stale in glob.glob(
+            os.path.join(self._path, f"part-b{batchId:08d}-*.tfrecord")
+        ):
+            os.remove(stale)
+        for m in messages:
+            if m is None:
+                continue
+            if m.n_records == 0:
+                os.remove(m.tmp_path)
+                continue
+            os.replace(
+                m.tmp_path, self._epoch_final(batchId, m.partition_id)
+            )
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
 
 
 def register_tfrecord_format(spark) -> None:

@@ -8,6 +8,7 @@ original DataFrame, reference libsvm parity)."""
 
 from __future__ import annotations
 
+import os
 import struct
 
 import pytest
@@ -378,3 +379,125 @@ def test_registered_format_stream_restart_no_duplicates(spark, tmp_path):
     finally:
         q2.stop()
     assert spark.read.parquet(out).count() == 15
+
+
+def test_registered_format_stream_sink_relays_a_stream(spark, tmp_path):
+    """writeStream.format('tfrecord'): a tfrecord drop folder relays
+    through the stream READER into the stream SINK across two epochs;
+    the landed folder batch-reads back value-equal to the source, and
+    each epoch's files are immutable once published (epoch 2 adds its
+    own files without touching epoch 1's)."""
+    from customer_churn_prediction_spark.sources.tfrecord_datasource import (
+        register_tfrecord_format,
+    )
+
+    register_tfrecord_format(spark)
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "landed_tfr")
+    _feature_frame(spark, 10, 2).write.format("tfrecord").mode(
+        "overwrite"
+    ).save(src)
+
+    def start():
+        return (
+            spark.readStream.format("tfrecord").load(src)
+            .writeStream.format("tfrecord")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt_sink"))
+            .outputMode("append")
+            .start()
+        )
+
+    import glob as g
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    first_epoch = {
+        p: os.path.getmtime(p)
+        for p in g.glob(os.path.join(out, "*.tfrecord"))
+    }
+    assert first_epoch
+    assert spark.read.format("tfrecord").load(out).count() == 10
+
+    _feature_frame(spark, 5, 1).write.format("tfrecord").mode(
+        "append"
+    ).save(src)
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    got = sorted(
+        (tuple(r.features), r.label)
+        for r in spark.read.format("tfrecord").load(out).collect()
+    )
+    want = sorted(
+        (tuple(r.features), r.label)
+        for r in spark.read.format("tfrecord").load(src).collect()
+    )
+    assert got == want
+    # epoch-1 files untouched by epoch 2's publish
+    for p, mtime in first_epoch.items():
+        assert os.path.getmtime(p) == mtime
+    # no leftover in-progress temps
+    assert not g.glob(os.path.join(out, ".epoch-*"))
+
+
+def test_stream_sink_replayed_epoch_overwrites_not_duplicates(
+    spark, tmp_path
+):
+    """Worst-case crash window: the sink PUBLISHED an epoch but the
+    engine never logged the commit (simulated by deleting the
+    checkpoint's commit marker). The restarted query re-runs the same
+    batchId; the deterministic part-b{batchId} names make the replay
+    overwrite its own files, so the landed folder holds the epoch
+    exactly once."""
+    from customer_churn_prediction_spark.sources.tfrecord_datasource import (
+        register_tfrecord_format,
+    )
+
+    register_tfrecord_format(spark)
+    src = str(tmp_path / "src_r")
+    out = str(tmp_path / "landed_r")
+    ckpt = tmp_path / "ckpt_replay"
+    _feature_frame(spark, 10, 2).write.format("tfrecord").mode(
+        "overwrite"
+    ).save(src)
+
+    def start():
+        return (
+            spark.readStream.format("tfrecord").load(src)
+            .writeStream.format("tfrecord")
+            .option("path", out)
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert spark.read.format("tfrecord").load(out).count() == 10
+
+    # Crash window: sink output is visible, engine commit log is not.
+    # (The .crc checksum sidecar must go too, or the replayed commit's
+    # rename trips over it.)
+    commit0 = ckpt / "commits" / "0"
+    assert commit0.exists()
+    commit0.unlink()
+    crc = ckpt / "commits" / ".0.crc"
+    if crc.exists():
+        crc.unlink()
+
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert spark.read.format("tfrecord").load(out).count() == 10
