@@ -61,6 +61,110 @@ def approx_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(*out_cols)
 
 
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+CMS_SEEDS = (101, 103, 107, 109)
+CMS_TOPK = 20
+_E = 2.718281828459045
+
+
+def _cms_cells(key_col):
+    """The d (row, bucket) cells a key hashes to — one array literal,
+    exploded, so the sketch build stays a single scan."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("h"),
+                    F.pmod(
+                        F.xxhash64(key_col, F.lit(CMS_SEEDS[i])),
+                        F.lit(CMS_WIDTH),
+                    ).alias("b"),
+                )
+                for i in range(CMS_DEPTH)
+            ]
+        )
+    )
+
+
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K hot keys with a count-min-sketch error contract.
+
+    The 100-TB problem this solves is SKEW DETECTION: before a big
+    keyed join/agg you want the hot keys (to salt or isolate them —
+    `salted_join_revenue` is the actuation) without paying a full
+    exact per-key count. The CMS is the standard answer: a d x w grid
+    of counters (here 4 x 1024 = 4096 cells TOTAL, independent of key
+    cardinality), built map-side-mergeable in one scan — partial
+    aggregation caps every task's shuffle contribution at d*w rows, so
+    the sketch costs the same shuffle whether the table has 1e4 or
+    1e12 rows. Estimates never undercount (min over d counters), and
+    overcount is bounded by (e/w)*N with probability 1 - e^-d per
+    lookup (Cormode & Muthukrishnan 2005).
+
+    Following the ``approx_distinct_users`` graduation pattern, the
+    query emits the EXACT top-K (count desc, key asc — deterministic
+    at tie boundaries) plus two in-query verdict booleans per key —
+    ``no_undercount`` (est >= exact, a hard CMS guarantee) and
+    ``within_band`` (est <= exact + (e/w)*N) — and the DuckDB oracle
+    recomputes the exact side with TRUE literals, so a hash match
+    verifies the sketch honored its advertised bounds without
+    comparing sketch internals across engines."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    key = F.col("user_id")
+
+    sketch = (
+        ev.select(_cms_cells(key).alias("cell"))
+        .select("cell.h", "cell.b")
+        .groupBy("h", "b")
+        .agg(F.count("*").alias("cell_cnt"))
+    )
+    exact = ev.groupBy(key.alias("key")).agg(
+        F.count("*").alias("exact_cnt")
+    )
+    topk = exact.orderBy(F.desc("exact_cnt"), F.asc("key")).limit(
+        CMS_TOPK
+    )
+    # N from the exact aggregate, not a third scan (the exact side is
+    # the verification harness anyway; a production skew probe would
+    # ship ONLY the sketch scan).
+    total = exact.agg(F.sum("exact_cnt").alias("n_total"))
+
+    est = (
+        topk.select(
+            "key", "exact_cnt", _cms_cells(F.col("key")).alias("cell")
+        )
+        .select("key", "exact_cnt", "cell.h", "cell.b")
+        .join(F.broadcast(sketch), ["h", "b"])
+        .groupBy("key", "exact_cnt")
+        .agg(F.min("cell_cnt").alias("est"))
+    )
+    return est.crossJoin(F.broadcast(total)).select(
+        "key",
+        "exact_cnt",
+        (F.col("est") >= F.col("exact_cnt")).alias("no_undercount"),
+        (
+            F.col("est")
+            <= F.col("exact_cnt")
+            + F.lit(_E / CMS_WIDTH) * F.col("n_total")
+        ).alias("within_band"),
+    )
+
+
+HEAVY_HITTERS_ORACLE = f"""
+WITH c AS (
+  SELECT user_id AS key, count(*) AS exact_cnt
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+)
+SELECT key, exact_cnt,
+       TRUE AS no_undercount,
+       TRUE AS within_band
+FROM c ORDER BY exact_cnt DESC, key ASC LIMIT {CMS_TOPK}
+"""
+
+
 APPROX_PERCENTILE_ORACLE = f"""
 SELECT l_returnflag,
        round(quantile_cont(l_quantity, 0.5), 6) AS exact_p50,
@@ -74,5 +178,11 @@ FROM lineitem GROUP BY l_returnflag
 # (50-row driver budget x 2-round proof cycle) binds, and these lost
 # the priority call (ROADMAP round-6 state); tests/test_sketches.py holds
 # them to driver rigor regardless.
-QUERIES = {"approx_percentile_bands": approx_percentile_bands}
-ORACLES = {"approx_percentile_bands": APPROX_PERCENTILE_ORACLE}
+QUERIES = {
+    "approx_percentile_bands": approx_percentile_bands,
+    "heavy_hitters_cms": heavy_hitters_cms,
+}
+ORACLES = {
+    "approx_percentile_bands": APPROX_PERCENTILE_ORACLE,
+    "heavy_hitters_cms": HEAVY_HITTERS_ORACLE,
+}

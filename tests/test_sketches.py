@@ -49,3 +49,67 @@ def test_single_aggregate_no_second_scan(spark, sf_dir):
     df = sketches.approx_percentile_bands(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 1
+
+
+def test_cms_oracle_parity_sf001(spark, sf_dir):
+    assert_matches_oracle(
+        sketches.heavy_hitters_cms(spark, sf_dir),
+        sketches.HEAVY_HITTERS_ORACLE,
+        sf_dir,
+    )
+
+
+def test_cms_verdicts_hold_on_fixture(spark, sf_dir):
+    rows = sketches.heavy_hitters_cms(spark, sf_dir).collect()
+    assert len(rows) == sketches.CMS_TOPK
+    for r in rows:
+        assert r.no_undercount and r.within_band
+
+
+def _cms_estimates(df, key_frame):
+    """Sketch-only estimate path (no exact counts): what a production
+    skew probe would run. ``df``/``key_frame`` carry a ``key`` col."""
+    from pyspark.sql import functions as F
+
+    sketch = (
+        df.select(sketches._cms_cells(F.col("key")).alias("cell"))
+        .select("cell.h", "cell.b")
+        .groupBy("h", "b")
+        .agg(F.count("*").alias("cell_cnt"))
+    )
+    return (
+        key_frame.select(
+            "key", sketches._cms_cells(F.col("key")).alias("cell")
+        )
+        .select("key", "cell.h", "cell.b")
+        .join(F.broadcast(sketch), ["h", "b"])
+        .groupBy("key")
+        .agg(F.min("cell_cnt").alias("est"))
+    )
+
+
+def test_cms_detects_an_injected_hot_key(spark):
+    """Detection must be real: on a constructed stream — 1000 uniform
+    background keys plus one key owning 2000 events — the SKETCH ALONE
+    (no exact pass) separates the hot key from the background by more
+    than the advertised error band."""
+    background = spark.range(8_000).select(
+        (F.col("id") % 1000).alias("key")
+    )
+    hot = spark.range(2_000).select(
+        F.lit(77_777).cast("bigint").alias("key")
+    )
+    ev = background.unionByName(hot)
+    n_total = 10_000
+    band = sketches._E / sketches.CMS_WIDTH * n_total
+
+    probes = spark.createDataFrame(
+        [(77_777,), (3,)], "key bigint"
+    )
+    est = {r.key: r.est for r in _cms_estimates(ev, probes).collect()}
+    # never undercounts; overcount within band
+    assert 2_000 <= est[77_777] <= 2_000 + band
+    assert 8 <= est[3] <= 8 + band
+    # separable: the hot estimate clears the background even after
+    # granting the background its worst-case overcount
+    assert est[77_777] > est[3] + band
