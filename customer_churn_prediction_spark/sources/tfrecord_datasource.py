@@ -47,6 +47,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
@@ -81,6 +82,22 @@ class TFRecordDataSource(DataSource):
     def writer(self, schema: StructType, overwrite: bool) -> "TFRecordWriter":
         return TFRecordWriter(self.options, overwrite)
 
+    def streamReader(
+        self, schema: StructType
+    ) -> "TFRecordPartitionStreamReader":
+        # Default: the partition-based reader (executor-side decode).
+        # option("reader", "simple") opts into the driver-side simple
+        # variant — raising the NotImplemented marker here is the
+        # documented fallback signal (datasource_internal._streamReader).
+        if self.options.get("reader", "").lower() == "simple":
+            from pyspark.errors import PySparkNotImplementedError
+
+            raise PySparkNotImplementedError(
+                errorClass="NOT_IMPLEMENTED",
+                messageParameters={"feature": "streamReader"},
+            )
+        return TFRecordPartitionStreamReader(self.options)
+
     def simpleStreamReader(
         self, schema: StructType
     ) -> "TFRecordStreamReader":
@@ -111,14 +128,19 @@ class TFRecordReader(DataSourceReader):
         return [InputPartition(p) for p in sorted(glob.glob(pattern))]
 
     def read(self, partition: InputPartition) -> Iterator[tuple]:
-        import numpy as np
+        return _file_rows(partition.value)
 
-        with open(partition.value, "rb") as f:
-            blob = f.read()
-        for rec in unframe_records(blob):
-            ex = decode_example(rec)
-            vec = np.frombuffer(ex["feature"], dtype=np.float32)
-            yield (vec.tolist(), float(ex["label"][0]))
+
+def _file_rows(path: str) -> Iterator[tuple]:
+    """Decode one .tfrecord file into (features, label) rows."""
+    import numpy as np
+
+    with open(path, "rb") as f:
+        blob = f.read()
+    for rec in unframe_records(blob):
+        ex = decode_example(rec)
+        vec = np.frombuffer(ex["feature"], dtype=np.float32)
+        yield (vec.tolist(), float(ex["label"][0]))
 
 
 @dataclass
@@ -211,8 +233,10 @@ class TFRecordStreamReader(SimpleDataSourceStreamReader):
     DRIVER — every record of an epoch flows through it. That is the
     right trade for modest training-data drops (the API exists for
     exactly this class of source); a firehose belongs on the
-    partition-based ``streamReader`` or the built-in file source. The
-    offset dict also carries the full processed-file list, so a
+    partition-based reader, which is the DEFAULT for this format
+    (:class:`TFRecordPartitionStreamReader`) — this variant is
+    selected with ``option("reader", "simple")``. The offset dict
+    carries the full processed-file list (both variants), so a
     long-lived query over an unbounded folder should rotate/compact
     the drop directory.
     """
@@ -228,15 +252,8 @@ class TFRecordStreamReader(SimpleDataSourceStreamReader):
 
     @staticmethod
     def _rows(files) -> Iterator[tuple]:
-        import numpy as np
-
         for path in files:
-            with open(path, "rb") as f:
-                blob = f.read()
-            for rec in unframe_records(blob):
-                ex = decode_example(rec)
-                vec = np.frombuffer(ex["feature"], dtype=np.float32)
-                yield (vec.tolist(), float(ex["label"][0]))
+            yield from _file_rows(path)
 
     def initialOffset(self) -> dict:
         return {"processed": []}
@@ -255,6 +272,46 @@ class TFRecordStreamReader(SimpleDataSourceStreamReader):
     def readBetweenOffsets(self, start: dict, end: dict):
         new = sorted(set(end["processed"]) - set(start["processed"]))
         return iter(list(self._rows(new)))
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are self-contained; nothing external to ack
+
+
+class TFRecordPartitionStreamReader(DataSourceStreamReader):
+    """The DEFAULT stream reader: partition-based, executor-side.
+
+    Same drop-folder semantics and offset shape as the simple variant
+    (offset = the processed-file set; files are immutable once visible
+    because producers publish via atomic rename), but each epoch's
+    files become one InputPartition EACH and decode on executors — the
+    firehose shape: the driver handles only file names, never records,
+    so epoch throughput scales with the cluster instead of the driver.
+    ``option("reader", "simple")`` selects the driver-side variant
+    instead (it exists because the runtime's prefetch-cache path is
+    worth exercising, and for tiny drops it avoids task overhead).
+    """
+
+    def __init__(self, options) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("tfrecord stream requires a path (load(path))")
+        self._path = path
+
+    def _current(self) -> list[str]:
+        return sorted(glob.glob(os.path.join(self._path, "*.tfrecord")))
+
+    def initialOffset(self) -> dict:
+        return {"processed": []}
+
+    def latestOffset(self) -> dict:
+        return {"processed": self._current()}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        new = sorted(set(end["processed"]) - set(start["processed"]))
+        return [InputPartition(p) for p in new]
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        return _file_rows(partition.value)
 
     def commit(self, end: dict) -> None:
         pass  # offsets are self-contained; nothing external to ack

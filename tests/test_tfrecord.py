@@ -381,6 +381,81 @@ def test_registered_format_stream_restart_no_duplicates(spark, tmp_path):
     assert spark.read.parquet(out).count() == 15
 
 
+def test_partition_stream_reader_is_default_and_diffs_offsets(tmp_path):
+    """The default stream reader is the partition-based one: offsets
+    are the processed-file set, an epoch is one InputPartition per NEW
+    file, and decode happens per-partition (executor-side)."""
+    from customer_churn_prediction_spark.sources.tfrecord_datasource import (
+        TFRecordDataSource,
+        TFRecordPartitionStreamReader,
+    )
+    from customer_churn_prediction_spark.sources import tfrecord as tfr_mod
+
+    d = tmp_path / "drop"
+    d.mkdir()
+    import numpy as np
+
+    for name, vals in [("a.tfrecord", [1.0]), ("b.tfrecord", [2.0])]:
+        ex = tfr_mod.encode_example(
+            {
+                "feature": np.asarray(vals, dtype=np.float32).tobytes(),
+                "label": [0.0],
+            }
+        )
+        (d / name).write_bytes(tfr_mod.frame_record(ex))
+
+    src = TFRecordDataSource({"path": str(d)})
+    reader = src.streamReader(schema=None)
+    assert isinstance(reader, TFRecordPartitionStreamReader)
+
+    start = reader.initialOffset()
+    end = reader.latestOffset()
+    parts = reader.partitions(start, end)
+    assert len(parts) == 2  # one partition per new file
+    rows = [r for p in parts for r in reader.read(p)]
+    assert sorted(r[0][0] for r in rows) == [1.0, 2.0]
+    # second epoch with nothing new: empty diff
+    assert reader.partitions(end, reader.latestOffset()) == []
+
+    # option("reader", "simple") routes to the driver-side variant
+    import pytest as _pytest
+    from pyspark.errors import PySparkNotImplementedError
+
+    simple_src = TFRecordDataSource({"path": str(d), "reader": "simple"})
+    with _pytest.raises(PySparkNotImplementedError):
+        simple_src.streamReader(schema=None)
+
+
+def test_stream_simple_reader_option_end_to_end(spark, tmp_path):
+    """option('reader', 'simple') keeps the driver-side simple reader
+    fully working through the engine (prefetch-cache path included)."""
+    from customer_churn_prediction_spark.sources.tfrecord_datasource import (
+        register_tfrecord_format,
+    )
+
+    register_tfrecord_format(spark)
+    src = str(tmp_path / "drops_simple")
+    _feature_frame(spark, 10, 2).write.format("tfrecord").mode(
+        "overwrite"
+    ).save(src)
+    q = (
+        spark.readStream.format("tfrecord")
+        .option("reader", "simple")
+        .load(src)
+        .writeStream.format("memory")
+        .queryName("tfr_simple")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_simple"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("select * from tfr_simple").count()
+    finally:
+        q.stop()
+    assert got == 10
+
+
 def test_registered_format_stream_sink_relays_a_stream(spark, tmp_path):
     """writeStream.format('tfrecord'): a tfrecord drop folder relays
     through the stream READER into the stream SINK across two epochs;
