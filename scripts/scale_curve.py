@@ -74,6 +74,37 @@ EMB_ONLY_QUERIES = [
     "dedup_semantic",
 ]
 
+# Events-tier 4th decade: scripts/make_events_x10.py replicates events
+# 10x with per-replica user_id/event_id offsets — rows AND key
+# cardinality grow 10x together (the stress direction for the CMS
+# sketch: collision mass per bucket grows with distinct keys). Each
+# user keeps its original event count, so top-K/session/sequence
+# outputs replicate linearly by construction. Registered events-only
+# queries plus the staged events-tier ops.
+X10EV_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".scale", "sf1events",
+)
+EVENTS_ONLY_QUERIES = [
+    "groupby_sum",
+    "user_event_sequences",
+    "range_join_events",
+    "json_extract_events",
+    "stream_tumbling_counts",
+    "stream_sliding_counts",
+    "stream_session_windows",
+    "stream_dedup_events",
+    "stream_user_totals",
+    "approx_distinct_users",
+    "asof_join_clicks",
+    "event_sessions",
+    # staged events-tier
+    "heavy_hitters_cms",
+    "funnel_conversion",
+    "attribution_last_touch",
+    "hourly_anomalies",
+]
+
 CURVE_QUERIES = [
     "feature_assembly_onepass",   # 2 hash aggs + broadcast dims (retired twin)
     "feature_assembly",           # reference-faithful 12-join chain
@@ -124,6 +155,11 @@ def main() -> None:
     queries.setdefault(
         "feature_assembly_onepass", assembly.feature_assembly_onepass
     )
+    # Staged (pytest-only) events-tier ops ride the curve too.
+    from customer_churn_prediction_spark.plans import registry
+
+    for name, fn in registry.get_staged_queries().items():
+        queries.setdefault(name, fn)
 
     def force(df) -> None:
         df.write.format("noop").mode("overwrite").save()
@@ -181,6 +217,23 @@ def main() -> None:
                     statistics.median(samples), 3
                 )
 
+    have_x10ev = os.path.isdir(X10EV_DIR)
+    ev_results: dict[str, dict[str, float]] = {}
+    if have_x10ev:
+        for name in EVENTS_ONLY_QUERIES:
+            ev_results[name] = {}
+            for tag, d in (("sf0.1", "/root/testdata/sf0.1"),
+                           ("x10ev", X10EV_DIR)):
+                force(queries[name](spark, d))  # warm
+                samples = []
+                for _ in range(n_iters):
+                    t0 = time.perf_counter()
+                    force(queries[name](spark, d))
+                    samples.append(time.perf_counter() - t0)
+                ev_results[name][tag] = round(
+                    statistics.median(samples), 3
+                )
+
     print(f"| query | {' | '.join(SFS)} | x(0.01→0.1) |")
     print("|---|" + "---|" * (len(SFS) + 1))
     for name in CURVE_QUERIES:
@@ -214,6 +267,20 @@ def main() -> None:
             )
             print(
                 f"| {name} | {r['sf0.1']:.3f} | {r['x10emb']:.3f} "
+                f"| {growth:.2f}x |"
+            )
+
+    if have_x10ev:
+        print()
+        print("| query | sf0.1 | x10 events | x(0.1→x10) |")
+        print("|---|---|---|---|")
+        for name in EVENTS_ONLY_QUERIES:
+            r = ev_results[name]
+            growth = (
+                r["x10ev"] / r["sf0.1"] if r["sf0.1"] else float("nan")
+            )
+            print(
+                f"| {name} | {r['sf0.1']:.3f} | {r['x10ev']:.3f} "
                 f"| {growth:.2f}x |"
             )
 
