@@ -381,6 +381,60 @@ def test_registered_format_stream_restart_no_duplicates(spark, tmp_path):
     assert spark.read.parquet(out).count() == 15
 
 
+def test_stream_sink_exports_training_shards_from_an_event_stream(
+    spark, tmp_path
+):
+    """The sink's intended pipeline: a continuous training-data
+    export. Events arrive as a file stream, the feature projection
+    runs IN the stream (float features + label, the reference's
+    Example layout), and the tfrecord sink lands epoch shards that
+    batch-read back equal to the batch-computed feature frame."""
+    from customer_churn_prediction_spark.sources.tfrecord_datasource import (
+        register_tfrecord_format,
+    )
+
+    register_tfrecord_format(spark)
+    drop = str(tmp_path / "events_drop")
+    out = str(tmp_path / "shards")
+    events = spark.range(0, 200).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 40).alias("user_id"),
+        (F.col("id") % 11).cast("double").alias("value"),
+    )
+    events.repartition(2).write.parquet(drop)
+
+    def features(df):
+        return df.select(
+            F.array(
+                F.col("value").cast("float"),
+                (F.col("user_id") % 5).cast("float"),
+            ).alias("features"),
+            (F.col("user_id") % 2).cast("float").alias("label"),
+        )
+
+    q = (
+        features(spark.readStream.schema(events.schema).parquet(drop))
+        .writeStream.format("tfrecord")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt_export"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(
+        (tuple(r.features), r.label)
+        for r in spark.read.format("tfrecord").load(out).collect()
+    )
+    want = sorted(
+        (tuple(r.features), r.label) for r in features(events).collect()
+    )
+    assert got == want
+
+
 def test_partition_stream_reader_is_default_and_diffs_offsets(tmp_path):
     """The default stream reader is the partition-based one: offsets
     are the processed-file set, an epoch is one InputPartition per NEW
