@@ -127,9 +127,11 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk = exact.orderBy(F.desc("exact_cnt"), F.asc("key")).limit(
         CMS_TOPK
     )
-    # N from the exact aggregate, not a third scan (the exact side is
-    # the verification harness anyway; a production skew probe would
-    # ship ONLY the sketch scan).
+    # N from the exact aggregate, not a third scan: AQE reuses the
+    # per-key aggregate's exchange for this branch (pinned in the
+    # executed plan by tests/test_sketches.py). The exact side is the
+    # verification harness anyway; a production skew probe would ship
+    # ONLY the sketch scan.
     total = exact.agg(F.sum("exact_cnt").alias("n_total"))
 
     est = (

@@ -322,24 +322,46 @@ class _EpochPart(WriterCommitMessage):
     tmp_path: str
     partition_id: int
     n_records: int
+    query_id: str
 
 
 class TFRecordStreamWriter(DataSourceStreamWriter):
     """``df.writeStream.format("tfrecord")`` — exactly-once epochs.
 
-    The stream twin of :class:`TFRecordWriter`, same commit protocol
-    with the epoch id as the job qualifier: tasks write ``.inprogress``
-    temps (task-attempt-qualified, so speculative/zombie attempts can't
-    collide), the driver-side ``commit(messages, batchId)`` publishes
-    them under DETERMINISTIC names ``part-b{batchId}-{pid}.tfrecord``.
-    A replayed epoch (crash after the sink published but before the
-    engine logged the commit — the worst-case window) re-runs with the
-    SAME batchId, and commit first clears any ``part-b{batchId}-*``
-    leftovers before renaming, so the replay overwrites its own half-
-    publish instead of appending a duplicate. Earlier epochs' files are
-    never touched — the folder accumulates one immutable file set per
-    epoch, which is exactly the contract the drop-folder stream READER
-    requires of its producers, so a stream can relay tfrecord → tfrecord.
+    Commit protocol: tasks write uuid-named ``.epoch-{queryId}-…
+    .inprogress`` temps (task-attempt-qualified, so speculative/zombie
+    attempts can't collide); the driver-side ``commit(messages,
+    batchId)`` concatenates them (record framing is concatenable) and
+    publishes ONE file per epoch with a single atomic rename to the
+    DETERMINISTIC name ``part-{queryId}-b{batchId}.tfrecord``. That
+    name choice carries the correctness load:
+
+    * The query id (checkpoint-stable across restarts; from the
+      ``sql.streaming.queryId`` task property) scopes every name to
+      this query LINEAGE — a different query writing to the same
+      folder, or this folder already holding a previous export, can
+      never be clobbered by this query's epochs (the batch writer
+      job-qualifies its part names for the same reason).
+    * The single ``os.replace`` makes an epoch's visibility ATOMIC:
+      a replayed epoch (crash after publish, before the engine logged
+      the commit — the worst-case window) overwrites the same name
+      with the same row set, so the folder never shows a half-epoch
+      and a downstream drop-folder reader that already recorded the
+      file keeps a consistent view. Earlier epochs' files are never
+      touched — the folder accumulates one immutable file per epoch,
+      which is the producer contract the tfrecord stream READER
+      requires, so tfrecord → tfrecord relays are safe across crashes.
+    * After publishing, commit sweeps this lineage's leftover
+      ``.epoch-{queryId}-*`` temps (orphans from crashed attempts) —
+      microbatch commits are serial, so every match is dead.
+
+    Scale honesty: the driver copies each epoch's bytes once at
+    commit (tasks still write in parallel). That is the right trade
+    for drop-folder training-shard exports — one immutable shard per
+    epoch, atomically visible; a firehose-scale continuous export
+    belongs on ``foreachBatch`` + partitioned parquet (the
+    ``managed_ingest`` discipline), where publish is a partition
+    overwrite instead of a file concatenation.
     """
 
     def __init__(self, options) -> None:
@@ -353,37 +375,51 @@ class TFRecordStreamWriter(DataSourceStreamWriter):
 
         ctx = TaskContext.get()
         pid = ctx.partitionId()
+        qid = (
+            ctx.getLocalProperty("sql.streaming.queryId") or "noquery"
+        )[:8]
         os.makedirs(self._path, exist_ok=True)
         tmp = os.path.join(
             self._path,
-            f".epoch-{uuid.uuid4().hex[:12]}-{pid:05d}"
+            f".epoch-{qid}-{uuid.uuid4().hex[:12]}-{pid:05d}"
             f".inprogress-{ctx.taskAttemptId()}",
         )
         n = _write_records(tmp, iterator)
-        return _EpochPart(tmp_path=tmp, partition_id=pid, n_records=n)
-
-    def _epoch_final(self, batch_id: int, pid: int) -> str:
-        return os.path.join(
-            self._path, f"part-b{batch_id:08d}-{pid:05d}.tfrecord"
+        return _EpochPart(
+            tmp_path=tmp, partition_id=pid, n_records=n, query_id=qid
         )
 
     def commit(self, messages, batchId: int) -> None:
-        # Replay discipline: clear THIS epoch's previous (half-)publish
-        # first — a crashed attempt may have landed a different number
-        # of parts than this run produces.
+        import shutil
+
+        msgs = sorted(
+            (m for m in messages if m is not None),
+            key=lambda m: m.partition_id,
+        )
+        if not msgs:
+            return
+        qid = msgs[0].query_id
+        final = os.path.join(
+            self._path, f"part-{qid}-b{batchId:08d}.tfrecord"
+        )
+        staged = f"{final}.inprogress"
+        n_total = sum(m.n_records for m in msgs)
+        if n_total:
+            with open(staged, "wb") as out:
+                for m in msgs:
+                    if m.n_records:
+                        with open(m.tmp_path, "rb") as src:
+                            shutil.copyfileobj(src, out)
+            os.replace(staged, final)
+        for m in msgs:
+            if os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+        # Orphan sweep: any remaining temp of THIS lineage is from a
+        # crashed/aborted attempt (commits are serial) — dead weight.
         for stale in glob.glob(
-            os.path.join(self._path, f"part-b{batchId:08d}-*.tfrecord")
+            os.path.join(self._path, f".epoch-{qid}-*")
         ):
             os.remove(stale)
-        for m in messages:
-            if m is None:
-                continue
-            if m.n_records == 0:
-                os.remove(m.tmp_path)
-                continue
-            os.replace(
-                m.tmp_path, self._epoch_final(batchId, m.partition_id)
-            )
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages:

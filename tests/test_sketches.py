@@ -88,6 +88,24 @@ def _cms_estimates(df, key_frame):
     )
 
 
+def test_cms_total_reuses_exact_exchange_at_runtime(spark, sf_dir):
+    """The 'N from the exact aggregate, not a third scan' claim in
+    heavy_hitters_cms must hold in the EXECUTED adaptive plan: the
+    n_total branch rides a ReusedExchange of the exact per-key
+    aggregate (leaving exactly two parquet scans — sketch build and
+    exact counts), and the sketch reaches the estimate join as a
+    broadcast."""
+    df = sketches.heavy_hitters_cms(spark, sf_dir)
+    df.collect()  # drive to completion so AQE finalizes the plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan, plan
+    assert "ReusedExchange" in plan, (
+        "n_total no longer reuses the exact aggregate's exchange — "
+        "the events table is being scanned a third time:\n" + plan
+    )
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_cms_detects_an_injected_hot_key(spark):
     """Detection must be real: on a constructed stream — 1000 uniform
     background keys plus one key owning 2000 events — the SKETCH ALONE

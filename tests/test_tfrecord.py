@@ -576,6 +576,43 @@ def test_registered_format_stream_sink_relays_a_stream(spark, tmp_path):
     assert not g.glob(os.path.join(out, ".epoch-*"))
 
 
+def test_stream_sink_never_clobbers_another_lineage(spark, tmp_path):
+    """Epoch names are query-lineage-qualified: a stream sink starting
+    at batchId 0 into a folder that already holds ANOTHER writer's
+    files (a batch export here) must add, never clobber."""
+    from customer_churn_prediction_spark.sources.tfrecord_datasource import (
+        register_tfrecord_format,
+    )
+
+    register_tfrecord_format(spark)
+    out = str(tmp_path / "shared")
+    _feature_frame(spark, 7, 2).write.format("tfrecord").mode(
+        "overwrite"
+    ).save(out)
+    import glob as g
+
+    pre = set(g.glob(os.path.join(out, "*.tfrecord")))
+
+    src = str(tmp_path / "src_lineage")
+    _feature_frame(spark, 5, 1).write.format("tfrecord").mode(
+        "overwrite"
+    ).save(src)
+    q = (
+        spark.readStream.format("tfrecord").load(src)
+        .writeStream.format("tfrecord")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt_lineage"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert pre < set(g.glob(os.path.join(out, "*.tfrecord")))
+    assert spark.read.format("tfrecord").load(out).count() == 12
+
+
 def test_stream_sink_replayed_epoch_overwrites_not_duplicates(
     spark, tmp_path
 ):
