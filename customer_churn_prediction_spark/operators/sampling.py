@@ -1,0 +1,165 @@
+"""Seeded distributed negative sampling — the training-pair generator
+for implicit-feedback models (recommenders, two-tower retrieval,
+contrastive churn-sequence models).
+
+Implicit-feedback training data has only positives (the events a user
+DID perform); the model also needs per-user NEGATIVES — items the
+user never touched — and at 100 TB they must be drawn (a) without a
+per-user driver loop, (b) deterministically (a re-run or a
+hash-repartitioned re-read must emit the same pairs, or training is
+unreproducible), and (c) without materializing the user × item
+cross product. The reference stops at labeled positives
+(``RF/randomforest_churn.scala:212-227``); this op is the extension a
+sequence/retrieval pipeline bolts on.
+
+Algorithm (all relational, no RNG state):
+
+1. Positives = distinct (user, item) interactions.
+2. Item vocabulary gets a dense index 0..n-1 (global sort — the vocab
+   is model-sized, same class as the ANN codebooks/centroid collects).
+3. Each user gets ``OVERSAMPLE × K_NEG`` candidate slots; slot j maps
+   to index ``md5(seed|user|j) % n`` — a seeded hash, not an RNG, so
+   both engines and every re-run agree row-for-row.
+4. Candidates resolve to items through the vocab (broadcast — bounded
+   by vocab size), positives are removed with a left-anti equi-join,
+   per-user duplicate draws collapse to their first slot, and the
+   first ``K_NEG`` surviving slots win.
+
+Oversampling covers hash collisions with the user's own positives; a
+user whose positives blanket the vocabulary legitimately yields fewer
+(possibly zero) negatives — the honest outcome, asserted in tests
+rather than papered over. Every stage is an equi-join or a bounded
+explode (users × slots, a controlled constant fan-out): nothing here
+is O(users × items).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+SEED = "ns1"
+K_NEG = 4
+OVERSAMPLE = 3
+_N_SLOTS = K_NEG * OVERSAMPLE
+
+
+def _interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("int").alias("item"),
+        )
+        .where(F.col("item").isNotNull())
+        .distinct()
+    )
+
+
+def negative_samples_frame(
+    inter: DataFrame,
+    *,
+    k: int = K_NEG,
+    oversample: int = OVERSAMPLE,
+    seed: str = SEED,
+) -> DataFrame:
+    """Core sampler over any distinct (user_id, item) positives frame:
+    (user_id, neg_item, rank) with rank 1..k in draw order."""
+    n_slots = k * oversample
+    vocab = inter.select("item").distinct()
+    vocab_idx = vocab.select(
+        "item",
+        (F.row_number().over(Window.orderBy("item")) - 1).alias("idx"),
+    )
+    n_items = vocab.agg(F.count(F.lit(1)).alias("n_items"))
+
+    draw = (
+        f"pmod(cast(conv(substring(md5(concat('{seed}|', "
+        f"cast(user_id as string), '|', cast(slot as string))), 1, 15), "
+        f"16, 10) as bigint), n_items)"
+    )
+    cands = (
+        inter.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(n_items))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(n_slots - 1))
+            ).alias("slot"),
+            "n_items",
+        )
+        .select("user_id", "slot", F.expr(draw).alias("idx"))
+    )
+
+    negs = (
+        cands.join(F.broadcast(vocab_idx), "idx")
+        .select("user_id", "slot", "item")
+        .join(inter, ["user_id", "item"], "left_anti")
+        .groupBy("user_id", "item")
+        .agg(F.min("slot").alias("slot"))
+    )
+    by_user = Window.partitionBy("user_id").orderBy("slot")
+    return (
+        negs.select(
+            "user_id",
+            F.col("item").alias("neg_item"),
+            F.row_number().over(by_user).cast("int").alias("rank"),
+        )
+        .where(F.col("rank") <= k)
+    )
+
+
+def negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K seeded negatives per purchasing user over the events table."""
+    return negative_samples_frame(_interactions(spark, sf_dir))
+
+
+NEGATIVE_SAMPLING_ORACLE = f"""
+WITH inter AS (
+  SELECT DISTINCT user_id, CAST(props ->> 'k' AS INTEGER) AS item
+  FROM events
+  WHERE event_type = 'purchase' AND (props ->> 'k') IS NOT NULL
+),
+vocab AS (
+  SELECT item, ROW_NUMBER() OVER (ORDER BY item) - 1 AS idx
+  FROM (SELECT DISTINCT item FROM inter)
+),
+n AS (SELECT COUNT(*) AS n_items FROM vocab),
+slots AS (SELECT range AS slot FROM range({_N_SLOTS})),
+cands AS (
+  SELECT u.user_id, s.slot,
+    CAST(('0x' || substring(md5('{SEED}|' || CAST(u.user_id AS VARCHAR)
+          || '|' || CAST(s.slot AS VARCHAR)), 1, 15)) AS BIGINT)
+      % n.n_items AS idx
+  FROM (SELECT DISTINCT user_id FROM inter) u
+  CROSS JOIN slots s CROSS JOIN n
+),
+negs AS (
+  SELECT c.user_id, v.item, MIN(c.slot) AS slot
+  FROM cands c JOIN vocab v USING (idx)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM inter i
+    WHERE i.user_id = c.user_id AND i.item = v.item
+  )
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT user_id, item AS neg_item,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY slot)
+         AS INTEGER) AS rank
+  FROM negs
+)
+SELECT user_id, neg_item, rank FROM ranked WHERE rank <= {K_NEG}
+"""
+
+QUERIES = {
+    "negative_sampling": negative_sampling,
+}
+
+ORACLES = {
+    "negative_sampling": NEGATIVE_SAMPLING_ORACLE,
+}

@@ -217,7 +217,7 @@ def staged_modules() -> tuple:
     (`tests/test_staged_surface.py` holds the contract); the
     plan-hygiene goldens cover them too
     (`scripts/gen_plan_goldens.py`)."""
-    from ..ml import drift_features, survival
+    from ..ml import drift_features, encoding, survival
     from ..operators import (
         affinity,
         anomaly,
@@ -225,6 +225,7 @@ def staged_modules() -> tuple:
         funnels,
         quality,
         regression,
+        sampling,
         sketches,
     )
     from ..similarity import recall
@@ -232,7 +233,8 @@ def staged_modules() -> tuple:
 
     return (
         survival, funnels, quality, sketches, affinity, attribution,
-        anomaly, vocab, regression, drift_features, recall,
+        anomaly, vocab, regression, drift_features, recall, encoding,
+        sampling,
     )
 
 

@@ -1,0 +1,72 @@
+"""negative_sampling (operators/sampling.py) — staged-tier op at
+driver rigor: DuckDB oracle parity plus the sampler's contract — no
+sampled pair is a positive, draws are deterministic and seed-scoped,
+per-user output is capped at K with contiguous ranks, and a user
+whose positives blanket the vocabulary honestly yields nothing."""
+
+from __future__ import annotations
+
+from customer_churn_prediction_spark.operators import sampling
+
+from .oracle_utils import assert_matches_oracle
+
+
+def test_oracle_parity(spark, sf_dir):
+    assert_matches_oracle(
+        sampling.negative_sampling(spark, sf_dir),
+        sampling.NEGATIVE_SAMPLING_ORACLE,
+        sf_dir,
+    )
+
+
+def test_no_negative_is_a_positive(spark, sf_smoke):
+    inter = sampling._interactions(spark, sf_smoke)
+    negs = sampling.negative_sampling(spark, sf_smoke)
+    overlap = negs.join(
+        inter,
+        (negs.user_id == inter.user_id) & (negs.neg_item == inter.item),
+    )
+    assert overlap.count() == 0
+
+
+def test_per_user_cap_and_contiguous_ranks(spark, sf_smoke):
+    rows = sampling.negative_sampling(spark, sf_smoke).collect()
+    by_user: dict[int, list[int]] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r.rank)
+    assert by_user
+    for user, ranks in by_user.items():
+        ranks.sort()
+        assert ranks == list(range(1, len(ranks) + 1)), user
+        assert len(ranks) <= sampling.K_NEG
+
+
+def test_deterministic_and_seed_scoped(spark, sf_smoke):
+    inter = sampling._interactions(spark, sf_smoke)
+    a = set(map(tuple, sampling.negative_samples_frame(inter).collect()))
+    b = set(map(tuple, sampling.negative_samples_frame(inter).collect()))
+    assert a == b
+    c = set(
+        map(
+            tuple,
+            sampling.negative_samples_frame(inter, seed="other").collect(),
+        )
+    )
+    assert c and c != a
+
+
+def test_full_coverage_user_yields_zero_negatives(spark):
+    """User 1 has interacted with the ENTIRE vocabulary — there is no
+    valid negative, and the sampler must return none rather than leak
+    a positive. User 2 still gets its quota."""
+    inter = spark.createDataFrame(
+        [(1, i) for i in range(6)] + [(2, 0)],
+        "user_id long, item int",
+    )
+    out = sampling.negative_samples_frame(inter, k=2, oversample=6)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.user_id, set()).add(r.neg_item)
+    assert 1 not in got
+    assert len(got[2]) == 2
+    assert 0 not in got[2]
