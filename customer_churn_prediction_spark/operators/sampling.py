@@ -118,6 +118,60 @@ def negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negative_samples_frame(_interactions(spark, sf_dir))
 
 
+# --------------------------------------------------- positive pairs
+
+W_CTX = 8
+
+
+def sequence_pairs_frame(
+    ev: DataFrame, *, w_ctx: int = W_CTX
+) -> DataFrame:
+    """Next-item-prediction pairs from any (user_id, item, ts,
+    event_id) event frame: one training example per event that has
+    history — the last ``w_ctx`` items before it (oldest→newest,
+    pipe-packed like ``user_event_sequences``) and the event's item
+    as the target.
+
+    This is the positive half of the training-pair tier (the sampler
+    above draws the negatives): the dataloader step that turns an
+    event log into supervised sequence examples. One shuffle — the
+    per-user window; both the context (a bounded ROWS frame, never
+    the whole partition) and the position come off the SAME window,
+    so adding the pairs costs nothing beyond `user_event_sequences`'
+    own shape. Ordering is (ts, event_id) so ties are deterministic
+    in any engine; the first event per user has no history and emits
+    nothing (asserted, not silently padded)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ctx = F.collect_list("item").over(w.rowsBetween(-w_ctx, -1))
+    d = ev.select(
+        "user_id",
+        F.col("item").alias("target_item"),
+        F.row_number().over(w).cast("long").alias("pos"),
+        ctx.alias("ctx"),
+    )
+    return d.where(F.size("ctx") > 0).select(
+        "user_id",
+        "pos",
+        "target_item",
+        F.expr(
+            "concat_ws('|', transform(ctx, x -> cast(x as string)))"
+        ).alias("context"),
+        F.size("ctx").cast("int").alias("ctx_len"),
+    )
+
+
+def sequence_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(context, next-item) training pairs over the purchase stream."""
+    e = load_table(spark, sf_dir, "events")
+    ev = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("int").alias("item"),
+        "ts",
+        "event_id",
+    ).where(F.col("item").isNotNull())
+    return sequence_pairs_frame(ev)
+
+
 NEGATIVE_SAMPLING_ORACLE = f"""
 WITH inter AS (
   SELECT DISTINCT user_id, CAST(props ->> 'k' AS INTEGER) AS item
@@ -156,10 +210,33 @@ ranked AS (
 SELECT user_id, neg_item, rank FROM ranked WHERE rank <= {K_NEG}
 """
 
+SEQUENCE_PAIRS_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, CAST(props ->> 'k' AS INTEGER) AS item, ts, event_id
+  FROM events
+  WHERE event_type = 'purchase' AND (props ->> 'k') IS NOT NULL
+),
+seq AS (
+  SELECT user_id, item AS target_item,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS pos,
+    list(item) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN {W_CTX} PRECEDING AND 1 PRECEDING)
+      AS ctx
+  FROM ev
+)
+SELECT user_id, CAST(pos AS BIGINT) AS pos, target_item,
+       array_to_string(ctx, '|') AS context,
+       CAST(len(ctx) AS INTEGER) AS ctx_len
+FROM seq WHERE len(ctx) > 0
+"""
+
 QUERIES = {
     "negative_sampling": negative_sampling,
+    "sequence_training_pairs": sequence_training_pairs,
 }
 
 ORACLES = {
     "negative_sampling": NEGATIVE_SAMPLING_ORACLE,
+    "sequence_training_pairs": SEQUENCE_PAIRS_ORACLE,
 }

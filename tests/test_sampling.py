@@ -55,6 +55,67 @@ def test_deterministic_and_seed_scoped(spark, sf_smoke):
     assert c and c != a
 
 
+def test_sequence_pairs_oracle_parity(spark, sf_dir):
+    assert_matches_oracle(
+        sampling.sequence_training_pairs(spark, sf_dir),
+        sampling.SEQUENCE_PAIRS_ORACLE,
+        sf_dir,
+    )
+
+
+def _ev_frame(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, item int, ts timestamp, event_id long"
+    )
+
+
+def test_sequence_pairs_hand_check_and_truncation(spark):
+    """User 1's items in time order are 5,3,9,7: three pairs with
+    growing context. With w_ctx=2 the last context truncates to the
+    two MOST RECENT items (oldest dropped), and the first event emits
+    nothing."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 5, t0, 10), (1, 3, t0 + dt.timedelta(minutes=1), 11),
+        (1, 9, t0 + dt.timedelta(minutes=2), 12),
+        (1, 7, t0 + dt.timedelta(minutes=3), 13),
+    ]
+    out = {
+        r.pos: (r.context, r.target_item, r.ctx_len)
+        for r in sampling.sequence_pairs_frame(
+            _ev_frame(spark, rows), w_ctx=2
+        ).collect()
+    }
+    assert out == {
+        2: ("5", 3, 1),
+        3: ("5|3", 9, 2),
+        4: ("3|9", 7, 2),
+    }
+
+
+def test_sequence_pairs_never_leak_future(spark):
+    """Every context item must come from a strictly earlier event —
+    items are constructed unique-per-position so leakage is
+    detectable by value."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (u, u * 100 + i, t0 + dt.timedelta(minutes=i), u * 1000 + i)
+        for u in (1, 2) for i in range(6)
+    ]
+    for r in sampling.sequence_pairs_frame(_ev_frame(spark, rows)).collect():
+        ctx_positions = [int(x) % 100 for x in r.context.split("|")]
+        target_pos = r.target_item % 100
+        assert all(p < target_pos for p in ctx_positions), r
+    n_pairs = sampling.sequence_pairs_frame(
+        _ev_frame(spark, rows)
+    ).count()
+    assert n_pairs == 2 * (6 - 1)  # n-1 examples per user
+
+
 def test_full_coverage_user_yields_zero_negatives(spark):
     """User 1 has interacted with the ENTIRE vocabulary — there is no
     valid negative, and the sampler must return none rather than leak
