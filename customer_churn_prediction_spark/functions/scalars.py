@@ -91,8 +91,19 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S13/JSON surface (ours; serving JSON was pandas-side in the
     reference, GBDT/python/churn_xgb_server.py:13): get_json_object
-    over the events.props payload + aggregation on the parsed value."""
-    e = load_table(spark, sf_dir, "events")
+    over the events.props payload + aggregation on the parsed value.
+
+    ``spread=True``: JSON parse is heavy per-row expression work (the
+    same class as the text tier's minhash families), so a
+    single-row-group fixture file must fan out before the parse or
+    the whole query runs on one core — measured 2.25 → 1.30 s at the
+    ×10 events decade (the residue is the one-task read+shuffle-write
+    of the raw column, the split-parallelism floor of a one-row-group
+    file). ``from_json`` was A/B'd against ``get_json_object`` at ×10
+    and tied exactly (2.33 s both) — the parse cost is the JSON
+    tokenizer itself, not the path-extraction API. No-op on real
+    multi-file layouts."""
+    e = load_table(spark, sf_dir, "events", spread=True)
     parsed = e.select(
         "event_type",
         F.get_json_object("props", "$.k").cast("int").alias("k"),
