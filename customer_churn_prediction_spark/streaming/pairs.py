@@ -110,7 +110,10 @@ def streaming_sequence_pairs(events_stream: DataFrame) -> DataFrame:
             _pairs_update,
             outputStructType=_OUT_SCHEMA,
             stateStructType=_STATE_SCHEMA,
-            outputMode="update",
+            # append, not update: every emitted row is a NEW example
+            # (a pair is never revised), which is also what lets the
+            # append-only tfrecord stream sink consume this directly.
+            outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )

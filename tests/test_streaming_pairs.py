@@ -70,7 +70,7 @@ def test_stream_pairs_equal_batch_over_ordered_drops(
         q = (
             sp.streaming_sequence_pairs(stream)
             .writeStream.foreachBatch(land)
-            .outputMode("update")
+            .outputMode("append")
             .option("checkpointLocation", ckpt)
             .queryName("pairs_smoke")
             .start()
@@ -86,6 +86,68 @@ def test_stream_pairs_equal_batch_over_ordered_drops(
         got = sorted(map(tuple, _landed(spark, out).collect()))
         want = sorted(map(tuple, _want(events).collect()))
         assert len(got) == len(set(got))  # each pair exactly once
+        assert got == want and len(got) > 0
+    finally:
+        shutil.rmtree(drop_dir, ignore_errors=True)
+
+
+def _example_layout(pairs_df):
+    """(context, target) -> the reference's Example layout: a fixed
+    W_CTX-long float feature vector (left-padded with 0) + float
+    label — the shape the tfrecord sink ships to a trainer."""
+    ctx = F.expr("transform(split(context, '\\\\|'), x -> cast(x as float))")
+    pad = F.array_repeat(
+        F.lit(0.0).cast("float"), F.lit(sampling.W_CTX) - F.size(ctx)
+    )
+    return pairs_df.select(
+        F.concat(pad, ctx).alias("features"),
+        F.col("target_item").cast("float").alias("label"),
+    )
+
+
+def test_stream_pairs_export_to_tfrecord_shards(spark, sf_smoke, tmp_path):
+    """The tier end-to-end: live pair generation feeding the
+    continuous training-data export — stream pairs through the
+    Example projection into the registered tfrecord stream sink, and
+    the batch read-back must equal the batch pairs pushed through the
+    same projection."""
+    from customer_churn_prediction_spark.sources.tfrecord_datasource import (
+        register_tfrecord_format,
+    )
+
+    register_tfrecord_format(spark)
+    events, slices = _ordered_slices(spark, sf_smoke)
+    drop_dir = tempfile.mkdtemp(prefix="pairs_export_")
+    out = str(tmp_path / "shards")
+    ckpt = str(tmp_path / "ckpt")
+    try:
+        _drop(slices[0], drop_dir, 0)
+        stream = sw.as_stream(spark, drop_dir, events.schema)
+        q = (
+            _example_layout(sp.streaming_sequence_pairs(stream))
+            .writeStream.format("tfrecord")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .queryName("pairs_export")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            for i, s in enumerate(slices[1:], start=1):
+                _drop(s, drop_dir, i)
+                q.processAllAvailable()
+            assert q.exception() is None
+        finally:
+            q.stop()
+        got = sorted(
+            (tuple(r.features), r.label)
+            for r in spark.read.format("tfrecord").load(out).collect()
+        )
+        want = sorted(
+            (tuple(r.features), r.label)
+            for r in _example_layout(_want(events)).collect()
+        )
         assert got == want and len(got) > 0
     finally:
         shutil.rmtree(drop_dir, ignore_errors=True)
@@ -109,7 +171,7 @@ def test_stream_pairs_survive_checkpoint_resume(spark, sf_smoke, tmp_path):
         return (
             sp.streaming_sequence_pairs(stream)
             .writeStream.foreachBatch(land)
-            .outputMode("update")
+            .outputMode("append")
             .option("checkpointLocation", ckpt)
             .queryName(name)
             .start()
