@@ -55,6 +55,7 @@ from ..operators.labeling import label_churn
 
 N_FOLDS = 5
 SMOOTH_M = 20.0
+NULL_CATEGORY = "__null__"
 
 
 def target_encode_frame(
@@ -72,11 +73,19 @@ def target_encode_frame(
 
     Fold assignment is ``key % n_folds`` — deterministic, portable,
     and independent of row order (a hash-partitioned re-read assigns
-    identical folds)."""
+    identical folds).
+
+    A NULL category is a real category (missingness carries signal,
+    and web-scale categoricals routinely have it): it is coalesced to
+    a sentinel so its rows ride the same stats/join path instead of
+    vanishing through the NULL-never-equi-joins trapdoor."""
+    if not cat_cols:
+        raise ValueError("cat_cols must name at least one column")
     stack_expr = "stack({n}, {args}) AS (feature, category)".format(
         n=len(cat_cols),
         args=", ".join(
-            f"'{c}', CAST({c} AS STRING)" for c in cat_cols
+            f"'{c}', coalesce(CAST({c} AS STRING), '{NULL_CATEGORY}')"
+            for c in cat_cols
         ),
     )
     d = detail.select(
@@ -148,12 +157,16 @@ labeled AS (
 detail AS (
   SELECT l.c_custkey, l.label,
          CAST(l.c_custkey % {N_FOLDS} AS INTEGER) AS fold,
-         'c_mktsegment' AS feature, CAST(c.c_mktsegment AS VARCHAR) AS category
+         'c_mktsegment' AS feature,
+         COALESCE(CAST(c.c_mktsegment AS VARCHAR), '__null__')
+           AS category
   FROM labeled l JOIN customer c USING (c_custkey)
   UNION ALL
   SELECT l.c_custkey, l.label,
          CAST(l.c_custkey % {N_FOLDS} AS INTEGER) AS fold,
-         'c_nationkey' AS feature, CAST(c.c_nationkey AS VARCHAR) AS category
+         'c_nationkey' AS feature,
+         COALESCE(CAST(c.c_nationkey AS VARCHAR), '__null__')
+           AS category
   FROM labeled l JOIN customer c USING (c_custkey)
 ),
 stats AS (

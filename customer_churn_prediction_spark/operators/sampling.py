@@ -46,17 +46,30 @@ OVERSAMPLE = 3
 _N_SLOTS = K_NEG * OVERSAMPLE
 
 
-def _interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
+def project_purchases(events: DataFrame) -> DataFrame:
+    """THE one purchase projection every op in this tier shares —
+    batch pairs, negative sampling, and the streaming twin
+    (``streaming/pairs.py``) all call this, so the twins cannot
+    drift apart silently. ``try_cast`` (not ``cast``): a malformed
+    ``k`` payload drops the row on both engines instead of raising
+    under ANSI (the oracles mirror with ``TRY_CAST``)."""
     return (
-        e.where(F.col("event_type") == "purchase")
+        events.where(F.col("event_type") == "purchase")
         .select(
             "user_id",
-            F.get_json_object("props", "$.k").cast("int").alias("item"),
+            F.get_json_object("props", "$.k")
+            .try_cast("int")
+            .alias("item"),
+            "ts",
+            "event_id",
         )
         .where(F.col("item").isNotNull())
-        .distinct()
     )
+
+
+def _interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return project_purchases(e).select("user_id", "item").distinct()
 
 
 def negative_samples_frame(
@@ -76,10 +89,26 @@ def negative_samples_frame(
     )
     n_items = vocab.agg(F.count(F.lit(1)).alias("n_items"))
 
-    draw = (
-        f"pmod(cast(conv(substring(md5(concat('{seed}|', "
-        f"cast(user_id as string), '|', cast(slot as string))), 1, 15), "
-        f"16, 10) as bigint), n_items)"
+    # Column-built (no string splicing): a seed is data, not SQL.
+    draw = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(seed),
+                        F.lit("|"),
+                        F.col("user_id").cast("string"),
+                        F.lit("|"),
+                        F.col("slot").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.col("n_items"),
     )
     cands = (
         inter.select("user_id")
@@ -92,7 +121,7 @@ def negative_samples_frame(
             ).alias("slot"),
             "n_items",
         )
-        .select("user_id", "slot", F.expr(draw).alias("idx"))
+        .select("user_id", "slot", draw.alias("idx"))
     )
 
     negs = (
@@ -163,20 +192,15 @@ def sequence_pairs_frame(
 def sequence_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(context, next-item) training pairs over the purchase stream."""
     e = load_table(spark, sf_dir, "events")
-    ev = e.where(F.col("event_type") == "purchase").select(
-        "user_id",
-        F.get_json_object("props", "$.k").cast("int").alias("item"),
-        "ts",
-        "event_id",
-    ).where(F.col("item").isNotNull())
-    return sequence_pairs_frame(ev)
+    return sequence_pairs_frame(project_purchases(e))
 
 
 NEGATIVE_SAMPLING_ORACLE = f"""
 WITH inter AS (
-  SELECT DISTINCT user_id, CAST(props ->> 'k' AS INTEGER) AS item
+  SELECT DISTINCT user_id, TRY_CAST(props ->> 'k' AS INTEGER) AS item
   FROM events
-  WHERE event_type = 'purchase' AND (props ->> 'k') IS NOT NULL
+  WHERE event_type = 'purchase'
+    AND TRY_CAST(props ->> 'k' AS INTEGER) IS NOT NULL
 ),
 vocab AS (
   SELECT item, ROW_NUMBER() OVER (ORDER BY item) - 1 AS idx
@@ -212,9 +236,11 @@ SELECT user_id, neg_item, rank FROM ranked WHERE rank <= {K_NEG}
 
 SEQUENCE_PAIRS_ORACLE = f"""
 WITH ev AS (
-  SELECT user_id, CAST(props ->> 'k' AS INTEGER) AS item, ts, event_id
+  SELECT user_id, TRY_CAST(props ->> 'k' AS INTEGER) AS item,
+         ts, event_id
   FROM events
-  WHERE event_type = 'purchase' AND (props ->> 'k') IS NOT NULL
+  WHERE event_type = 'purchase'
+    AND TRY_CAST(props ->> 'k' AS INTEGER) IS NOT NULL
 ),
 seq AS (
   SELECT user_id, item AS target_item,

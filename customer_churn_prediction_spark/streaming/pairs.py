@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..operators.sampling import W_CTX
+from ..operators.sampling import project_purchases as _project_purchases
 
 _OUT_SCHEMA = (
     "user_id long, pos long, target_item int, context string, "
@@ -57,9 +58,13 @@ def _pairs_update(key, pdf_iter, state: GroupState):
         pos, items = 0, []
     arrived = []
     for pdf in pdf_iter:
-        micros = (pdf["ts"].astype("int64") // 1000).tolist()
+        # Raw int64 ticks: only used as a sort key, so the pandas
+        # datetime unit (ns vs us) is irrelevant as long as it is
+        # monotone — dividing to a fixed unit would collapse ties
+        # differently per unit.
+        ticks = pdf["ts"].astype("int64").tolist()
         arrived.extend(
-            zip(micros, pdf["event_id"].tolist(), pdf["item"].tolist())
+            zip(ticks, pdf["event_id"].tolist(), pdf["item"].tolist())
         )
     # Same order contract as the batch window: (ts, event_id) ASC.
     arrived.sort()
@@ -85,19 +90,9 @@ def _pairs_update(key, pdf_iter, state: GroupState):
         )
 
 
-def project_purchases(events: DataFrame) -> DataFrame:
-    """The shared batch/stream projection: purchase events to
-    (user_id, item, ts, event_id) — identical to the batch op's."""
-    return (
-        events.where(F.col("event_type") == "purchase")
-        .select(
-            "user_id",
-            F.get_json_object("props", "$.k").cast("int").alias("item"),
-            "ts",
-            "event_id",
-        )
-        .where(F.col("item").isNotNull())
-    )
+# THE shared batch/stream projection lives with the batch op so the
+# twins cannot drift; re-exported here for the stream-side callers.
+project_purchases = _project_purchases
 
 
 def streaming_sequence_pairs(events_stream: DataFrame) -> DataFrame:

@@ -105,6 +105,40 @@ def test_unseen_oof_category_encodes_to_smoothed_evidence(spark):
     assert got[(0, "cat")] == pytest.approx(want, abs=1e-6)
 
 
+def test_null_category_is_a_real_category(spark):
+    """Rows with a NULL categorical must not vanish through the
+    equi-join: NULL coalesces to the sentinel category and encodes
+    like any other (missingness carries signal)."""
+    rows = [
+        (0, None, 1), (2, None, 0), (4, "a", 1),
+        (1, "a", 1), (3, None, 0), (5, "a", 0), (7, "a", 1),
+    ]
+    out = encoding.target_encode_frame(
+        _frame(spark, rows), key_col="k", cat_cols=("cat",),
+        n_folds=2, m=1.0,
+    ).collect()
+    assert len(out) == len(rows)  # nothing dropped
+    null_rows = [r for r in out if r.category == encoding.NULL_CATEGORY]
+    assert {r.k for r in null_rows} == {0, 2, 3}
+    assert all(r.enc is not None for r in out)
+    # k=3 (fold 1): the only other-fold null row is k=0/k=2 (s=1,n=2)
+    prior = (1 + 0 + 1) / 3  # labels of even keys (fold 0)
+    want = (1 + 1.0 * prior) / (2 + 1.0)
+    got = {r.k: r.enc for r in null_rows}
+    import pytest as _pt
+
+    assert got[3] == _pt.approx(want, abs=1e-6)
+
+
+def test_empty_cat_cols_raises_clearly(spark):
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="cat_cols"):
+        encoding.target_encode_frame(
+            _frame(spark, [(0, "a", 1)]), key_col="k"
+        )
+
+
 def test_plan_broadcasts_enc_table_and_prunes_scans(spark, sf_smoke):
     """The encode table must come back as a broadcast join (its build
     side is model-sized), and the customer scan must prune to the
