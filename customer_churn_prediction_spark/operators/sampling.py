@@ -147,6 +147,142 @@ def negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negative_samples_frame(_interactions(spark, sf_dir))
 
 
+# ------------------------------------------- popularity-weighted draw
+
+W_SEED = "nsw1"
+_CDF_BUCKETS = 1024
+
+
+def _hash_draw(seed: str, modulus) -> "F.Column":
+    """Seeded 60-bit md5 draw on (user_id, slot), reduced mod
+    ``modulus`` (a column). Column-built — the seed is data."""
+    return F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(seed),
+                        F.lit("|"),
+                        F.col("user_id").cast("string"),
+                        F.lit("|"),
+                        F.col("slot").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        modulus,
+    )
+
+
+def weighted_negative_samples_frame(
+    inter: DataFrame,
+    *,
+    k: int = K_NEG,
+    oversample: int = OVERSAMPLE,
+    seed: str = W_SEED,
+) -> DataFrame:
+    """Popularity-weighted negatives: items are drawn with probability
+    proportional to their interaction count (the standard
+    implicit-feedback practice — uniform negatives are too easy; the
+    model must learn to rank positives above POPULAR items it has
+    not seen with this user).
+
+    The classic weighted draw is a binary search over the CDF — a
+    per-row loop. The relational, 100-TB shape used here is a
+    **quantized-CDF equi-join**: the vocabulary CDF (model-sized) is
+    exploded into the fixed ``_CDF_BUCKETS`` grid — each item covers
+    the buckets its [lo, hi) weight interval spans, ~(V + B) span
+    rows total — and a draw d ∈ [0, total_weight) equi-joins on
+    ``bucket(d) = d·B div total`` with the exact interval check as
+    the join residual. No range join, no nested loop: one broadcast
+    hash join on the bucket key. All weights and boundaries are exact
+    integers (interaction counts), so both engines agree bit-for-bit
+    — no float CDF drift. Everything downstream (anti-join positives,
+    first-k surviving slots) is the uniform sampler's pipeline."""
+    n_slots = k * oversample
+    freq = inter.groupBy("item").agg(F.count(F.lit(1)).alias("w"))
+    cum = Window.orderBy("item").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cdf = freq.select(
+        "item",
+        "w",
+        F.sum("w").over(cum).alias("hi"),
+    ).select("item", (F.col("hi") - F.col("w")).alias("lo"), "hi")
+    total = freq.agg(F.sum("w").cast("bigint").alias("total_w"))
+
+    # `div` (integer division), never `/`: bigint / bigint is DOUBLE
+    # in Spark and loses exactness past 2^53 — bucket boundaries must
+    # be bit-exact on both engines.
+    spans = cdf.crossJoin(F.broadcast(total)).select(
+        "item",
+        "lo",
+        "hi",
+        F.expr(
+            f"explode(sequence((lo * {_CDF_BUCKETS}) div total_w, "
+            f"((hi - 1) * {_CDF_BUCKETS}) div total_w))"
+        ).alias("bucket"),
+    )
+
+    cands = (
+        inter.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(total))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(n_slots - 1))
+            ).alias("slot"),
+            "total_w",
+        )
+        .select(
+            "user_id",
+            "slot",
+            _hash_draw(seed, F.col("total_w")).alias("d"),
+            "total_w",
+        )
+        .select(
+            "user_id",
+            "slot",
+            "d",
+            F.expr(f"(d * {_CDF_BUCKETS}) div total_w").alias("bucket"),
+        )
+    )
+
+    negs = (
+        cands.join(
+            F.broadcast(spans),
+            (cands.bucket == spans.bucket)
+            & (F.col("d") >= F.col("lo"))
+            & (F.col("d") < F.col("hi")),
+        )
+        .select("user_id", "slot", "item")
+        .join(inter, ["user_id", "item"], "left_anti")
+        .groupBy("user_id", "item")
+        .agg(F.min("slot").alias("slot"))
+    )
+    by_user = Window.partitionBy("user_id").orderBy("slot")
+    return (
+        negs.select(
+            "user_id",
+            F.col("item").alias("neg_item"),
+            F.row_number().over(by_user).cast("int").alias("rank"),
+        )
+        .where(F.col("rank") <= k)
+    )
+
+
+def negative_sampling_weighted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """K popularity-weighted seeded negatives per purchasing user."""
+    return weighted_negative_samples_frame(_interactions(spark, sf_dir))
+
+
 # --------------------------------------------------- positive pairs
 
 W_CTX = 8
@@ -257,12 +393,69 @@ SELECT user_id, CAST(pos AS BIGINT) AS pos, target_item,
 FROM seq WHERE len(ctx) > 0
 """
 
+WEIGHTED_SAMPLING_ORACLE = f"""
+WITH inter AS (
+  SELECT DISTINCT user_id, TRY_CAST(props ->> 'k' AS INTEGER) AS item
+  FROM events
+  WHERE event_type = 'purchase'
+    AND TRY_CAST(props ->> 'k' AS INTEGER) IS NOT NULL
+),
+freq AS (SELECT item, COUNT(*) AS w FROM inter GROUP BY item),
+cdf AS (
+  SELECT item,
+    SUM(w) OVER (ORDER BY item
+                 ROWS UNBOUNDED PRECEDING) - w AS lo,
+    SUM(w) OVER (ORDER BY item ROWS UNBOUNDED PRECEDING) AS hi
+  FROM freq
+),
+t AS (SELECT CAST(SUM(w) AS BIGINT) AS total_w FROM freq),
+spans AS (
+  SELECT c.item, c.lo, c.hi,
+    unnest(generate_series(
+      CAST((c.lo * {_CDF_BUCKETS}) // t.total_w AS BIGINT),
+      CAST(((c.hi - 1) * {_CDF_BUCKETS}) // t.total_w AS BIGINT)))
+      AS bucket
+  FROM cdf c CROSS JOIN t
+),
+slots AS (SELECT range AS slot FROM range({_N_SLOTS})),
+cands AS (
+  SELECT u.user_id, s.slot,
+    CAST(('0x' || substring(md5('{W_SEED}|' || CAST(u.user_id AS VARCHAR)
+          || '|' || CAST(s.slot AS VARCHAR)), 1, 15)) AS BIGINT)
+      % t.total_w AS d,
+    t.total_w
+  FROM (SELECT DISTINCT user_id FROM inter) u
+  CROSS JOIN slots s CROSS JOIN t
+),
+negs AS (
+  SELECT c.user_id, sp.item, MIN(c.slot) AS slot
+  FROM cands c
+  JOIN spans sp
+    ON sp.bucket = (c.d * {_CDF_BUCKETS}) // c.total_w
+   AND c.d >= sp.lo AND c.d < sp.hi
+  WHERE NOT EXISTS (
+    SELECT 1 FROM inter i
+    WHERE i.user_id = c.user_id AND i.item = sp.item
+  )
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT user_id, item AS neg_item,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY slot)
+         AS INTEGER) AS rank
+  FROM negs
+)
+SELECT user_id, neg_item, rank FROM ranked WHERE rank <= {K_NEG}
+"""
+
 QUERIES = {
     "negative_sampling": negative_sampling,
+    "negative_sampling_weighted": negative_sampling_weighted,
     "sequence_training_pairs": sequence_training_pairs,
 }
 
 ORACLES = {
     "negative_sampling": NEGATIVE_SAMPLING_ORACLE,
+    "negative_sampling_weighted": WEIGHTED_SAMPLING_ORACLE,
     "sequence_training_pairs": SEQUENCE_PAIRS_ORACLE,
 }

@@ -55,6 +55,87 @@ def test_deterministic_and_seed_scoped(spark, sf_smoke):
     assert c and c != a
 
 
+def test_weighted_oracle_parity(spark, sf_dir):
+    assert_matches_oracle(
+        sampling.negative_sampling_weighted(spark, sf_dir),
+        sampling.WEIGHTED_SAMPLING_ORACLE,
+        sf_dir,
+    )
+
+
+def test_weighted_draw_prefers_popular_items(spark):
+    """50 background users interact with item 1 only (weight 50);
+    items 10..19 carry weight 1 each. For fresh test users whose only
+    positive is item 10, the weighted sampler should hand item 1 to
+    essentially everyone (p(miss)/slot = 10/60, 12 slots), while the
+    uniform sampler treats item 1 as one of 11 candidates."""
+    rows = (
+        [(u, 1) for u in range(50)]
+        + [(50 + i, 10 + i) for i in range(10)]
+        + [(1000 + t, 10) for t in range(40)]
+    )
+    inter = spark.createDataFrame(rows, "user_id long, item int")
+    weighted = sampling.weighted_negative_samples_frame(inter)
+    test_users_hot = {
+        r.user_id
+        for r in weighted.collect()
+        if r.user_id >= 1000 and r.neg_item == 1
+    }
+    assert len(test_users_hot) >= 38  # ~all 40
+    uniform = sampling.negative_samples_frame(inter)
+    uni_hot = {
+        r.user_id
+        for r in uniform.collect()
+        if r.user_id >= 1000 and r.neg_item == 1
+    }
+    # uniform: item 1 is 1 of 11 vocab items; with 12 draws kept 4,
+    # it must NOT dominate the test users the way the weighted draw
+    # does
+    assert len(uni_hot) < len(test_users_hot)
+
+
+def test_weighted_no_negative_is_a_positive_and_caps_hold(spark, sf_smoke):
+    inter = sampling._interactions(spark, sf_smoke)
+    negs = sampling.negative_sampling_weighted(spark, sf_smoke)
+    overlap = negs.join(
+        inter,
+        (negs.user_id == inter.user_id) & (negs.neg_item == inter.item),
+    )
+    assert overlap.count() == 0
+    by_user: dict[int, list[int]] = {}
+    for r in negs.collect():
+        by_user.setdefault(r.user_id, []).append(r.rank)
+    assert by_user
+    for user, ranks in by_user.items():
+        ranks.sort()
+        assert ranks == list(range(1, len(ranks) + 1)), user
+        assert len(ranks) <= sampling.K_NEG
+
+
+def test_weighted_cdf_covers_every_draw(spark):
+    """Every draw lands in exactly one item interval — the quantized
+    bucket join must never drop or double-match a candidate (12
+    slots per user before the positive anti-join)."""
+    rows = [(u, u % 7) for u in range(21)]
+    inter = spark.createDataFrame(rows, "user_id long, item int")
+    n_users = 21
+    # re-run the internal candidate join without the anti-join by
+    # sampling with k*oversample slots and no positives to subtract:
+    # a disjoint user set carries no positives at all
+    fresh = spark.createDataFrame(
+        [(100 + u, 99) for u in range(5)], "user_id long, item int"
+    )
+    both = inter.union(fresh)
+    out = sampling.weighted_negative_samples_frame(both, k=3, oversample=4)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.user_id, []).append(r.neg_item)
+    # the 5 fresh users (single positive: item 99, weight 5 of 26)
+    # must each receive their full k=3 negatives
+    for u in range(100, 105):
+        assert len(got[u]) == 3, (u, got.get(u))
+
+
 def test_sequence_pairs_oracle_parity(spark, sf_dir):
     assert_matches_oracle(
         sampling.sequence_training_pairs(spark, sf_dir),
