@@ -331,6 +331,36 @@ def sequence_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequence_pairs_frame(project_purchases(e))
 
 
+def sequence_split_leave_last(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The pairs with the standard leave-last-out evaluation split:
+    each user's chronologically LAST example is ``valid``, everything
+    earlier is ``train``. This is the sequence-model analogue of the
+    corpus tier's leak-proof split — a random row split would leak
+    future interactions of the same user into training, inflating
+    offline metrics exactly the way near-dup leakage inflates LM
+    evals.
+
+    Cost: one extra window over the SAME user_id partitioning the
+    pairs window already established — Spark reuses the partitioning,
+    so no additional Exchange (pinned by the shuffle-budget golden:
+    this query budgets the same single shuffle as
+    ``sequence_training_pairs``)."""
+    pairs = sequence_training_pairs(spark, sf_dir)
+    last_pos = F.max("pos").over(Window.partitionBy("user_id"))
+    return pairs.select(
+        "user_id",
+        "pos",
+        "target_item",
+        "context",
+        "ctx_len",
+        F.when(F.col("pos") == last_pos, F.lit("valid"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
 NEGATIVE_SAMPLING_ORACLE = f"""
 WITH inter AS (
   SELECT DISTINCT user_id, TRY_CAST(props ->> 'k' AS INTEGER) AS item
@@ -448,14 +478,24 @@ ranked AS (
 SELECT user_id, neg_item, rank FROM ranked WHERE rank <= {K_NEG}
 """
 
+SEQUENCE_SPLIT_ORACLE = f"""
+WITH pairs AS ({SEQUENCE_PAIRS_ORACLE})
+SELECT user_id, pos, target_item, context, ctx_len,
+  CASE WHEN pos = MAX(pos) OVER (PARTITION BY user_id)
+       THEN 'valid' ELSE 'train' END AS split
+FROM pairs
+"""
+
 QUERIES = {
     "negative_sampling": negative_sampling,
     "negative_sampling_weighted": negative_sampling_weighted,
     "sequence_training_pairs": sequence_training_pairs,
+    "sequence_split_leave_last": sequence_split_leave_last,
 }
 
 ORACLES = {
     "negative_sampling": NEGATIVE_SAMPLING_ORACLE,
     "negative_sampling_weighted": WEIGHTED_SAMPLING_ORACLE,
     "sequence_training_pairs": SEQUENCE_PAIRS_ORACLE,
+    "sequence_split_leave_last": SEQUENCE_SPLIT_ORACLE,
 }

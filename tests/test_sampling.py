@@ -197,6 +197,43 @@ def test_sequence_pairs_never_leak_future(spark):
     assert n_pairs == 2 * (6 - 1)  # n-1 examples per user
 
 
+def test_split_oracle_parity(spark, sf_dir):
+    assert_matches_oracle(
+        sampling.sequence_split_leave_last(spark, sf_dir),
+        sampling.SEQUENCE_SPLIT_ORACLE,
+        sf_dir,
+    )
+
+
+def test_leave_last_split_contract(spark, sf_smoke):
+    """Exactly one valid example per user with history, it is the
+    chronologically last one, and train/valid partition the pairs."""
+    rows = sampling.sequence_split_leave_last(spark, sf_smoke).collect()
+    assert rows
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for user, rs in by_user.items():
+        valid = [r for r in rs if r.split == "valid"]
+        assert len(valid) == 1, user
+        assert valid[0].pos == max(r.pos for r in rs), user
+        assert all(r.split in ("train", "valid") for r in rs)
+
+
+def test_split_adds_no_shuffle_over_pairs(spark, sf_smoke):
+    """The split window rides the pairs window's user_id partitioning
+    — same Exchange count in the executed plan."""
+    from customer_churn_prediction_spark.plans.audit import (
+        count_shuffle_exchanges,
+    )
+
+    pairs = sampling.sequence_training_pairs(spark, sf_smoke)
+    split = sampling.sequence_split_leave_last(spark, sf_smoke)
+    assert count_shuffle_exchanges(split) == count_shuffle_exchanges(
+        pairs
+    )
+
+
 def test_full_coverage_user_yields_zero_negatives(spark):
     """User 1 has interacted with the ENTIRE vocabulary — there is no
     valid negative, and the sampler must return none rather than leak
