@@ -234,6 +234,84 @@ def test_split_adds_no_shuffle_over_pairs(spark, sf_smoke):
     )
 
 
+_hyp_inter = None
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _hyp_inter = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),   # user
+            st.integers(min_value=0, max_value=9),   # item
+        ),
+        min_size=1,
+        max_size=25,
+    )
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
+
+
+@settings(max_examples=8, deadline=None)
+@given(_hyp_inter)
+def test_sampler_invariants_hold_for_any_interaction_set(spark, raw):
+    """For ANY small interaction multiset, both samplers must satisfy
+    the full contract: no emitted negative is a positive, ranks are
+    contiguous from 1, per-user count <= k, and the two samplers
+    agree on WHICH users can receive negatives (those not covering
+    the vocabulary)."""
+    inter = spark.createDataFrame(
+        sorted(set(raw)), "user_id long, item int"
+    )
+    pos = set(inter.collect())
+    vocab = {i for _, i in pos}
+    by_sampler = {}
+    for name, fn in (
+        ("uniform", sampling.negative_samples_frame),
+        ("weighted", sampling.weighted_negative_samples_frame),
+    ):
+        got: dict[int, list] = {}
+        for r in fn(inter, k=2, oversample=6).collect():
+            assert (r.user_id, r.neg_item) not in pos, name
+            assert r.neg_item in vocab, name
+            got.setdefault(r.user_id, []).append(r.rank)
+        for u, ranks in got.items():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1)), name
+            assert len(ranks) <= 2, name
+        by_sampler[name] = got
+    # a user owning the whole vocabulary gets nothing from EITHER
+    full_cover = {
+        u
+        for u in {u for u, _ in pos}
+        if {i for uu, i in pos if uu == u} == vocab
+    }
+    for name, got in by_sampler.items():
+        assert not (full_cover & set(got)), name
+
+
+@settings(max_examples=8, deadline=None)
+@given(_hyp_inter)
+def test_pairs_invariants_hold_for_any_event_log(spark, raw):
+    """For ANY event log: n_users_with_history pairs short of the
+    event count, contexts only ever reference strictly earlier
+    events, and ctx_len is capped by w_ctx."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (u, it, t0 + dt.timedelta(minutes=i), i)
+        for i, (u, it) in enumerate(raw)
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, item int, ts timestamp, event_id long"
+    )
+    out = sampling.sequence_pairs_frame(ev, w_ctx=3).collect()
+    n_users = len({u for u, _ in raw})
+    assert len(out) == len(raw) - n_users  # first event of each user
+    for r in out:
+        assert 1 <= r.ctx_len <= 3
+        assert r.context.count("|") == r.ctx_len - 1
+        assert r.pos >= 2
+
+
 def test_full_coverage_user_yields_zero_negatives(spark):
     """User 1 has interacted with the ENTIRE vocabulary — there is no
     valid negative, and the sampler must return none rather than leak
