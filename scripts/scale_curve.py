@@ -103,6 +103,11 @@ EVENTS_ONLY_QUERIES = [
     "funnel_conversion",
     "attribution_last_touch",
     "hourly_anomalies",
+    # r7 training-pair tier (staged)
+    "negative_sampling",
+    "negative_sampling_weighted",
+    "sequence_training_pairs",
+    "sequence_split_leave_last",
 ]
 
 CURVE_QUERIES = [
