@@ -120,6 +120,10 @@ BENCH_QUERIES = [
     # tier (feature_assembly_onepass retired to its verified-equal
     # chain twin, freeing the slot).
     "vocab_bpe_merges",
+    # r8 addition: the encode step — applies the memoized merge table
+    # as a pure map over the corpus (the fit memo FEEDS per-call work,
+    # embedding_pq-style, so it is deliberately NOT in _FIT_MEMOS).
+    "text_tokenize_bpe",
 ]
 
 

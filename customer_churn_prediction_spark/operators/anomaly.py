@@ -28,6 +28,10 @@ Z_FLAG = 3.0
 
 
 def hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event-volume anomaly flags: each hour's count z-scored
+    against its trailing 48-hour window (exact integer sums, 24-hour
+    warm-up), flagged at 3 sigma — one hour-grain hash aggregate, then
+    windows over aggregate rows only."""
     e = load_table(spark, sf_dir, "events")
     observed = (
         e.select(F.date_trunc("hour", F.col("ts")).alias("hour"))

@@ -80,6 +80,10 @@ def attribution_frame(events: DataFrame) -> DataFrame:
 
 
 def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel last-touch attribution report: each purchase
+    credited to the user's most recent preceding click/view within a
+    72 h lookback (else 'direct') via one user-keyed ignore-nulls
+    window — no purchases-to-touches self-join."""
     return attribution_frame(load_table(spark, sf_dir, "events"))
 
 

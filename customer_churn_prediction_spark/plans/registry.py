@@ -91,6 +91,10 @@ RETIRED = {
     # The onepass scale shape stays in the module, benched and
     # scale-curved; the registered chain carries the driver row.
     "feature_assembly_onepass": "feature_assembly",
+    # r8: ≡ label_churn filtered to label=1 (J3 three-form equivalence,
+    # permanent equality pytest tests/test_labeling.py). The freed slot
+    # registers text_tokenize_bpe, completing the BPE train+encode pair.
+    "label_churned_anti": "label_churn",
 }
 
 # Deliberate non-scale baselines kept registered for recall/correctness
@@ -108,68 +112,67 @@ BASELINES = {
 
 
 # Driver-budget rotation (the driver checks ~50 entries per round):
-# round 7 front-loads the 49 entries whose most recent driver row is
-# round 5 (everything r6's PRIORITY did not cover), plus the newly
-# registered vocab_bpe_merges as the 50th (a new entry has no history,
-# so it must be proven in its registration round). dedup_semantic
-# (green r6) rotates into round 8 alongside the 48 other r6-green
-# entries — feature_assembly_onepass's retirement keeps that list at
-# 49, preserving the 1-spare-per-cycle slack the 100-entry ceiling
-# otherwise erases. tests/test_registry_rotation.py asserts this list
-# keeps every entry's latest green row at most one round old.
+# round 8 front-loads the entries whose most recent driver row is
+# round 6 (everything r7's PRIORITY did not cover — ROADMAP.md
+# "Round-8 rotation" lists them; label_churned_anti retired from that
+# list into its verified-equal twin, see RETIRED), plus the newly
+# registered text_tokenize_bpe as the closer (a new entry has no
+# history, so it must be proven in its registration round). The r7
+# 50 — all green in CORRECTNESS_r07 — rotate into round 9.
+# tests/test_registry_rotation.py asserts this list keeps every
+# entry's latest green row at most one round old.
 PRIORITY = [
-    # latest green row is r5 — re-prove before the evidence goes stale
-    "set_ops_buyers",
-    "distinct_pairs",
-    "salted_join_revenue",
-    "groupby_sum",
-    "user_event_sequences",
-    "range_join_events",
-    "date_functions",
-    "round_bround",
-    "md5_salted_key",
-    "string_functions",
-    "json_extract_events",
-    "text_sentences",
-    "stream_tumbling_counts",
-    "stream_sliding_counts",
-    "stream_session_windows",
-    "stream_dedup_events",
-    "stream_user_totals",
-    "rollup_daily_from_hourly",
-    "text_stats",
-    "text_lang_id",
-    "text_token_counts",
-    "text_fingerprint",
-    "corpus_curation",
-    "text_repetition",
-    "corpus_mix",
-    "text_logprob",
-    "corpus_keep_decision",
-    "dedup_exact",
-    "dedup_minhash_signatures",
-    "dedup_minhash_lsh_pairs",
-    "dedup_lsh_groups",
-    "corpus_dedup_keep",
-    "contamination_check",
-    "ann_lsh_bucketed",
-    "ann_ivf_kmeans",
-    "embedding_quantize",
-    "ann_bruteforce_int8",
-    "ann_bruteforce_int8_stored",
-    "ann_recall_eval",
-    "ml_rf_churn",
-    "ml_gbt_churn",
-    "ml_lr_churn",
-    "ml_fm_churn",
-    "ml_feature_vectors",
-    "drift_psi",
-    "score_band_lift",
-    "eval_ks",
-    "multimodal_features",
-    "multimodal_frames",
-    # registered in r7 — first driver row this round
-    "vocab_bpe_merges",
+    # latest green row is r6 — re-prove before the evidence goes stale
+    "rfm_groupby",
+    "feature_assembly",
+    "label_churn",
+    "label_class_balance",
+    "scan_filter_project",
+    "having_repurchase",
+    "isin_filter",
+    "na_fill_left_join",
+    "topk_orders",
+    "sampled_orders",
+    "groupby_count",
+    "avg_by_segment",
+    "approx_distinct_users",
+    "grouping_sets_revenue",
+    "pivot_status_priority",
+    "percentile_quantity",
+    "eval_confusion",
+    "latest_order_per_customer",
+    "purchase_gaps",
+    "running_spend",
+    "asof_join_clicks",
+    "event_sessions",
+    "text_tfidf_topk",
+    "corpus_sample_stratified",
+    "text_chunks",
+    "corpus_pack",
+    "text_redact",
+    "dedup_lsh_components",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_lsh_verified",
+    "dedup_incremental",
+    "dedup_incremental_materialized",
+    "dedup_cross_modal",
+    "text_dup_spans",
+    "corpus_clean_spans",
+    "corpus_split_leakproof",
+    "ann_bruteforce_topk",
+    "ann_ivf",
+    "ann_ivf_materialized",
+    "dedup_semantic",
+    "embedding_pq",
+    "ann_pq_adc",
+    "ann_ivf_pq",
+    "ann_ivf_pq_stored",
+    "feature_bucketize",
+    "model_calibration",
+    "feature_iv",
+    # registered in r8 — first driver row this round
+    "text_tokenize_bpe",
 ]
 
 

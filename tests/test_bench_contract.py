@@ -47,6 +47,8 @@ def test_bench_covers_recent_additions():
         "model_calibration", "feature_iv", "event_sessions",
         # r7 registration
         "vocab_bpe_merges",
+        # r8 registration
+        "text_tokenize_bpe",
     }
     assert tracked <= names, sorted(tracked - names)
 

@@ -13,7 +13,7 @@ from customer_churn_prediction_spark.plans import registry
 EXPECTED = {
     # relational / feature surface
     "rfm_groupby", "feature_assembly",
-    "label_churn", "label_churned_anti",
+    "label_churn",
     "label_class_balance", "scan_filter_project",
     "having_repurchase", "isin_filter", "na_fill_left_join", "topk_orders",
     "set_ops_buyers", "distinct_pairs", "salted_join_revenue",
@@ -40,6 +40,7 @@ EXPECTED = {
     "dedup_ngram_jaccard", "dedup_lsh_verified", "dedup_cross_modal",
     "text_dup_spans", "corpus_clean_spans", "corpus_split_leakproof",
     "vocab_bpe_merges",  # r7: graduated from the staged tier
+    "text_tokenize_bpe",  # r8: graduated — BPE train+encode pair complete
     "dedup_semantic", "text_repetition", "corpus_mix",
     "contamination_check", "text_logprob", "ann_recall_eval",
     "user_event_sequences", "corpus_keep_decision",
