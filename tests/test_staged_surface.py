@@ -52,6 +52,31 @@ def test_staged_surface_is_registration_ready():
         assert isinstance(sql, str) and "SELECT" in sql.upper()
 
 
+def test_staged_correctness_artifact_is_current_and_green():
+    """STAGED_CORRECTNESS.json (scripts/staged_driver_sim.py) makes the
+    staged tier's oracle parity machine-visible next to the driver's
+    CORRECTNESS_r{N}.json chain. It must cover exactly the current
+    staged surface and be all-green — regenerate it whenever a staged
+    query is added, removed, graduated, or changed."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "STAGED_CORRECTNESS.json",
+    )
+    assert os.path.exists(path), (
+        "run: python scripts/staged_driver_sim.py"
+    )
+    with open(path) as fh:
+        rows = json.load(fh)
+    assert set(rows) == set(_staged()), (
+        "staged surface changed — regenerate STAGED_CORRECTNESS.json"
+    )
+    not_green = [n for n, r in rows.items() if not r.get("hash_match")]
+    assert not not_green, not_green
+
+
 def test_staged_oracles_parse_in_duckdb():
     """Every staged oracle must at least PLAN against the fixture
     views — a syntax error should fail here, not at r6 registration."""
