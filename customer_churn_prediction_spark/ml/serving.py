@@ -34,6 +34,7 @@ scan and the only materialization is the per-epoch sink write.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import uuid
@@ -144,21 +145,31 @@ def load_serving_bundle(path: str) -> tuple[PipelineModel, dict]:
     absolute-path re-export hit the SAME cache entry (otherwise the
     re-export invalidation could miss).
 
-    Every hit re-stats ``manifest.json`` (one syscall — no JSON parse,
-    no model deserialization): a bundle re-exported by a DIFFERENT
-    process (trainer writes, this scorer serves) changes the manifest's
-    (mtime_ns, size) fingerprint, and the stale cache entry is dropped
-    and reloaded instead of answering with the previous model. The
-    manifest is the right sentinel because export publishes it LAST
-    (atomic ``os.replace`` after the model write), so a new fingerprint
+    Every hit re-reads ``manifest.json`` (a few hundred bytes — no
+    model deserialization): a bundle re-exported by a DIFFERENT
+    process (trainer writes, this scorer serves) changes the
+    manifest's (mtime_ns, size, content-hash) fingerprint, and the
+    stale cache entry is dropped and reloaded instead of answering
+    with the previous model. The content hash is load-bearing, not
+    belt-and-braces: ``export_id`` is fixed-length uuid hex, so a
+    re-export is byte-identical in SIZE, and on coarse-mtime
+    filesystems (NFS/FUSE — exactly the trainer-writes/scorer-serves
+    deploys this targets) a rapid re-export can leave mtime_ns
+    unchanged too; only the bytes always differ. The manifest is the
+    right sentinel because export publishes it LAST (atomic
+    ``os.replace`` after the model write), so a new fingerprint
     implies the new model directory is already complete."""
     path = os.path.abspath(path)
-    st = os.stat(os.path.join(path, _MANIFEST))
-    fingerprint = (st.st_mtime_ns, st.st_size)
+    manifest_path = os.path.join(path, _MANIFEST)
+    st = os.stat(manifest_path)
+    with open(manifest_path, "rb") as f:
+        raw = f.read()
+    fingerprint = (
+        st.st_mtime_ns, st.st_size, hashlib.md5(raw).hexdigest()
+    )
     cached = _MODEL_CACHE.get(path)
     if cached is None or cached[2] != fingerprint:
-        with open(os.path.join(path, _MANIFEST)) as f:
-            manifest = json.load(f)
+        manifest = json.loads(raw)
         model = PipelineModel.load(os.path.join(path, _MODEL_DIR))
         _MODEL_CACHE[path] = (model, manifest, fingerprint)
     model, manifest, _ = _MODEL_CACHE[path]

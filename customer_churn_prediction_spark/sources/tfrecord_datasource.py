@@ -128,6 +128,11 @@ class TFRecordReader(DataSourceReader):
         return [InputPartition(p) for p in sorted(glob.glob(pattern))]
 
     def read(self, partition: InputPartition) -> Iterator[tuple]:
+        # An empty partitions() list reaches read() as a single None
+        # partition (plan_data_source_read substitutes [None]), so the
+        # empty-scan promise above needs this guard, not just [].
+        if partition is None:
+            return iter(())
         return _file_rows(partition.value)
 
 
@@ -311,6 +316,8 @@ class TFRecordPartitionStreamReader(DataSourceStreamReader):
         return [InputPartition(p) for p in new]
 
     def read(self, partition: InputPartition) -> Iterator[tuple]:
+        if partition is None:  # same [None] substitution as batch
+            return iter(())
         return _file_rows(partition.value)
 
     def commit(self, end: dict) -> None:

@@ -82,12 +82,24 @@ def estimate_keys(
     """Point-query the maintained sketch: CMS estimate (min over the
     d cells) for every row of ``keys(key)`` — what a join planner
     would call before deciding to salt."""
+    # LEFT join + coalesce-to-0: a CMS point query takes the min over
+    # ALL d cells — a never-incremented cell counts 0 (an unseen key
+    # estimates 0, not "missing"; an inner join would also inflate a
+    # key with SOME empty cells by minimizing over the populated ones).
     return (
         keys.select("key", _cms_cells(F.col("key")).alias("cell"))
         .select("key", "cell.h", "cell.b")
-        .join(F.broadcast(merged_sketch(spark, store_dir)), ["h", "b"])
+        .join(
+            F.broadcast(merged_sketch(spark, store_dir)),
+            ["h", "b"],
+            "left",
+        )
         .groupBy("key")
-        .agg(F.min("cell_cnt").alias("est"))
+        .agg(
+            F.min(
+                F.coalesce(F.col("cell_cnt"), F.lit(0).cast("long"))
+            ).alias("est")
+        )
     )
 
 

@@ -107,6 +107,55 @@ def test_reexport_over_served_path_invalidates_cache(spark, bundle, tmp_path):
     )
 
 
+def test_coarse_mtime_cross_process_reexport_still_detected(
+    spark, bundle, tmp_path
+):
+    """NFS/FUSE deploys can give a rapid re-export the SAME manifest
+    mtime, and export_id is fixed-length hex so the size is identical
+    too — the content hash in the fingerprint must catch what
+    (mtime_ns, size) cannot (review r7). Simulated by re-exporting,
+    pinning the manifest mtime back to the old value, and restoring
+    the stale in-process cache entry as a second scorer process would
+    hold it."""
+    import os
+
+    _, manifest, data, fitted = bundle
+    path = str(tmp_path / "nfs_bundle")
+    serving.export_serving_bundle(fitted, path)
+    rec = _feature_dict(data.limit(1).collect()[0], manifest)
+    first = serving.score_records(spark, path, [rec])[0]  # caches
+    key = os.path.abspath(path)
+    stale_entry = serving._MODEL_CACHE[key]
+    mpath = os.path.join(path, "manifest.json")
+    st = os.stat(mpath)
+
+    # trainer process re-exports a genuinely different model
+    import pyspark.ml as M
+    from pyspark.sql import functions as F
+
+    inv = data.withColumn("label", 1 - F.col("label"))
+    feat = M.PipelineModel(fitted.stages[:-1])
+    refit = models.make_estimator("lr", "small").fit(
+        feat.transform(inv).select("features", "label")
+    )
+    serving.export_serving_bundle(
+        M.PipelineModel(fitted.stages[:-1] + [refit]), path
+    )
+    # coarse-mtime filesystem: stat is indistinguishable from before
+    os.utime(mpath, ns=(st.st_atime_ns, st.st_mtime_ns))
+    assert os.stat(mpath).st_size == st.st_size, (
+        "manifest size changed — the scenario requires the stat "
+        "fingerprint to be degenerate"
+    )
+    assert os.stat(mpath).st_mtime_ns == st.st_mtime_ns
+    # this scorer process never saw the export: restore its stale entry
+    serving._MODEL_CACHE[key] = stale_entry
+    second = serving.score_records(spark, path, [rec])[0]
+    assert second["p_churn"] != first["p_churn"], (
+        "stale model served: content hash missing from fingerprint"
+    )
+
+
 def test_manifest_derives_from_fitted_stages(bundle):
     """The manifest must describe the model's own stages: every
     categorical is a fitted StringIndexer input, every numeric is an

@@ -199,3 +199,30 @@ def test_compact_heals_a_crashed_swap(spark, tmp_path):
     os.rename(sketch_path, sketch_path + "__compact_old")
     ssk.compact(spark, store, upto_epoch=10)
     assert _rows(ssk.merged_sketch(spark, store)) == before
+
+
+def test_point_query_prices_unseen_and_partially_empty_keys(
+    spark, tmp_path
+):
+    """CMS point-query contract (review r7): the estimate is the min
+    over ALL d cells, counting a never-incremented cell as ZERO — an
+    unseen key must appear in the output with est 0, not vanish
+    through an inner join (and a key with some empty cells must not
+    have its min inflated by minimizing over populated cells only)."""
+    store = str(tmp_path / "store_pointq")
+    seen = spark.createDataFrame([(42,)], "key bigint")
+    ssk._partial_sketch(seen).write.parquet(
+        os.path.join(store, ssk.SKETCH_SUBDIR, "epoch=0")
+    )
+    est = {
+        r.key: r.est
+        for r in ssk.estimate_keys(
+            spark,
+            store,
+            spark.createDataFrame([(42,), (777,)], "key bigint"),
+        ).collect()
+    }
+    assert est[42] == 1
+    # 777 shares no cell with 42 under the fixed md5 cell hashes, so
+    # all four of its cells are empty — the probe must price it 0.
+    assert est[777] == 0

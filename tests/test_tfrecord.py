@@ -667,3 +667,22 @@ def test_stream_sink_replayed_epoch_overwrites_not_duplicates(
     finally:
         q2.stop()
     assert spark.read.format("tfrecord").load(out).count() == 10
+
+
+def test_registered_format_empty_and_missing_dir_is_empty_scan(
+    spark, tmp_path
+):
+    """The docstring promise (review r7): a missing or empty directory
+    is an EMPTY batch scan, matching the file-source convention — not
+    an AttributeError from the [None] partition PySpark substitutes
+    for an empty partitions() list."""
+    from customer_churn_prediction_spark.sources.tfrecord_datasource import (
+        register_tfrecord_format,
+    )
+
+    register_tfrecord_format(spark)
+    empty = tmp_path / "empty_dir"
+    empty.mkdir()
+    assert spark.read.format("tfrecord").load(str(empty)).count() == 0
+    missing = str(tmp_path / "never_written")
+    assert spark.read.format("tfrecord").load(missing).count() == 0
