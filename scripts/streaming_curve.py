@@ -1,0 +1,211 @@
+"""Scale-curve the maintenance streams at the x10 decade.
+
+The r7 streaming twins (`streaming/sketch.py::maintain_heavy_hitters`,
+`streaming/pairs.py::streaming_sequence_pairs`,
+`streaming/vector_drift.py::maintain_embedding_drift`) carry
+batch-equivalence and crash-replay tests, but their 100 TB risk
+surface is per-EPOCH behavior: how does one micro-batch's wall time
+and the maintained state/store size grow with ingest volume? This
+script measures exactly that — each twin ingests its fixture in 3
+pre-staged waves (staging is untimed), and each
+``processAllAvailable()`` is timed per wave at the base fixture and
+its x10 replica (`scripts/make_events_x10.py` /
+`make_embeddings_x10.py` outputs in ``.scale/``).
+
+Prints one markdown table (per-epoch medians are meaningless at 3
+epochs, so per-epoch walls are listed raw) plus the state-size
+columns that bound each twin's growth: the CMS store adds <= d*w rows
+per epoch regardless of keys; the pairs state is one bounded row per
+user; the drift report is N_CENTROIDS rows per epoch, constant.
+
+Usage: python scripts/streaming_curve.py   (run ALONE — bench rule)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF01 = "/root/testdata/sf0.1"
+X10_EVENTS = os.path.join(REPO, ".scale", "sf1events")
+X10_EMB = os.path.join(REPO, ".scale", "sf1emb")
+N_WAVES = 3
+
+
+def _stage_waves(df, order_col, wave_dir_base):
+    """Split ``df`` into N_WAVES ts/id-range slices, each staged as its
+    own parquet dir (drops are dir-to-dir file copies, untimed)."""
+    cuts = df.approxQuantile(
+        order_col, [i / N_WAVES for i in range(1, N_WAVES)], 0.001
+    )
+    from pyspark.sql import functions as F
+
+    dirs = []
+    lo = None
+    for i in range(N_WAVES):
+        hi = cuts[i] if i < len(cuts) else None
+        part = df
+        if lo is not None:
+            part = part.where(F.col(order_col) > F.lit(lo))
+        if hi is not None:
+            part = part.where(F.col(order_col) <= F.lit(hi))
+        d = f"{wave_dir_base}_w{i}"
+        part.repartition(4).write.mode("overwrite").parquet(d)
+        dirs.append(d)
+        lo = hi
+    return dirs
+
+
+def _drop(wave_dir, drop_dir, i):
+    for j, f in enumerate(sorted(os.listdir(wave_dir))):
+        if f.endswith(".parquet"):
+            shutil.copy(
+                os.path.join(wave_dir, f),
+                os.path.join(drop_dir, f"w{i}_{j}.parquet"),
+            )
+
+
+def _run_epochs(q, wave_dirs, drop_dir):
+    """Drop each staged wave and time its processAllAvailable()."""
+    walls = []
+    try:
+        for i, wd in enumerate(wave_dirs):
+            _drop(wd, drop_dir, i)
+            t0 = time.perf_counter()
+            q.processAllAvailable()
+            walls.append(round(time.perf_counter() - t0, 3))
+        assert q.exception() is None, q.exception()
+    finally:
+        q.stop()
+    return walls
+
+
+def bench_sketch(spark, sf_dir, tag):
+    from pyspark.sql import functions as F
+
+    from customer_churn_prediction_spark.catalog import load_table
+    from customer_churn_prediction_spark.streaming import sketch as ssk
+    from customer_churn_prediction_spark.streaming import windows as sw
+
+    events = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix=f"cms_{tag}_")
+    waves = _stage_waves(events, "event_id", os.path.join(work, "wave"))
+    drop_dir = os.path.join(work, "drops")
+    os.makedirs(drop_dir)
+    store = os.path.join(work, "store")
+    q = ssk.maintain_heavy_hitters(
+        spark, sw.as_stream(spark, drop_dir, events.schema), store,
+        checkpoint=os.path.join(work, "ckpt"),
+    )
+    walls = _run_epochs(q, waves, drop_dir)
+    store_rows = spark.read.parquet(
+        os.path.join(store, ssk.SKETCH_SUBDIR)
+    ).count()
+    n_users = events.select("user_id").distinct().count()
+    shutil.rmtree(work, ignore_errors=True)
+    return walls, f"{store_rows} sketch rows ({n_users} keys)"
+
+
+def bench_pairs(spark, sf_dir, tag):
+    from customer_churn_prediction_spark.catalog import load_table
+    from customer_churn_prediction_spark.streaming import pairs as sp
+    from customer_churn_prediction_spark.streaming import windows as sw
+
+    events = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix=f"pairs_{tag}_")
+    # ts-range waves: per-user arrival order == batch window order
+    waves = _stage_waves(
+        events.withColumn("ts_l", events.ts.cast("long")), "ts_l",
+        os.path.join(work, "wave"),
+    )
+    drop_dir = os.path.join(work, "drops")
+    os.makedirs(drop_dir)
+    out = os.path.join(work, "out")
+
+    def land(df, epoch_id):
+        df.write.mode("append").parquet(out)
+
+    schema = spark.read.parquet(waves[0]).schema
+    q = (
+        sp.streaming_sequence_pairs(
+            sw.as_stream(spark, drop_dir, schema)
+        )
+        .writeStream.foreachBatch(land)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .queryName(f"pairs_curve_{tag}")
+        .start()
+    )
+    walls = _run_epochs(q, waves, drop_dir)
+    n_pairs = spark.read.parquet(out).count()
+    n_users = events.select("user_id").distinct().count()
+    shutil.rmtree(work, ignore_errors=True)
+    return walls, f"{n_pairs} pairs ({n_users} user-state rows)"
+
+
+def bench_vector_drift(spark, sf_dir, tag):
+    from customer_churn_prediction_spark.catalog import load_table
+    from customer_churn_prediction_spark.streaming import (
+        vector_drift as vd,
+    )
+    from customer_churn_prediction_spark.streaming.drift import (
+        read_report,
+    )
+    from customer_churn_prediction_spark.streaming import windows as sw
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    work = tempfile.mkdtemp(prefix=f"vdrift_{tag}_")
+    waves = _stage_waves(emb, "vec_id", os.path.join(work, "wave"))
+    drop_dir = os.path.join(work, "drops")
+    os.makedirs(drop_dir)
+    report = os.path.join(work, "report")
+    q = vd.maintain_embedding_drift(
+        spark, sf_dir, sw.as_stream(spark, drop_dir, emb.schema),
+        report, checkpoint=os.path.join(work, "ckpt"),
+    )
+    walls = _run_epochs(q, waves, drop_dir)
+    rep_rows = read_report(spark, report).count()
+    shutil.rmtree(work, ignore_errors=True)
+    return walls, f"{rep_rows} report rows/epoch"
+
+
+def main() -> None:
+    from customer_churn_prediction_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="streaming-curve", master="local[32]",
+        shuffle_partitions=32,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    plans = [
+        ("maintain_heavy_hitters", bench_sketch, SF01, X10_EVENTS),
+        ("streaming_sequence_pairs", bench_pairs, SF01, X10_EVENTS),
+        ("maintain_embedding_drift", bench_vector_drift, SF01, X10_EMB),
+    ]
+    print("| twin | per-epoch walls sf0.1 (s) | per-epoch walls x10 (s) "
+          "| last-epoch growth | state (x10) |")
+    print("|---|---|---|---|---|")
+    for name, fn, base_dir, x10_dir in plans:
+        fn(spark, "/root/testdata/sf0.001", "warm")  # untimed: the
+        # first foreachBatch epoch of a fresh query pays JVM/codegen
+        # warmup that would otherwise inflate the base column only
+        base_walls, _ = fn(spark, base_dir, "base")
+        if not os.path.isdir(x10_dir):
+            print(f"| {name} | {base_walls} | x10 fixture missing | | |")
+            continue
+        x10_walls, state = fn(spark, x10_dir, "x10")
+        growth = round(x10_walls[-1] / base_walls[-1], 2)
+        print(f"| {name} | {base_walls} | {x10_walls} "
+              f"| {growth}x | {state} |")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
