@@ -1,0 +1,172 @@
+"""ANN index maintained on ingest: streaming IVF inverted lists.
+
+``similarity/ann.py::ivf_lists_ingest`` builds the at-rest
+cell-partitioned inverted lists ONCE from the full corpus; a
+production vector store ingests continuously. This module is the
+missing maintenance loop: new vectors arrive as files, each
+micro-batch is assigned to its coarse cell against the FROZEN
+centroid model (literal-broadcast expression — the same frozen-model
+discipline as ``streaming/vector_drift.py``; re-fitting the coarse
+quantizer is an offline event that rebuilds the store), and the
+epoch's assignments land in a store partitioned by
+``(epoch_id, centroid_id)``:
+
+  * ``epoch_id`` gives exactly-once: dynamic partition overwrite means
+    a replayed epoch (crash after the write, before the offset commit)
+    OVERWRITES its own partitions instead of appending duplicates —
+    the ``dedup_ingest_stream`` / CMS-store idempotence contract;
+  * ``centroid_id`` keeps the query path's partition pruning: probes
+    touch N_PROBE of N_CENTROIDS cell directories per epoch slice, so
+    a query scans thousandths of the corpus at production k — the
+    same layout win ``ann_ivf_materialized`` pins in its plan tests.
+
+Queries serve from the maintained store with the exact
+``_probe_and_rank`` tail every batch IVF form shares — after draining
+the fixture through the stream, ``ivf_topk_from_store`` returns
+row-for-row the batch ``ann_ivf`` output (asserted in
+tests/test_streaming_ann.py, with a crash-replay window and offline
+compaction on top).
+
+Store growth: one row per ingested vector (the index IS the data),
+plus one directory level per epoch. ``compact`` folds committed
+epochs into the single base partition offline — same staged-swap
+crash discipline as ``streaming/sketch.py::compact``, so a crashed
+compaction self-heals on the next run and a re-run is a no-op.
+
+At 1000-executor scale each epoch's assignment is a pure map over
+the arriving files; the only shuffle is the partitioned write's
+(epoch, cell) clustering. Reference analog: the HBase-backed feature
+store the reference feeds from nightly jobs
+(``GBDT/spark/churn_xgb4j_spark.scala`` sink chain) — here the
+maintained table is the ANN index itself.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..similarity.ann import (
+    _centroids,
+    _cells_expr,
+    _embeddings,
+    _ivf_probes,
+    _probe_and_rank,
+    _vec,
+    _with_norm,
+)
+from .windows import stream_to_batch_sink
+
+# Base partition for compacted history — never a live epoch id.
+_BASE_EPOCH = -1
+
+
+def _assign(batch_df: DataFrame, cent_rows) -> DataFrame:
+    """(vec_id, v, nrm, centroid_id) for one batch of raw embedding
+    rows — the same literal-broadcast pure map as the batch ingest."""
+    e = _with_norm(
+        batch_df.select("vec_id", _vec("embedding").alias("v"))
+    )
+    cells = _cells_expr(cent_rows)
+    return e.select(
+        "vec_id", "v", "nrm",
+        (-F.element_at(cells, 1)["nid"]).alias("centroid_id"),
+    )
+
+
+def maintain_ivf_lists(
+    spark: SparkSession,
+    sf_dir: str,
+    vectors_stream: DataFrame,
+    store_dir: str,
+    checkpoint: str | None = None,
+    fault=None,
+):
+    """Start the maintenance query over a raw embeddings stream
+    (append semantics: each epoch delivers only new vectors).
+    ``fault`` is the sibling sinks' crash-injection hook — called
+    after the store write and before Spark commits the offset, the
+    worst-case window."""
+    cent_rows = _centroids(spark, sf_dir)  # frozen coarse model
+
+    def epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        assigned = _assign(batch_df, cent_rows)
+        if assigned.isEmpty():
+            return  # nothing to index; skip the epoch
+        (
+            assigned.withColumn("epoch_id", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id", "centroid_id")
+            .parquet(store_dir)
+        )
+        if fault is not None:
+            fault(epoch_id)
+
+    return stream_to_batch_sink(
+        vectors_stream,
+        epoch,
+        query_name="ivf-lists-maintenance",
+        output_mode="append",
+        checkpoint=checkpoint,
+    )
+
+
+def ivf_topk_from_store(
+    spark: SparkSession, sf_dir: str, store_dir: str
+) -> DataFrame:
+    """Top-k for the fixture query set, served from the MAINTAINED
+    store: probes are computed over the tiny query rows only, and the
+    corpus branch is a scan of the probed cell partitions. Once the
+    stream has drained the corpus, this equals the batch ``ann_ivf``
+    output row for row (same frozen centroids, same rank tail)."""
+    lists = spark.read.parquet(store_dir).select("vec_id", "v", "nrm",
+                                                 "centroid_id")
+    probes = _ivf_probes(
+        _embeddings(spark, sf_dir), _centroids(spark, sf_dir)
+    )
+    return _probe_and_rank(lists, probes)
+
+
+def compact(spark: SparkSession, store_dir: str, upto_epoch: int) -> None:
+    """Fold every epoch partition with ``epoch_id <= upto_epoch``
+    (including any previous base) into the single base partition,
+    keeping the ``centroid_id`` sub-partitioning.
+
+    OFFLINE maintenance: run with the maintenance query STOPPED and a
+    frontier at or below the last committed epoch (a folded epoch that
+    later replays would duplicate its vectors — caller-owned, same as
+    the CMS store). Crash safety is the whole-store staged swap:
+    stage fully written → live renamed old → stage renamed live → old
+    deleted; entry-time self-heal covers every window."""
+    import shutil
+
+    stage = store_dir + "__compact_stage"
+    old = store_dir + "__compact_old"
+    if os.path.isdir(old):  # heal a prior crashed swap
+        if os.path.isdir(store_dir):
+            shutil.rmtree(old)
+        else:
+            os.rename(old, store_dir)
+    if os.path.isdir(stage):
+        shutil.rmtree(stage)
+
+    rows = spark.read.parquet(store_dir)
+    folded = rows.withColumn(
+        "epoch_id",
+        F.when(
+            F.col("epoch_id") <= F.lit(upto_epoch), F.lit(_BASE_EPOCH)
+        ).otherwise(F.col("epoch_id")),
+    )
+    (
+        folded.select("vec_id", "v", "nrm", "epoch_id", "centroid_id")
+        .repartition("epoch_id", "centroid_id")
+        .write.mode("overwrite")
+        .partitionBy("epoch_id", "centroid_id")
+        .parquet(stage)
+    )  # the write ACTION completes before live moves — stage is whole
+    os.rename(store_dir, old)
+    os.rename(stage, store_dir)
+    shutil.rmtree(old)

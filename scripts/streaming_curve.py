@@ -149,6 +149,29 @@ def bench_pairs(spark, sf_dir, tag):
     return walls, f"{n_pairs} pairs ({n_users} user-state rows)"
 
 
+def bench_ann_ingest(spark, sf_dir, tag):
+    from customer_churn_prediction_spark.catalog import load_table
+    from customer_churn_prediction_spark.streaming import (
+        ann_ingest as sai,
+    )
+    from customer_churn_prediction_spark.streaming import windows as sw
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    work = tempfile.mkdtemp(prefix=f"annin_{tag}_")
+    waves = _stage_waves(emb, "vec_id", os.path.join(work, "wave"))
+    drop_dir = os.path.join(work, "drops")
+    os.makedirs(drop_dir)
+    store = os.path.join(work, "store")
+    q = sai.maintain_ivf_lists(
+        spark, sf_dir, sw.as_stream(spark, drop_dir, emb.schema), store,
+        checkpoint=os.path.join(work, "ckpt"),
+    )
+    walls = _run_epochs(q, waves, drop_dir)
+    n_rows = spark.read.parquet(store).count()
+    shutil.rmtree(work, ignore_errors=True)
+    return walls, f"{n_rows} indexed vectors (1 row/vector)"
+
+
 def bench_vector_drift(spark, sf_dir, tag):
     from customer_churn_prediction_spark.catalog import load_table
     from customer_churn_prediction_spark.streaming import (
@@ -188,6 +211,7 @@ def main() -> None:
         ("maintain_heavy_hitters", bench_sketch, SF01, X10_EVENTS),
         ("streaming_sequence_pairs", bench_pairs, SF01, X10_EVENTS),
         ("maintain_embedding_drift", bench_vector_drift, SF01, X10_EMB),
+        ("maintain_ivf_lists", bench_ann_ingest, SF01, X10_EMB),
     ]
     print("| twin | per-epoch walls sf0.1 (s) | per-epoch walls x10 (s) "
           "| last-epoch growth | state (x10) |")
