@@ -130,6 +130,131 @@ def ivf_topk_from_store(
     return _probe_and_rank(lists, probes)
 
 
+_ERASED_SUBDIR = "_erased_ids"  # WAL ledger next to the store
+
+
+def _ledger_path(store_dir: str) -> str:
+    return store_dir.rstrip("/") + _ERASED_SUBDIR
+
+
+def read_erased_ids(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Distinct vec_ids ever erased from this store (empty when none).
+    A SET at read time — duplicates from replayed scrubs are free."""
+    path = _ledger_path(store_dir)
+    if not os.path.isdir(path):
+        return spark.createDataFrame([], "vec_id long")
+    return spark.read.parquet(path).distinct()
+
+
+def forget_from_store(
+    spark: SparkSession, store_dir: str, vec_ids: list[int],
+    record: bool = True,
+) -> tuple[int, int, int]:
+    """Erase ``vec_ids`` from the MAINTAINED store — the governance
+    path for the streaming index (``sources/forget.forget_vectors``
+    covers the batch-materialized stores; this store is the ingested
+    data itself, so erasure must hit it directly).
+
+    Partition-scoped, like the managed-store path: only the
+    (epoch, cell) partitions that actually CONTAIN one of the ids are
+    rewritten (found with one pushdown-filtered scan); every other
+    partition's files are left byte-untouched — at production k and
+    epoch counts an erasure batch rewrites thousandths of the index.
+    Survivors stage to a sibling dir first (a path write cannot read
+    from itself; the stage also makes a crash re-runnable), then
+    dynamic partition overwrite replaces exactly the touched
+    partitions; partitions left EMPTY are deleted directly (dynamic
+    mode never touches a partition absent from the frame).
+
+    The batch is ledgered write-ahead (``record=True``) because a
+    crash-REPLAYED epoch re-delivers its vectors: after any replay
+    window, :func:`scrub_store` re-applies the ledger — same WAL
+    discipline as ``sources/forget``. Run with the maintenance query
+    stopped, or on committed epochs only (the compact invariant).
+
+    Returns (partitions_touched, rows_before, rows_after)."""
+    import shutil
+
+    ids = [int(i) for i in vec_ids]
+    if record and ids:
+        spark.createDataFrame(
+            [(i,) for i in ids], "vec_id long"
+        ).repartition(1).write.mode("append").parquet(
+            _ledger_path(store_dir)
+        )
+    store = spark.read.parquet(store_dir)
+    n_before = store.count()
+    hit = (
+        store.where(F.col("vec_id").isin(ids))
+        .select("epoch_id", "centroid_id")
+        .distinct()
+        .collect()
+    )
+    if not hit:
+        return 0, n_before, n_before
+    pairs = {(int(r.epoch_id), int(r.centroid_id)) for r in hit}
+    import functools
+
+    touched = store.where(
+        functools.reduce(
+            lambda a, b: a | b,
+            [
+                (F.col("epoch_id") == e) & (F.col("centroid_id") == c)
+                for e, c in sorted(pairs)
+            ],
+        )
+    )
+    survivors = touched.where(~F.col("vec_id").isin(ids))
+    stage = store_dir.rstrip("/") + "__forget_stage"
+    shutil.rmtree(stage, ignore_errors=True)
+    (
+        survivors.write.mode("overwrite")
+        .partitionBy("epoch_id", "centroid_id")
+        .parquet(stage)
+    )
+    # explicit schema: a partition whose every row was erased stages
+    # ZERO files, and a schema-less parquet read of that cannot infer
+    staged = spark.read.schema(store.schema).parquet(stage)
+    live = {
+        (int(r.epoch_id), int(r.centroid_id))
+        for r in staged.select("epoch_id", "centroid_id")
+        .distinct().collect()
+    }
+    if live:
+        (
+            staged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id", "centroid_id")
+            .parquet(store_dir)
+        )
+    for e, c in pairs - live:  # fully-erased partitions: drop the dir
+        shutil.rmtree(
+            os.path.join(
+                store_dir, f"epoch_id={e}", f"centroid_id={c}"
+            ),
+            ignore_errors=True,
+        )
+    shutil.rmtree(stage, ignore_errors=True)
+    return (
+        len(pairs), n_before, spark.read.parquet(store_dir).count()
+    )
+
+
+def scrub_store(spark: SparkSession, store_dir: str) -> int:
+    """Re-apply the erasure ledger — call after a crash-replay window
+    (a replayed epoch re-delivers its vectors, resurrecting erased
+    ids). Idempotent; returns the number of rows removed."""
+    ids = [
+        int(r.vec_id) for r in read_erased_ids(spark, store_dir).collect()
+    ]
+    if not ids:
+        return 0
+    _, before, after = forget_from_store(
+        spark, store_dir, ids, record=False
+    )
+    return before - after
+
+
 def compact(spark: SparkSession, store_dir: str, upto_epoch: int) -> None:
     """Fold every epoch partition with ``epoch_id <= upto_epoch``
     (including any previous base) into the single base partition,

@@ -174,3 +174,130 @@ def test_compact_heals_a_crashed_swap(spark, sf_smoke, tmp_path):
     assert _topk_rows(
         sai.ivf_topk_from_store(spark, sf_smoke, store)
     ) == want
+
+
+def _files_snapshot(root):
+    snap = {}
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            st = os.stat(p)
+            snap[p] = (st.st_mtime_ns, st.st_size)
+    return snap
+
+
+def test_forget_is_partition_scoped_and_query_visible(
+    spark, sf_smoke, tmp_path
+):
+    """Erasure from the maintained store: the ids disappear from the
+    store and from served top-k, ONLY the partitions that contained
+    them are rewritten (every other cell's files byte-untouched), and
+    the batch is ledgered."""
+    stream_dir = str(tmp_path / "arrivals_f")
+    store = str(tmp_path / "store_f")
+    ckpt = str(tmp_path / "ckpt_f")
+    _stage_drops(spark, sf_smoke, stream_dir)
+    q = _run(spark, sf_smoke, stream_dir, store, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # pick two indexed vectors that are ANSWERS for some query
+    served = sai.ivf_topk_from_store(spark, sf_smoke, store)
+    victims = sorted(
+        {int(r.neighbor_id) for r in served.collect()}
+    )[:2]
+    before = _files_snapshot(store)
+    n_before = spark.read.parquet(store).count()
+
+    touched, b, a = sai.forget_from_store(spark, store, victims)
+    assert b == n_before and a == n_before - len(victims)
+    assert touched >= 1
+    stored_ids = {
+        int(r.vec_id)
+        for r in spark.read.parquet(store).select("vec_id").collect()
+    }
+    assert not set(victims) & stored_ids
+    survivors_topk = sai.ivf_topk_from_store(spark, sf_smoke, store)
+    assert not {
+        int(r.neighbor_id) for r in survivors_topk.collect()
+    } & set(victims)
+    # partition-scoped: untouched partition files are byte-identical
+    after = _files_snapshot(store)
+    victim_cells = {
+        (int(r.epoch_id), int(r.centroid_id))
+        for r in spark.createDataFrame(
+            [(v,) for v in victims], "vec_id long"
+        ).join(
+            spark.read.parquet(store).select(
+                "vec_id", "epoch_id", "centroid_id"
+            ),
+            "vec_id", "left",
+        ).collect()
+        if r.epoch_id is not None
+    }
+    unchanged = [
+        p for p in before
+        if p in after and before[p] == after[p]
+    ]
+    # strictly fewer files rewritten than exist: most of the store is
+    # untouched (the whole point vs a full rewrite)
+    assert len(unchanged) > len(before) / 2, (
+        len(unchanged), len(before)
+    )
+    # and the ledger carries the batch
+    ledger = {
+        int(r.vec_id)
+        for r in sai.read_erased_ids(spark, store).collect()
+    }
+    assert set(victims) <= ledger
+
+
+def test_scrub_reapplies_ledger_after_a_replay_resurrection(
+    spark, sf_smoke, tmp_path
+):
+    """A replayed epoch re-delivers its vectors, resurrecting erased
+    ids — scrub_store must re-erase them from the WAL ledger, and a
+    second scrub is a no-op."""
+    stream_dir = str(tmp_path / "arrivals_s")
+    store = str(tmp_path / "store_s")
+    ckpt = str(tmp_path / "ckpt_s")
+    _stage_drops(spark, sf_smoke, stream_dir)
+    q = _run(spark, sf_smoke, stream_dir, store, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    victim = int(
+        spark.read.parquet(store).select("vec_id").first().vec_id
+    )
+    sai.forget_from_store(spark, store, [victim])
+
+    # simulate the replay: the victim's epoch partition rewritten from
+    # the pre-erasure batch (dynamic overwrite of its own output)
+    emb = load_table(spark, sf_smoke, "embeddings")
+    resurrection = sai._assign(
+        emb.where(F.col("vec_id") == victim),
+        __import__(
+            "customer_churn_prediction_spark.similarity.ann",
+            fromlist=["_centroids"],
+        )._centroids(spark, sf_smoke),
+    ).withColumn("epoch_id", F.lit(0))
+    (
+        resurrection.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch_id", "centroid_id")
+        .parquet(store)
+    )
+    assert spark.read.parquet(store).where(
+        F.col("vec_id") == victim
+    ).count() == 1
+
+    removed = sai.scrub_store(spark, store)
+    assert removed == 1
+    assert spark.read.parquet(store).where(
+        F.col("vec_id") == victim
+    ).count() == 0
+    assert sai.scrub_store(spark, store) == 0  # idempotent
