@@ -196,10 +196,91 @@ out AS (
 SELECT * FROM out
 """
 
+HASH_WIDTH = 1024  # 2^10 slots — the fixed feature space
+
+
+def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick categorical vectorizer (Weinberger et al. 2009):
+    each (feature=value) token maps to ``pmod(md5, HASH_WIDTH)`` with
+    a second hash bit as the collision-unbiasing sign — the
+    NO-VOCABULARY encoder that replaces the reference's static
+    featindex one-hot (``LR/feature_processing.py``, M5 in SURVEY §2)
+    at web-scale cardinality, where the index file itself (domains,
+    publishers, app ids) no longer fits a broadcast.
+
+    Scale shape: a PURE STATELESS MAP — no fit, no vocabulary scan,
+    no shuffle, no state to version between training and serving (the
+    hash IS the encoder, which is why serving skew cannot happen).
+    md5-derived so the DuckDB oracle reproduces it bit-for-bit
+    (Spark's hash() is murmur3, engine-specific — the portability
+    rule the dedup tier documents)."""
+    c = load_table(spark, sf_dir, "customer")
+    feats = [
+        ("c_mktsegment", F.col("c_mktsegment").cast("string")),
+        ("c_nationkey", F.col("c_nationkey").cast("string")),
+        # banded numeric: the hashing trick takes discretized
+        # numerics through the same path as categoricals
+        ("acctbal_band",
+         F.floor(F.col("c_acctbal") / 1000).cast("string")),
+    ]
+    structs = []
+    for name, val in feats:
+        token = F.concat(
+            F.lit(name + "="), F.coalesce(val, F.lit("__null__"))
+        )
+        digest = F.md5(token)
+        h = F.conv(F.substring(digest, 1, 15), 16, 10).cast("bigint")
+        sign_bit = F.conv(
+            F.substring(digest, 16, 1), 16, 10
+        ).cast("bigint")
+        structs.append(
+            F.struct(
+                F.lit(name).alias("feature"),
+                (h % HASH_WIDTH).alias("slot"),
+                F.when(sign_bit % 2 == 0, 1)
+                .otherwise(-1)
+                .cast("int")
+                .alias("sign"),
+            )
+        )
+    return c.select(
+        "c_custkey", F.explode(F.array(*structs)).alias("f")
+    ).select("c_custkey", "f.feature", "f.slot", "f.sign")
+
+
+FEATURE_HASHING_ORACLE = f"""
+WITH tok AS (
+  SELECT c_custkey, 'c_mktsegment' AS feature,
+         'c_mktsegment=' ||
+         COALESCE(CAST(c_mktsegment AS VARCHAR), '__null__') AS token
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, 'c_nationkey',
+         'c_nationkey=' ||
+         COALESCE(CAST(c_nationkey AS VARCHAR), '__null__')
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, 'acctbal_band',
+         'acctbal_band=' ||
+         COALESCE(CAST(CAST(floor(c_acctbal / 1000) AS BIGINT)
+                       AS VARCHAR), '__null__')
+  FROM customer
+)
+SELECT c_custkey, feature,
+       CAST(CAST(('0x' || substring(md5(token), 1, 15)) AS BIGINT)
+            % {HASH_WIDTH} AS BIGINT) AS slot,
+       CAST(CASE WHEN CAST(('0x' || substring(md5(token), 16, 1))
+                           AS BIGINT) % 2 = 0
+                 THEN 1 ELSE -1 END AS INTEGER) AS sign
+FROM tok
+"""
+
 QUERIES = {
     "feature_target_encoding": feature_target_encoding,
+    "feature_hashing": feature_hashing,
 }
 
 ORACLES = {
     "feature_target_encoding": TARGET_ENCODING_ORACLE,
+    "feature_hashing": FEATURE_HASHING_ORACLE,
 }

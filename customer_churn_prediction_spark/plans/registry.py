@@ -232,12 +232,13 @@ def staged_modules() -> tuple:
         sketches,
     )
     from ..similarity import recall
+    from ..text import dedup as text_dedup
     from ..text import vocab
 
     return (
         survival, funnels, quality, sketches, affinity, attribution,
         anomaly, vocab, regression, drift_features, recall, encoding,
-        sampling,
+        sampling, text_dedup,
     )
 
 

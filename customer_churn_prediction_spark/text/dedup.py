@@ -1219,3 +1219,73 @@ SELECT doc_id, bench_id, n_shared,
 FROM co
 WHERE round(n_shared / CAST(n_bench AS DOUBLE), 6) >= {CONTAM_OVERLAP_MIN}
 """
+
+
+def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality report of the scale-path dedup against exact ground
+    truth: recall of the banded-LSH pipeline over the exact
+    ngram-Jaccard pair set, plus the candidate precision the verify
+    step pays for — the same harness discipline as ``ann_recall_eval``
+    (an approximation you cannot measure is one you cannot tune;
+    banding parameters trade recall for candidate volume, and this
+    report is the number that trade is made on).
+
+    One DataFrame, no driver math: three 1-row aggregates (truth,
+    candidates, verified) and a semi-join hit count cross-joined into
+    the report row — the broadcast-1-row pattern the calibration tier
+    uses. At scale the expensive branch is the exact all-pairs truth
+    (the documented O(n^2) baseline); run this on a SAMPLE in
+    production, exactly like ANN recall."""
+    truth = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    cands = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    found = lsh_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    n_cand = cands.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_found = found.agg(F.count(F.lit(1)).alias("n_verified"))
+    hits = (
+        truth.join(found, ["doc_a", "doc_b"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        n_true.crossJoin(n_cand).crossJoin(n_found).crossJoin(hits)
+        .select(
+            "n_true_pairs", "n_candidates", "n_verified", "n_hits",
+            F.round(
+                F.try_divide(F.col("n_hits"), F.col("n_true_pairs")), 6
+            ).alias("recall"),
+            F.round(
+                F.try_divide(F.col("n_verified"), F.col("n_candidates")),
+                6,
+            ).alias("candidate_precision"),
+        )
+    )
+
+
+# Staged split (the vocab pattern): the module is REGISTERED, so the
+# staged remainder lives in STAGED_QUERIES/STAGED_ORACLES and is
+# proven through STAGED_CORRECTNESS.json instead of a driver row.
+STAGED_QUERIES = {
+    "dedup_recall_eval": dedup_recall_eval,
+}
+STAGED_ORACLES = {
+    "dedup_recall_eval": f"""
+WITH truth AS ({{NGRAM}}),
+cand AS ({{PAIRS}}),
+found AS ({{VERIFIED}})
+SELECT t.n_true_pairs, c.n_candidates, f.n_verified, h.n_hits,
+       round(CAST(h.n_hits AS DOUBLE) / t.n_true_pairs, 6) AS recall,
+       round(CAST(f.n_verified AS DOUBLE) / c.n_candidates, 6)
+         AS candidate_precision
+FROM (SELECT CAST(count(*) AS BIGINT) AS n_true_pairs FROM truth) t,
+     (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand) c,
+     (SELECT CAST(count(*) AS BIGINT) AS n_verified FROM found) f,
+     (SELECT CAST(count(*) AS BIGINT) AS n_hits FROM truth x
+      WHERE EXISTS (SELECT 1 FROM found y
+                    WHERE y.doc_a = x.doc_a
+                      AND y.doc_b = x.doc_b)) h
+""".format(
+        NGRAM=ORACLES["dedup_ngram_jaccard"],
+        PAIRS=ORACLES["dedup_minhash_lsh_pairs"],
+        VERIFIED=ORACLES["dedup_lsh_verified"],
+    ),
+}

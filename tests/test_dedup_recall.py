@@ -1,0 +1,32 @@
+"""dedup_recall_eval (text/dedup.py staged split): the banding-quality
+report — oracle parity plus the structural invariants that make the
+numbers trustworthy (verified pairs are a subset of exact truth, so
+hits == verified; ratios live in (0, 1])."""
+
+from __future__ import annotations
+
+from customer_churn_prediction_spark.text import dedup
+
+from .oracle_utils import assert_matches_oracle
+
+
+def test_recall_eval_oracle_parity(spark, sf_dir):
+    assert_matches_oracle(
+        dedup.dedup_recall_eval(spark, sf_dir),
+        dedup.STAGED_ORACLES["dedup_recall_eval"],
+        sf_dir,
+    )
+
+
+def test_recall_eval_invariants(spark, sf_dir):
+    row = dedup.dedup_recall_eval(spark, sf_dir).collect()[0]
+    assert row.n_true_pairs > 0, "fixture must contain true near-dups"
+    # verify uses the SAME exact-Jaccard definition as the truth set,
+    # so every verified pair IS a true pair: hits == verified, and
+    # recall is exactly verified/truth
+    assert row.n_hits == row.n_verified
+    assert 0.0 < row.recall <= 1.0
+    # banding trades candidate volume for recall: candidates must be a
+    # superset of what survives verification
+    assert row.n_candidates >= row.n_verified
+    assert 0.0 < row.candidate_precision <= 1.0

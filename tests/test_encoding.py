@@ -147,3 +147,52 @@ def test_plan_broadcasts_enc_table_and_prunes_scans(spark, sf_smoke):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "c_acctbal" not in plan and "c_name" not in plan
+
+
+def test_feature_hashing_oracle_parity(spark, sf_dir):
+    assert_matches_oracle(
+        encoding.feature_hashing(spark, sf_dir),
+        encoding.FEATURE_HASHING_ORACLE,
+        sf_dir,
+    )
+
+
+def test_feature_hashing_slots_and_signs_are_well_formed(spark, sf_dir):
+    """Every slot lands in [0, HASH_WIDTH), signs are exactly ±1, and
+    equal tokens collide deterministically (the hash IS the encoder —
+    two rows with the same category must share slot AND sign)."""
+    from pyspark.sql import functions as F
+
+    df = encoding.feature_hashing(spark, sf_dir).cache()
+    try:
+        bad = df.where(
+            (F.col("slot") < 0)
+            | (F.col("slot") >= encoding.HASH_WIDTH)
+            | ~F.col("sign").isin(1, -1)
+        )
+        assert bad.count() == 0
+        # determinism per (feature, slot): sign is a function of the
+        # token, so a (feature, slot) pair reached by ONE token value
+        # carries one sign; categorical cardinality << WIDTH here, so
+        # (feature, slot, sign) triples == (feature, slot) pairs.
+        per_feature = (
+            df.groupBy("feature", "slot", "sign").count()
+            .groupBy("feature", "slot")
+            .count()
+            .where(F.col("count") > 1)
+        )
+        assert per_feature.count() == 0
+    finally:
+        df.unpersist()
+
+
+def test_feature_hashing_is_a_pure_map(spark, sf_dir):
+    """The whole point vs featindex/target encoding: no fit, no
+    vocabulary join — ZERO shuffles in the executed plan."""
+    from customer_churn_prediction_spark.plans.audit import (
+        count_shuffle_exchanges,
+    )
+
+    assert count_shuffle_exchanges(
+        encoding.feature_hashing(spark, sf_dir)
+    ) == 0
