@@ -176,6 +176,94 @@ SELECT l_returnflag,
 FROM lineitem GROUP BY l_returnflag
 """
 
+HLL_M = 256  # registers; standard error 1.04/sqrt(m) ~ 6.5%
+HLL_SEED = 127
+# alpha_m for m >= 128 (Flajolet et al. 2007, HyperLogLog)
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+# verdict band: 3 standard errors of the raw estimator
+HLL_BAND = 3 * 1.04 / (HLL_M ** 0.5)
+
+
+def hll_registers(keys: DataFrame, key: str = "key") -> DataFrame:
+    """The m max-rho registers of a key column — THE mergeable
+    cardinality state (register-wise max is the merge, which is what
+    lets a stream maintain it; ``streaming/hll.py``).
+
+    Bucket = low 8 hash bits; rho = leading-zero rank of the remaining
+    56 bits, computed with INTEGER arithmetic (57 - bit_length) — no
+    log2 float whose last ulp could flip a register."""
+    h = F.xxhash64(F.col(key), F.lit(HLL_SEED))
+    w = F.shiftrightunsigned(h, 8)
+    df = keys.select(
+        F.pmod(h, F.lit(HLL_M)).cast("int").alias("bucket"),
+        w.alias("w"),
+    )
+    rho = (
+        F.when(F.col("w") == 0, F.lit(57))
+        .otherwise(F.lit(57) - F.length(F.bin("w")))
+        .cast("int")
+    )
+    return (
+        df.select("bucket", rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_estimate_expr(regs: DataFrame):
+    """1-row (est double) from a registers frame: harmonic-mean raw
+    estimate with the small-range linear-counting correction — the
+    published HyperLogLog estimator, all in one tiny aggregate (the
+    registers frame is <= m rows; absent buckets contribute 2^0)."""
+    agg = regs.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("z_present"),
+        F.count(F.lit(1)).alias("v_present"),
+    )
+    z = F.col("z_present") + (F.lit(HLL_M) - F.col("v_present"))
+    v_zero = F.lit(HLL_M) - F.col("v_present")
+    e_raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) / z
+    e = F.when(
+        (e_raw <= F.lit(2.5 * HLL_M)) & (v_zero > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v_zero),
+    ).otherwise(e_raw)
+    return agg.select(e.alias("est"))
+
+
+def distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-user count with a HyperLogLog error-contract
+    verdict — the cardinality sibling of ``heavy_hitters_cms``, same
+    graduation pattern: the query emits the EXACT count plus an
+    in-query boolean asserting our own mergeable-register HLL
+    (``hll_registers`` — the state ``streaming/hll.py`` maintains on
+    ingest) landed within 3 standard errors, and the DuckDB oracle
+    recomputes the exact side with a TRUE literal. Spark's built-in
+    ``approx_count_distinct`` is already registry-verified the same
+    way (``approx_distinct_users``); this one exists because ITS
+    registers are ours to maintain incrementally — a sketch you can't
+    merge across epochs can't be a streaming monitor."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    regs = hll_registers(ev.select(F.col("user_id").alias("key")))
+    est = hll_estimate_expr(regs)
+    exact = ev.agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "n_exact",
+        (
+            F.abs(F.col("est") - F.col("n_exact"))
+            <= F.lit(HLL_BAND) * F.col("n_exact")
+        ).alias("within_band"),
+    )
+
+
+HLL_ORACLE = """
+SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+       TRUE AS within_band
+FROM events WHERE user_id IS NOT NULL
+"""
+
 # Staged permanently by design: the 100-entry registry ceiling
 # (50-row driver budget x 2-round proof cycle) binds, and these lost
 # the priority call (ROADMAP round-6 state); tests/test_sketches.py holds
@@ -183,8 +271,10 @@ FROM lineitem GROUP BY l_returnflag
 QUERIES = {
     "approx_percentile_bands": approx_percentile_bands,
     "heavy_hitters_cms": heavy_hitters_cms,
+    "distinct_users_hll": distinct_users_hll,
 }
 ORACLES = {
     "approx_percentile_bands": APPROX_PERCENTILE_ORACLE,
     "heavy_hitters_cms": HEAVY_HITTERS_ORACLE,
+    "distinct_users_hll": HLL_ORACLE,
 }

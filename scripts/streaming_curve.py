@@ -149,6 +149,30 @@ def bench_pairs(spark, sf_dir, tag):
     return walls, f"{n_pairs} pairs ({n_users} user-state rows)"
 
 
+def bench_hll(spark, sf_dir, tag):
+    from customer_churn_prediction_spark.catalog import load_table
+    from customer_churn_prediction_spark.streaming import hll as shll
+    from customer_churn_prediction_spark.streaming import windows as sw
+
+    events = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix=f"hll_{tag}_")
+    waves = _stage_waves(events, "event_id", os.path.join(work, "wave"))
+    drop_dir = os.path.join(work, "drops")
+    os.makedirs(drop_dir)
+    store = os.path.join(work, "store")
+    q = shll.maintain_distinct_count(
+        spark, sw.as_stream(spark, drop_dir, events.schema), store,
+        checkpoint=os.path.join(work, "ckpt"),
+    )
+    walls = _run_epochs(q, waves, drop_dir)
+    n_regs = spark.read.parquet(
+        os.path.join(store, shll.REGS_SUBDIR)
+    ).count()
+    n_users = events.select("user_id").distinct().count()
+    shutil.rmtree(work, ignore_errors=True)
+    return walls, f"{n_regs} register rows ({n_users} keys)"
+
+
 def bench_ann_ingest(spark, sf_dir, tag):
     from customer_churn_prediction_spark.catalog import load_table
     from customer_churn_prediction_spark.streaming import (
@@ -212,6 +236,7 @@ def main() -> None:
         ("streaming_sequence_pairs", bench_pairs, SF01, X10_EVENTS),
         ("maintain_embedding_drift", bench_vector_drift, SF01, X10_EMB),
         ("maintain_ivf_lists", bench_ann_ingest, SF01, X10_EMB),
+        ("maintain_distinct_count", bench_hll, SF01, X10_EVENTS),
     ]
     print("| twin | per-epoch walls sf0.1 (s) | per-epoch walls x10 (s) "
           "| last-epoch growth | state (x10) |")

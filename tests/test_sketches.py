@@ -131,3 +131,65 @@ def test_cms_detects_an_injected_hot_key(spark):
     # separable: the hot estimate clears the background even after
     # granting the background its worst-case overcount
     assert est[77_777] > est[3] + band
+
+
+def test_hll_oracle_parity(spark, sf_dir):
+    assert_matches_oracle(
+        sketches.distinct_users_hll(spark, sf_dir),
+        sketches.HLL_ORACLE,
+        sf_dir,
+    )
+
+
+def test_hll_verdict_holds_across_fixture_scales(spark):
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+               "/root/testdata/sf0.1"):
+        row = sketches.distinct_users_hll(spark, sf).collect()[0]
+        assert row.within_band, (sf, row)
+
+
+def test_hll_band_detects_a_broken_estimator(spark, sf_dir):
+    """Negative control (the CMS broken-sketch pattern): an estimator
+    off by 2x the band must flip the verdict — otherwise the boolean
+    the oracle hash-checks proves nothing."""
+    from customer_churn_prediction_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    regs = sketches.hll_registers(
+        ev.select(F.col("user_id").alias("key"))
+    )
+    est = sketches.hll_estimate_expr(regs).select(
+        (F.col("est") * (1 + 2 * sketches.HLL_BAND)).alias("est")
+    )
+    exact = ev.agg(F.countDistinct("user_id").alias("n_exact"))
+    row = exact.crossJoin(F.broadcast(est)).select(
+        (
+            F.abs(F.col("est") - F.col("n_exact"))
+            <= F.lit(sketches.HLL_BAND) * F.col("n_exact")
+        ).alias("within_band")
+    ).collect()[0]
+    assert not row.within_band
+
+
+def test_hll_registers_are_mergeable(spark, sf_dir):
+    """max(registers(A), registers(B)) == registers(A union B) — the
+    algebra the streaming twin relies on, asserted directly."""
+    from customer_churn_prediction_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    ).select(F.col("user_id").alias("key"))
+    a = ev.where(F.col("key") % 2 == 0)
+    b = ev.where(F.col("key") % 2 != 0)
+    merged = (
+        sketches.hll_registers(a)
+        .unionByName(sketches.hll_registers(b))
+        .groupBy("bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    whole = sketches.hll_registers(ev)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
