@@ -224,6 +224,15 @@ def main() -> None:
     )
     prev = _load_prev_medians(out_path, float(sf))
 
+    # Wide-spread contention signal — computed from the ORIGINAL
+    # interleaved spreads, BEFORE --check replaces contaminated
+    # entries with tight solo re-measures (computing it after would
+    # blind the signal for exactly the queries contention hit).
+    wide = [
+        name for name, (lo, hi) in spread.items()
+        if lo > 0 and hi / lo > 2.0
+    ]
+
     # --check: re-measure ONLY the queries whose median moved >20% vs
     # the previous recorded run. Contention noise strictly inflates
     # timings, so the BETTER (smaller) of the two medians is the less
@@ -270,10 +279,6 @@ def main() -> None:
     # quiet box the max/min ratio across 5 interleaved passes stays
     # under 2x for all but a handful of sub-second queries, so >15% of
     # queries exceeding it means something else ran mid-bench.
-    wide = [
-        name for name, (lo, hi) in spread.items()
-        if lo > 0 and hi / lo > 2.0
-    ]
     contended = (
         load_at_start >= 2.0 or len(wide) > 0.15 * len(BENCH_QUERIES)
     )

@@ -215,8 +215,15 @@ def hll_estimate_expr(regs: DataFrame):
     estimate with the small-range linear-counting correction — the
     published HyperLogLog estimator, all in one tiny aggregate (the
     registers frame is <= m rows; absent buckets contribute 2^0)."""
+    # coalesce: an EMPTY registers frame (no keys yet — empty table,
+    # all-NULL keys, a store before its first non-empty epoch) sums to
+    # NULL; 0.0 makes z = m, routes into linear counting with
+    # v_zero = m, and yields est 0 — the correct empty-set answer
+    # (review r8: NULL here diverged from the oracle's TRUE verdict).
     agg = regs.agg(
-        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("z_present"),
+        F.coalesce(
+            F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))), F.lit(0.0)
+        ).alias("z_present"),
         F.count(F.lit(1)).alias("v_present"),
     )
     z = F.col("z_present") + (F.lit(HLL_M) - F.col("v_present"))

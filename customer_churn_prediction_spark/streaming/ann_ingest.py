@@ -172,7 +172,11 @@ def forget_from_store(
     discipline as ``sources/forget``. Run with the maintenance query
     stopped, or on committed epochs only (the compact invariant).
 
-    Returns (partitions_touched, rows_before, rows_after)."""
+    Returns (partitions_touched, rows_before, rows_after) — the row
+    counts are of the TOUCHED PARTITIONS only (their difference is the
+    rows erased); counting the whole store would cost two full index
+    scans of pure bookkeeping on an op whose contract is touching
+    thousandths of it (review r8)."""
     import shutil
 
     ids = [int(i) for i in vec_ids]
@@ -183,7 +187,6 @@ def forget_from_store(
             _ledger_path(store_dir)
         )
     store = spark.read.parquet(store_dir)
-    n_before = store.count()
     hit = (
         store.where(F.col("vec_id").isin(ids))
         .select("epoch_id", "centroid_id")
@@ -191,7 +194,7 @@ def forget_from_store(
         .collect()
     )
     if not hit:
-        return 0, n_before, n_before
+        return 0, 0, 0
     pairs = {(int(r.epoch_id), int(r.centroid_id)) for r in hit}
     import functools
 
@@ -204,6 +207,7 @@ def forget_from_store(
             ],
         )
     )
+    n_before = touched.count()  # partition-pruned, touched cells only
     survivors = touched.where(~F.col("vec_id").isin(ids))
     stage = store_dir.rstrip("/") + "__forget_stage"
     shutil.rmtree(stage, ignore_errors=True)
@@ -215,6 +219,7 @@ def forget_from_store(
     # explicit schema: a partition whose every row was erased stages
     # ZERO files, and a schema-less parquet read of that cannot infer
     staged = spark.read.schema(store.schema).parquet(stage)
+    n_after = staged.count()
     live = {
         (int(r.epoch_id), int(r.centroid_id))
         for r in staged.select("epoch_id", "centroid_id")
@@ -235,9 +240,7 @@ def forget_from_store(
             ignore_errors=True,
         )
     shutil.rmtree(stage, ignore_errors=True)
-    return (
-        len(pairs), n_before, spark.read.parquet(store_dir).count()
-    )
+    return len(pairs), n_before, n_after
 
 
 def scrub_store(spark: SparkSession, store_dir: str) -> int:
@@ -263,35 +266,27 @@ def compact(spark: SparkSession, store_dir: str, upto_epoch: int) -> None:
     OFFLINE maintenance: run with the maintenance query STOPPED and a
     frontier at or below the last committed epoch (a folded epoch that
     later replays would duplicate its vectors — caller-owned, same as
-    the CMS store). Crash safety is the whole-store staged swap:
-    stage fully written → live renamed old → stage renamed live → old
-    deleted; entry-time self-heal covers every window."""
-    import shutil
+    the CMS store). Crash safety is the shared whole-store staged
+    swap (``streaming/maintenance.staged_swap``)."""
+    from .maintenance import staged_swap
 
-    stage = store_dir + "__compact_stage"
-    old = store_dir + "__compact_old"
-    if os.path.isdir(old):  # heal a prior crashed swap
-        if os.path.isdir(store_dir):
-            shutil.rmtree(old)
-        else:
-            os.rename(old, store_dir)
-    if os.path.isdir(stage):
-        shutil.rmtree(stage)
+    def _write(stage: str) -> None:
+        rows = spark.read.parquet(store_dir)
+        folded = rows.withColumn(
+            "epoch_id",
+            F.when(
+                F.col("epoch_id") <= F.lit(upto_epoch),
+                F.lit(_BASE_EPOCH),
+            ).otherwise(F.col("epoch_id")),
+        )
+        (
+            folded.select(
+                "vec_id", "v", "nrm", "epoch_id", "centroid_id"
+            )
+            .repartition("epoch_id", "centroid_id")
+            .write.mode("overwrite")
+            .partitionBy("epoch_id", "centroid_id")
+            .parquet(stage)
+        )
 
-    rows = spark.read.parquet(store_dir)
-    folded = rows.withColumn(
-        "epoch_id",
-        F.when(
-            F.col("epoch_id") <= F.lit(upto_epoch), F.lit(_BASE_EPOCH)
-        ).otherwise(F.col("epoch_id")),
-    )
-    (
-        folded.select("vec_id", "v", "nrm", "epoch_id", "centroid_id")
-        .repartition("epoch_id", "centroid_id")
-        .write.mode("overwrite")
-        .partitionBy("epoch_id", "centroid_id")
-        .parquet(stage)
-    )  # the write ACTION completes before live moves — stage is whole
-    os.rename(store_dir, old)
-    os.rename(stage, store_dir)
-    shutil.rmtree(old)
+    staged_swap(store_dir, _write)

@@ -107,37 +107,29 @@ def compact(spark: SparkSession, store_dir: str, upto_epoch: int) -> None:
     (including any previous base) into the single base partition —
     register-wise max, the same merge the read path does. OFFLINE
     (query stopped, frontier at or below the committed epoch) with the
-    staged-swap crash discipline shared by every compaction here."""
-    import shutil
+    shared staged-swap crash discipline
+    (``streaming/maintenance.staged_swap``)."""
+    from .maintenance import staged_swap
 
     regs_path = os.path.join(store_dir, REGS_SUBDIR)
-    stage = regs_path + "__compact_stage"
-    old = regs_path + "__compact_old"
-    if os.path.isdir(old):  # heal a prior crashed swap
-        if os.path.isdir(regs_path):
-            shutil.rmtree(old)
-        else:
-            os.rename(old, regs_path)
-    if os.path.isdir(stage):
-        shutil.rmtree(stage)
 
-    all_parts = spark.read.parquet(regs_path)
-    folded = (
-        all_parts.where(F.col("epoch_id") <= F.lit(upto_epoch))
-        .groupBy("bucket")
-        .agg(F.max("max_rho").alias("max_rho"))
-        .withColumn("epoch_id", F.lit(_BASE_EPOCH))
-    )
-    keep = all_parts.where(F.col("epoch_id") > F.lit(upto_epoch)).select(
-        "bucket", "max_rho", "epoch_id"
-    )
-    (
-        folded.unionByName(keep)
-        .repartition("epoch_id")
-        .write.mode("overwrite")
-        .partitionBy("epoch_id")
-        .parquet(stage)
-    )
-    os.rename(regs_path, old)
-    os.rename(stage, regs_path)
-    shutil.rmtree(old)
+    def _write(stage: str) -> None:
+        all_parts = spark.read.parquet(regs_path)
+        folded = (
+            all_parts.where(F.col("epoch_id") <= F.lit(upto_epoch))
+            .groupBy("bucket")
+            .agg(F.max("max_rho").alias("max_rho"))
+            .withColumn("epoch_id", F.lit(_BASE_EPOCH))
+        )
+        keep = all_parts.where(
+            F.col("epoch_id") > F.lit(upto_epoch)
+        ).select("bucket", "max_rho", "epoch_id")
+        (
+            folded.unionByName(keep)
+            .repartition("epoch_id")
+            .write.mode("overwrite")
+            .partitionBy("epoch_id")
+            .parquet(stage)
+        )
+
+    staged_swap(regs_path, _write)

@@ -190,45 +190,32 @@ def compact(spark: SparkSession, store_dir: str, upto_epoch: int) -> None:
     counted twice (the same caller-owned invariant as
     ``sources/layout.vacuum_epochs``).
 
-    Crash safety comes from a whole-store staged swap (the
-    ``sources/merge.py`` discipline at store granularity): the
-    compacted copy is fully written to a stage dir, then live → old,
-    stage → live, old deleted. Fold-and-delete become ONE visibility
-    event, so a re-run is idempotent (an already-folded store has no
-    partials ≤ the frontier left to re-add), and the entry-time heal
-    recovers every crash window: old-without-live → rename back;
-    leftover stage → delete."""
-    import shutil
+    Crash safety comes from the shared whole-store staged swap
+    (``streaming/maintenance.staged_swap`` — fold-and-delete become
+    ONE visibility event, a re-run is idempotent because an
+    already-folded store has no partials ≤ the frontier left to
+    re-add, and the entry-time heal recovers every crash window)."""
+    from .maintenance import staged_swap
 
     sketch_path = os.path.join(store_dir, SKETCH_SUBDIR)
-    stage = sketch_path + "__compact_stage"
-    old = sketch_path + "__compact_old"
-    # Self-heal any prior crashed compaction.
-    if os.path.isdir(old):
-        if os.path.isdir(sketch_path):
-            shutil.rmtree(old)
-        else:
-            os.rename(old, sketch_path)
-    if os.path.isdir(stage):
-        shutil.rmtree(stage)
 
-    all_parts = spark.read.parquet(sketch_path)
-    folded = (
-        all_parts.where(F.col("epoch_id") <= F.lit(upto_epoch))
-        .groupBy("h", "b")
-        .agg(F.sum("cell_cnt").alias("cell_cnt"))
-        .withColumn("epoch_id", F.lit(_BASE_EPOCH))
-    )
-    keep = all_parts.where(F.col("epoch_id") > F.lit(upto_epoch)).select(
-        "h", "b", "cell_cnt", "epoch_id"
-    )
-    (
-        folded.unionByName(keep)
-        .repartition("epoch_id")
-        .write.mode("overwrite")
-        .partitionBy("epoch_id")
-        .parquet(stage)
-    )  # the write ACTION completes before live moves — stage is whole
-    os.rename(sketch_path, old)
-    os.rename(stage, sketch_path)
-    shutil.rmtree(old)
+    def _write(stage: str) -> None:
+        all_parts = spark.read.parquet(sketch_path)
+        folded = (
+            all_parts.where(F.col("epoch_id") <= F.lit(upto_epoch))
+            .groupBy("h", "b")
+            .agg(F.sum("cell_cnt").alias("cell_cnt"))
+            .withColumn("epoch_id", F.lit(_BASE_EPOCH))
+        )
+        keep = all_parts.where(
+            F.col("epoch_id") > F.lit(upto_epoch)
+        ).select("h", "b", "cell_cnt", "epoch_id")
+        (
+            folded.unionByName(keep)
+            .repartition("epoch_id")
+            .write.mode("overwrite")
+            .partitionBy("epoch_id")
+            .parquet(stage)
+        )
+
+    staged_swap(sketch_path, _write)

@@ -1273,9 +1273,10 @@ WITH truth AS ({{NGRAM}}),
 cand AS ({{PAIRS}}),
 found AS ({{VERIFIED}})
 SELECT t.n_true_pairs, c.n_candidates, f.n_verified, h.n_hits,
-       round(CAST(h.n_hits AS DOUBLE) / t.n_true_pairs, 6) AS recall,
-       round(CAST(f.n_verified AS DOUBLE) / c.n_candidates, 6)
-         AS candidate_precision
+       round(CAST(h.n_hits AS DOUBLE)
+               / NULLIF(t.n_true_pairs, 0), 6) AS recall,
+       round(CAST(f.n_verified AS DOUBLE)
+               / NULLIF(c.n_candidates, 0), 6) AS candidate_precision
 FROM (SELECT CAST(count(*) AS BIGINT) AS n_true_pairs FROM truth) t,
      (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand) c,
      (SELECT CAST(count(*) AS BIGINT) AS n_verified FROM found) f,

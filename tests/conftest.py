@@ -27,3 +27,29 @@ def sf_dir():
 @pytest.fixture(scope="session")
 def sf_smoke():
     return SF_SMOKE
+
+
+class CrashOnce:
+    """Crash-injection hook shared by every maintenance-sink test:
+    raises once at the given epoch (after the sink's writes, before
+    Spark commits the offset — the worst-case window), then lets the
+    recovery run drain."""
+
+    def __init__(self, at_epoch: int):
+        self.at_epoch = at_epoch
+        self.fired = False
+
+    def __call__(self, epoch_id: int) -> None:
+        if epoch_id == self.at_epoch and not self.fired:
+            self.fired = True
+            raise RuntimeError(f"injected crash after epoch {epoch_id}")
+
+
+def drain_to_exception(q):
+    """Wait out a (possibly crashing) streaming query; returns its
+    exception (None for a clean drain)."""
+    try:
+        q.awaitTermination(120)
+    except Exception:
+        pass
+    return q.exception()

@@ -193,3 +193,12 @@ def test_hll_registers_are_mergeable(spark, sf_dir):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, whole.collect())
     )
+
+
+def test_hll_estimate_of_empty_register_frame_is_zero(spark):
+    """Review r8: an empty registers frame (no keys yet) must estimate
+    0 through linear counting (v_zero = m), not propagate a NULL sum
+    into a NULL verdict."""
+    empty = spark.createDataFrame([], "bucket int, max_rho int")
+    row = sketches.hll_estimate_expr(empty).collect()[0]
+    assert row.est == 0.0

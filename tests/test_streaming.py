@@ -460,24 +460,8 @@ def test_joint_crash_recovery_both_exactly_once_sinks(
             "append"
         ).parquet(stream_dir)
 
-    class CrashOnce:
-        def __init__(self, at_epoch: int):
-            self.at_epoch = at_epoch
-            self.fired = False
-
-        def __call__(self, epoch_id: int) -> None:
-            if epoch_id == self.at_epoch and not self.fired:
-                self.fired = True
-                raise RuntimeError(
-                    f"injected crash after epoch {epoch_id} write"
-                )
-
-    def drain(q):
-        try:
-            q.awaitTermination(120)
-        except Exception:
-            pass
-        return q.exception()
+    from .conftest import CrashOnce
+    from .conftest import drain_to_exception as drain
 
     # --- sink 1: dedup-on-ingest ---------------------------------
     out_dir = str(tmp_path / "droplist")

@@ -15,24 +15,7 @@ from customer_churn_prediction_spark.catalog import load_table
 from customer_churn_prediction_spark.similarity import ann
 from customer_churn_prediction_spark.streaming import ann_ingest as sai
 
-
-class CrashOnce:
-    def __init__(self, at_epoch: int):
-        self.at_epoch = at_epoch
-        self.fired = False
-
-    def __call__(self, epoch_id: int) -> None:
-        if epoch_id == self.at_epoch and not self.fired:
-            self.fired = True
-            raise RuntimeError(f"injected crash after epoch {epoch_id}")
-
-
-def _drain(q):
-    try:
-        q.awaitTermination(120)
-    except Exception:
-        pass
-    return q.exception()
+from .conftest import CrashOnce, drain_to_exception as _drain
 
 
 def _stage_drops(spark, sf_smoke, stream_dir, n_waves=3):
@@ -208,12 +191,26 @@ def test_forget_is_partition_scoped_and_query_visible(
     victims = sorted(
         {int(r.neighbor_id) for r in served.collect()}
     )[:2]
+    pre = spark.read.parquet(store)
+    n_store_before = pre.count()
+    # the victims' actual (epoch, cell) partitions, captured BEFORE
+    # erasure — the exact set forget_from_store may rewrite
+    victim_cells = {
+        (int(r.epoch_id), int(r.centroid_id))
+        for r in pre.where(
+            F.col("vec_id").isin(victims)
+        ).select("epoch_id", "centroid_id").distinct().collect()
+    }
     before = _files_snapshot(store)
-    n_before = spark.read.parquet(store).count()
 
     touched, b, a = sai.forget_from_store(spark, store, victims)
-    assert b == n_before and a == n_before - len(victims)
-    assert touched >= 1
+    # counts are touched-partition scoped: their delta is the erasure
+    assert touched == len(victim_cells)
+    assert b - a == len(victims)
+    assert (
+        spark.read.parquet(store).count()
+        == n_store_before - len(victims)
+    )
     stored_ids = {
         int(r.vec_id)
         for r in spark.read.parquet(store).select("vec_id").collect()
@@ -223,29 +220,25 @@ def test_forget_is_partition_scoped_and_query_visible(
     assert not {
         int(r.neighbor_id) for r in survivors_topk.collect()
     } & set(victims)
-    # partition-scoped: untouched partition files are byte-identical
+    # partition-scoped: every changed/removed data file lies inside a
+    # victim cell's directory — everything else is byte-identical
     after = _files_snapshot(store)
-    victim_cells = {
-        (int(r.epoch_id), int(r.centroid_id))
-        for r in spark.createDataFrame(
-            [(v,) for v in victims], "vec_id long"
-        ).join(
-            spark.read.parquet(store).select(
-                "vec_id", "epoch_id", "centroid_id"
-            ),
-            "vec_id", "left",
-        ).collect()
-        if r.epoch_id is not None
-    }
-    unchanged = [
-        p for p in before
-        if p in after and before[p] == after[p]
+    victim_dirs = [
+        os.path.join(store, f"epoch_id={e}", f"centroid_id={c}")
+        for e, c in victim_cells
     ]
-    # strictly fewer files rewritten than exist: most of the store is
-    # untouched (the whole point vs a full rewrite)
-    assert len(unchanged) > len(before) / 2, (
-        len(unchanged), len(before)
-    )
+
+    def _in_victim_cell(path):
+        return any(path.startswith(d + os.sep) for d in victim_dirs)
+
+    changed = [
+        p for p in set(before) | set(after)
+        if before.get(p) != after.get(p)
+    ]
+    data_changed = [p for p in changed if not p.endswith("_SUCCESS")]
+    assert data_changed, "erasure must rewrite the victims' files"
+    outside = [p for p in data_changed if not _in_victim_cell(p)]
+    assert not outside, outside
     # and the ledger carries the batch
     ledger = {
         int(r.vec_id)

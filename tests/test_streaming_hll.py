@@ -12,24 +12,7 @@ from pyspark.sql import functions as F
 from customer_churn_prediction_spark.operators import sketches as sk
 from customer_churn_prediction_spark.streaming import hll as shll
 
-
-class CrashOnce:
-    def __init__(self, at_epoch: int):
-        self.at_epoch = at_epoch
-        self.fired = False
-
-    def __call__(self, epoch_id: int) -> None:
-        if epoch_id == self.at_epoch and not self.fired:
-            self.fired = True
-            raise RuntimeError(f"injected crash after epoch {epoch_id}")
-
-
-def _drain(q):
-    try:
-        q.awaitTermination(120)
-    except Exception:
-        pass
-    return q.exception()
+from .conftest import CrashOnce, drain_to_exception as _drain
 
 
 def _events(spark, n, key_mod, id0=0):

@@ -12,6 +12,8 @@ from pyspark.sql import functions as F
 from customer_churn_prediction_spark.operators import sketches
 from customer_churn_prediction_spark.streaming import sketch as ssk
 
+from .conftest import CrashOnce, drain_to_exception as _drain
+
 
 def _events(spark, n, key_mod, hot_key=None, hot_n=0, id0=0):
     base = spark.range(id0, id0 + n).select(
@@ -39,25 +41,6 @@ def _batch_sketch(df):
 
 def _rows(df):
     return sorted(map(tuple, df.collect()))
-
-
-class CrashOnce:
-    def __init__(self, at_epoch: int):
-        self.at_epoch = at_epoch
-        self.fired = False
-
-    def __call__(self, epoch_id: int) -> None:
-        if epoch_id == self.at_epoch and not self.fired:
-            self.fired = True
-            raise RuntimeError(f"injected crash after epoch {epoch_id}")
-
-
-def _drain(q):
-    try:
-        q.awaitTermination(120)
-    except Exception:
-        pass
-    return q.exception()
 
 
 def _run(spark, stream_dir, store, ckpt, fault=None):
