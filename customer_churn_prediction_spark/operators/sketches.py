@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..constants import FEAT_END_EXCL, FEAT_START
 
 ACCURACY = 1000
 _EPS = 1.0 / ACCURACY
@@ -271,6 +272,214 @@ SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
 FROM events WHERE user_id IS NOT NULL
 """
 
+# Sized for the largest local fixture (~15k members at sf0.1 -> ~37%
+# occupancy, realized FPR ~2%); production sizes m = -n ln(p) / ln(2)^2
+# for the target key count — the bit table stays <= m rows either way.
+BLOOM_M = 131072  # bits (2^17)
+BLOOM_K = 4  # hash functions
+BLOOM_SEEDS = ("b0|", "b1|", "b2|", "b3|")
+
+
+def _bloom_positions(key_col):
+    """The k bit positions of a key — md5-derived (portable: the
+    DuckDB oracle builds the SAME filter bit-for-bit, so membership
+    answers are exact-compared, not just verdict-checked)."""
+    return F.array(
+        *[
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(s), key_col)), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("bigint"),
+                F.lit(BLOOM_M),
+            )
+            for s in BLOOM_SEEDS
+        ]
+    )
+
+
+def bloom_bits(keys: DataFrame, key: str = "key") -> DataFrame:
+    """The filter itself: the distinct set bit positions (<= m rows) —
+    the mergeable state (set-union is the merge; a stream maintains it
+    by appending each epoch's new bits, ``streaming/bloom.py``)."""
+    return (
+        keys.select(
+            F.explode(_bloom_positions(F.col(key))).alias("bit")
+        )
+        .distinct()
+    )
+
+
+def bloom_membership_report(
+    probe: DataFrame, members: DataFrame, bits: DataFrame,
+    key: str = "key",
+) -> DataFrame:
+    """1-row report of probing ``probe`` against the filter built from
+    ``members``: flagged iff ALL k positions are set. Emits the exact
+    membership counts next to the filter's answers so the two
+    guarantees are checkable numbers: ``no_false_negatives`` (a true
+    member is ALWAYS flagged — the Bloom hard guarantee) and the
+    realized false-positive rate with its theoretical expectation."""
+    probed = probe.select(
+        F.col(key), F.explode(_bloom_positions(F.col(key))).alias("bit")
+    )
+    hits = (
+        probed.join(F.broadcast(bits.withColumn("set", F.lit(1))),
+                    "bit", "left")
+        .groupBy(key)
+        .agg(
+            (F.count(F.lit(1)) == F.sum(F.coalesce("set", F.lit(0))))
+            .alias("flagged")
+        )
+    )
+    truth = members.select(F.col(key)).distinct().withColumn(
+        "is_member", F.lit(1)
+    )
+    joined = hits.join(truth, key, "left").select(
+        "flagged", F.coalesce("is_member", F.lit(0)).alias("is_member")
+    )
+    n_bits = bits.agg(F.count(F.lit(1)).alias("n_bits_set"))
+    return (
+        joined.agg(
+            F.count(F.lit(1)).alias("n_probed"),
+            F.sum("is_member").cast("bigint").alias("n_members"),
+            F.sum(F.col("flagged").cast("int")).cast("bigint")
+            .alias("n_flagged"),
+            F.sum(
+                ((F.col("is_member") == 1) & ~F.col("flagged"))
+                .cast("int")
+            ).cast("bigint").alias("n_false_negatives"),
+            F.sum(
+                ((F.col("is_member") == 0) & F.col("flagged"))
+                .cast("int")
+            ).cast("bigint").alias("n_false_positives"),
+        )
+        .crossJoin(F.broadcast(n_bits))
+        .select(
+            "n_probed", "n_members", "n_flagged",
+            "n_false_negatives", "n_false_positives", "n_bits_set",
+            (F.col("n_false_negatives") == 0).alias("no_false_negatives"),
+            F.round(
+                F.try_divide(
+                    F.col("n_false_positives"),
+                    F.col("n_probed") - F.col("n_members"),
+                ),
+                6,
+            ).alias("fpr"),
+            # realized FPR <= 3x the occupancy-exact expectation
+            # (n_bits_set / m)^k — generous but non-vacuous
+            (
+                F.try_divide(
+                    F.col("n_false_positives"),
+                    F.col("n_probed") - F.col("n_members"),
+                )
+                <= 3
+                * F.pow(
+                    F.col("n_bits_set") / F.lit(float(BLOOM_M)),
+                    F.lit(BLOOM_K),
+                )
+            ).alias("fpr_within_band"),
+        )
+    )
+
+
+def bloom_buyer_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership probe: all customers tested against the
+    filter of customers who ever ordered — the third sketch family
+    (membership) next to frequency (CMS) and cardinality (HLL), and
+    the 100 TB join-pruning primitive (ship the <= m-row bit set to the
+    probe side instead of shuffling the big side into a semi-join).
+    Because the bits are md5-derived, the DuckDB oracle rebuilds the
+    IDENTICAL filter and the whole report — counts, realized FPR, both
+    guarantee booleans — is hash-compared exactly, a stronger contract
+    than the exact+verdict pattern the engine-specific sketches use."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    # feature-window buyers, NOT all-time buyers: every customer has
+    # ordered at some point in the fixtures, and a probe set with no
+    # true non-members makes the FPR leg vacuous (NULL) — the windowed
+    # membership is also the realistic probe ("did this key appear in
+    # the training window").
+    members = (
+        orders.where(
+            (F.col("o_orderdate") >= F.lit(FEAT_START).cast("timestamp"))
+            & (F.col("o_orderdate")
+               < F.lit(FEAT_END_EXCL).cast("timestamp"))
+        )
+        .select(F.col("o_custkey").cast("string").alias("key"))
+        .distinct()
+    )
+    probe = customer.select(
+        F.col("c_custkey").cast("string").alias("key")
+    )
+    return bloom_membership_report(
+        probe, members, bloom_bits(members)
+    )
+
+
+def _bloom_pos_sql(expr: str, seed: str) -> str:
+    return (
+        f"CAST(('0x' || substring(md5('{seed}' || {expr}), 1, 15)) "
+        f"AS BIGINT) % {BLOOM_M}"
+    )
+
+
+BLOOM_ORACLE = f"""
+WITH members AS (
+  SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS key FROM orders
+  WHERE o_orderdate >= TIMESTAMP '{FEAT_START}'
+    AND o_orderdate <  TIMESTAMP '{FEAT_END_EXCL}'
+),
+bits AS (
+  SELECT DISTINCT bit FROM (
+    {" UNION ALL ".join(f"SELECT {_bloom_pos_sql('key', s)} AS bit FROM members" for s in BLOOM_SEEDS)}
+  )
+),
+probe AS (SELECT CAST(c_custkey AS VARCHAR) AS key FROM customer),
+probed AS (
+  {" UNION ALL ".join(f"SELECT key, {_bloom_pos_sql('key', s)} AS bit FROM probe" for s in BLOOM_SEEDS)}
+),
+hits AS (
+  SELECT p.key,
+         count(*) = sum(CASE WHEN b.bit IS NULL THEN 0 ELSE 1 END)
+           AS flagged
+  FROM probed p LEFT JOIN bits b USING (bit)
+  GROUP BY p.key
+),
+joined AS (
+  SELECT h.flagged,
+         CASE WHEN m.key IS NULL THEN 0 ELSE 1 END AS is_member
+  FROM hits h LEFT JOIN members m USING (key)
+),
+agg AS (
+  SELECT count(*) AS n_probed,
+         CAST(sum(is_member) AS BIGINT) AS n_members,
+         CAST(sum(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_flagged,
+         CAST(sum(CASE WHEN is_member = 1 AND NOT flagged
+                       THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_false_negatives,
+         CAST(sum(CASE WHEN is_member = 0 AND flagged
+                       THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_false_positives
+  FROM joined
+),
+nb AS (SELECT CAST(count(*) AS BIGINT) AS n_bits_set FROM bits)
+SELECT n_probed, n_members, n_flagged, n_false_negatives,
+       n_false_positives, n_bits_set,
+       n_false_negatives = 0 AS no_false_negatives,
+       round(CAST(n_false_positives AS DOUBLE)
+               / NULLIF(n_probed - n_members, 0), 6) AS fpr,
+       (CAST(n_false_positives AS DOUBLE)
+          / NULLIF(n_probed - n_members, 0))
+         <= 3 * (CAST(n_bits_set AS DOUBLE) / {BLOOM_M})
+              ** {BLOOM_K} AS fpr_within_band
+FROM agg, nb
+"""
+
 # Staged permanently by design: the 100-entry registry ceiling
 # (50-row driver budget x 2-round proof cycle) binds, and these lost
 # the priority call (ROADMAP round-6 state); tests/test_sketches.py holds
@@ -279,9 +488,11 @@ QUERIES = {
     "approx_percentile_bands": approx_percentile_bands,
     "heavy_hitters_cms": heavy_hitters_cms,
     "distinct_users_hll": distinct_users_hll,
+    "bloom_buyer_membership": bloom_buyer_membership,
 }
 ORACLES = {
     "approx_percentile_bands": APPROX_PERCENTILE_ORACLE,
     "heavy_hitters_cms": HEAVY_HITTERS_ORACLE,
     "distinct_users_hll": HLL_ORACLE,
+    "bloom_buyer_membership": BLOOM_ORACLE,
 }

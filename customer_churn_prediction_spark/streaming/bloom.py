@@ -1,0 +1,139 @@
+"""Streaming membership: the Bloom filter maintained on ingest.
+
+``operators/sketches.py::bloom_buyer_membership`` builds the filter
+from a batch scan; the production shape is "have we EVER seen this
+key" maintained as keys arrive — the dedup / join-pruning primitive
+at the ingest boundary. Set-union is the merge algebra (a bit, once
+set, stays set), so the loop is the CMS/HLL maintenance shape:
+
+  * each epoch hashes ONLY its own new keys into a <= k·|batch-keys|
+    row bit-position set (distinct-reduced, so bounded by m) and
+    lands it in an epoch-partitioned store (dynamic partition
+    overwrite — a replayed epoch OVERWRITES its own partition, the
+    shared idempotence contract; set-union would absorb duplicates
+    anyway, but one discipline audits once);
+  * the CURRENT filter is the distinct union of the stored partials
+    (<= m rows total);
+  * probes answer from the maintained bits exactly as the batch
+    report does.
+
+State: <= m rows regardless of ingest volume. ``compact`` folds
+committed epochs into the base partition via the shared staged swap.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.sketches import _bloom_positions, bloom_bits
+from .maintenance import staged_swap
+from .windows import stream_to_batch_sink
+
+BITS_SUBDIR = "bloom_epochs"
+
+_BASE_EPOCH = -1
+
+
+def merged_bits(spark: SparkSession, store_dir: str) -> DataFrame:
+    """The current filter: distinct union of every stored partial."""
+    return (
+        spark.read.parquet(os.path.join(store_dir, BITS_SUBDIR))
+        .select("bit")
+        .distinct()
+    )
+
+
+def probe_keys(
+    spark: SparkSession, store_dir: str, keys: DataFrame
+) -> DataFrame:
+    """(key, flagged) for every row of ``keys(key)`` against the
+    maintained filter — flagged iff ALL k positions are set. A key
+    ingested in ANY prior epoch is always flagged (no false
+    negatives); an unseen key is flagged only at the filter's FPR."""
+    probed = keys.select(
+        "key", F.explode(_bloom_positions(F.col("key"))).alias("bit")
+    )
+    return (
+        probed.join(
+            F.broadcast(
+                merged_bits(spark, store_dir).withColumn(
+                    "set", F.lit(1)
+                )
+            ),
+            "bit",
+            "left",
+        )
+        .groupBy("key")
+        .agg(
+            (F.count(F.lit(1)) == F.sum(F.coalesce("set", F.lit(0))))
+            .alias("flagged")
+        )
+    )
+
+
+def maintain_membership(
+    spark: SparkSession,
+    keys_stream: DataFrame,
+    store_dir: str,
+    checkpoint: str | None = None,
+    fault=None,
+):
+    """Start the maintenance query over a stream with a ``key`` string
+    column. ``fault`` is the sibling sinks' crash-injection hook."""
+    bits_path = os.path.join(store_dir, BITS_SUBDIR)
+
+    def epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_keys = batch_df.where(F.col("key").isNotNull())
+        if batch_keys.isEmpty():
+            return
+        (
+            bloom_bits(batch_keys)
+            .withColumn("epoch_id", F.lit(epoch_id))
+            .repartition(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
+            .parquet(bits_path)
+        )
+        if fault is not None:
+            fault(epoch_id)
+
+    return stream_to_batch_sink(
+        keys_stream,
+        epoch,
+        query_name="bloom-membership-maintenance",
+        output_mode="append",
+        checkpoint=checkpoint,
+    )
+
+
+def compact(spark: SparkSession, store_dir: str, upto_epoch: int) -> None:
+    """Fold every stored partial with ``epoch_id <= upto_epoch``
+    (including any previous base) into the single base partition —
+    distinct union, the same merge the read path does. OFFLINE, with
+    the shared staged-swap crash discipline."""
+    bits_path = os.path.join(store_dir, BITS_SUBDIR)
+
+    def _write(stage: str) -> None:
+        all_parts = spark.read.parquet(bits_path)
+        folded = (
+            all_parts.where(F.col("epoch_id") <= F.lit(upto_epoch))
+            .select("bit")
+            .distinct()
+            .withColumn("epoch_id", F.lit(_BASE_EPOCH))
+        )
+        keep = all_parts.where(
+            F.col("epoch_id") > F.lit(upto_epoch)
+        ).select("bit", "epoch_id")
+        (
+            folded.unionByName(keep)
+            .repartition("epoch_id")
+            .write.mode("overwrite")
+            .partitionBy("epoch_id")
+            .parquet(stage)
+        )
+
+    staged_swap(bits_path, _write)

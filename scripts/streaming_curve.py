@@ -173,6 +173,34 @@ def bench_hll(spark, sf_dir, tag):
     return walls, f"{n_regs} register rows ({n_users} keys)"
 
 
+def bench_bloom(spark, sf_dir, tag):
+    from pyspark.sql import functions as F
+
+    from customer_churn_prediction_spark.catalog import load_table
+    from customer_churn_prediction_spark.streaming import bloom as sbl
+    from customer_churn_prediction_spark.streaming import windows as sw
+
+    events = load_table(spark, sf_dir, "events")
+    keys = events.select(
+        "event_id", F.col("user_id").cast("string").alias("key")
+    )
+    work = tempfile.mkdtemp(prefix=f"bloom_{tag}_")
+    waves = _stage_waves(keys, "event_id", os.path.join(work, "wave"))
+    drop_dir = os.path.join(work, "drops")
+    os.makedirs(drop_dir)
+    store = os.path.join(work, "store")
+    schema = spark.read.parquet(waves[0]).schema
+    q = sbl.maintain_membership(
+        spark, sw.as_stream(spark, drop_dir, schema), store,
+        checkpoint=os.path.join(work, "ckpt"),
+    )
+    walls = _run_epochs(q, waves, drop_dir)
+    n_bits = sbl.merged_bits(spark, store).count()
+    n_users = events.select("user_id").distinct().count()
+    shutil.rmtree(work, ignore_errors=True)
+    return walls, f"{n_bits} bits set ({n_users} keys)"
+
+
 def bench_ann_ingest(spark, sf_dir, tag):
     from customer_churn_prediction_spark.catalog import load_table
     from customer_churn_prediction_spark.streaming import (
@@ -237,6 +265,7 @@ def main() -> None:
         ("maintain_embedding_drift", bench_vector_drift, SF01, X10_EMB),
         ("maintain_ivf_lists", bench_ann_ingest, SF01, X10_EMB),
         ("maintain_distinct_count", bench_hll, SF01, X10_EVENTS),
+        ("maintain_membership", bench_bloom, SF01, X10_EVENTS),
     ]
     print("| twin | per-epoch walls sf0.1 (s) | per-epoch walls x10 (s) "
           "| last-epoch growth | state (x10) |")

@@ -202,3 +202,23 @@ def test_hll_estimate_of_empty_register_frame_is_zero(spark):
     empty = spark.createDataFrame([], "bucket int, max_rho int")
     row = sketches.hll_estimate_expr(empty).collect()[0]
     assert row.est == 0.0
+
+
+def test_bloom_oracle_parity(spark, sf_dir):
+    assert_matches_oracle(
+        sketches.bloom_buyer_membership(spark, sf_dir),
+        sketches.BLOOM_ORACLE,
+        sf_dir,
+    )
+
+
+def test_bloom_guarantees_hold_across_fixture_scales(spark):
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+               "/root/testdata/sf0.1"):
+        row = sketches.bloom_buyer_membership(spark, sf).collect()[0]
+        assert row.n_false_negatives == 0, (sf, row)
+        assert row.no_false_negatives
+        assert row.fpr_within_band, (sf, row)
+        # the probe set must contain true non-members or the FPR leg
+        # is vacuous (the reason membership is feature-windowed)
+        assert row.n_probed > row.n_members, (sf, row)
