@@ -115,3 +115,42 @@ def test_hash_threshold_monotone():
     thrs = [hash_threshold(f) for f in fracs]
     assert thrs == sorted(thrs)  # 'g' > all hex strings byte-wise
     assert thrs[-1] == "g" and thrs[-2] == "g"
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(codec="ascii", exclude_characters="\x00"),
+            min_size=0, max_size=40,
+        ),
+        min_size=1, max_size=30, unique=True,
+    )
+)
+def test_sketch_hash_domains_property(spark, keys):
+    """Bloom positions land in [0, M) with exactly k per key; HLL
+    buckets land in [0, m) with rho in [1, 57] — for arbitrary key
+    strings, including empty and metacharacter-heavy ones (the hash
+    layer must never leak a malformed slot into a sketch store)."""
+    from customer_churn_prediction_spark.operators import sketches as sk
+
+    df = spark.createDataFrame([(k,) for k in keys], "key string")
+    pos = df.select(
+        "key", F.explode(sk._bloom_positions(F.col("key"))).alias("bit")
+    ).collect()
+    assert len(pos) == sk.BLOOM_K * len(keys)
+    assert all(0 <= r.bit < sk.BLOOM_M for r in pos)
+    # deterministic: same key -> same positions on a re-run
+    pos2 = df.select(
+        "key", F.explode(sk._bloom_positions(F.col("key"))).alias("bit")
+    ).collect()
+    assert sorted(map(tuple, pos)) == sorted(map(tuple, pos2))
+
+    regs = sk.hll_registers(df).collect()
+    assert all(0 <= r.bucket < sk.HLL_M for r in regs)
+    assert all(1 <= r.max_rho <= 57 for r in regs)
+    # registers are a function of the key SET: shuffled input agrees
+    regs2 = sk.hll_registers(
+        spark.createDataFrame([(k,) for k in reversed(keys)], "key string")
+    ).collect()
+    assert sorted(map(tuple, regs)) == sorted(map(tuple, regs2))
