@@ -313,6 +313,28 @@ def bloom_bits(keys: DataFrame, key: str = "key") -> DataFrame:
     )
 
 
+def bloom_probe(
+    keys: DataFrame, bits: DataFrame, key: str = "key"
+) -> DataFrame:
+    """(key, flagged) for every key probed against a bit set: flagged
+    iff ALL k positions are set. THE membership predicate — shared by
+    the batch report and the streaming store's probe
+    (``streaming/bloom.py``), so k / the flagged condition / NULL-bit
+    handling can never drift between them."""
+    probed = keys.select(
+        F.col(key), F.explode(_bloom_positions(F.col(key))).alias("bit")
+    )
+    return (
+        probed.join(F.broadcast(bits.withColumn("set", F.lit(1))),
+                    "bit", "left")
+        .groupBy(key)
+        .agg(
+            (F.count(F.lit(1)) == F.sum(F.coalesce("set", F.lit(0))))
+            .alias("flagged")
+        )
+    )
+
+
 def bloom_membership_report(
     probe: DataFrame, members: DataFrame, bits: DataFrame,
     key: str = "key",
@@ -323,18 +345,7 @@ def bloom_membership_report(
     guarantees are checkable numbers: ``no_false_negatives`` (a true
     member is ALWAYS flagged — the Bloom hard guarantee) and the
     realized false-positive rate with its theoretical expectation."""
-    probed = probe.select(
-        F.col(key), F.explode(_bloom_positions(F.col(key))).alias("bit")
-    )
-    hits = (
-        probed.join(F.broadcast(bits.withColumn("set", F.lit(1))),
-                    "bit", "left")
-        .groupBy(key)
-        .agg(
-            (F.count(F.lit(1)) == F.sum(F.coalesce("set", F.lit(0))))
-            .alias("flagged")
-        )
-    )
+    hits = bloom_probe(probe, bits, key)
     truth = members.select(F.col(key)).distinct().withColumn(
         "is_member", F.lit(1)
     )
@@ -403,6 +414,11 @@ def bloom_buyer_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     # true non-members makes the FPR leg vacuous (NULL) — the windowed
     # membership is also the realistic probe ("did this key appear in
     # the training window").
+    # cache the distinct member-key set: it feeds the bit build, the
+    # n_bits count, AND the exact truth side — uncached, each branch
+    # re-pays the orders scan + distinct shuffle, the exact cost a
+    # membership filter exists to avoid (review r8). Filter-sized
+    # (the set you would persist/broadcast in production anyway).
     members = (
         orders.where(
             (F.col("o_orderdate") >= F.lit(FEAT_START).cast("timestamp"))
@@ -411,6 +427,7 @@ def bloom_buyer_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("o_custkey").cast("string").alias("key"))
         .distinct()
+        .cache()
     )
     probe = customer.select(
         F.col("c_custkey").cast("string").alias("key")

@@ -17,8 +17,11 @@ set, stays set), so the loop is the CMS/HLL maintenance shape:
   * probes answer from the maintained bits exactly as the batch
     report does.
 
-State: <= m rows regardless of ingest volume. ``compact`` folds
-committed epochs into the base partition via the shared staged swap.
+State: <= m rows PER EPOCH PARTITION (distinct within the epoch) —
+at rest the store grows with epoch count until ``compact`` folds the
+history into the single <= m-row base partition via the shared
+staged swap, the same pre-compaction growth contract as the CMS and
+HLL stores.
 """
 
 from __future__ import annotations
@@ -28,7 +31,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.sketches import _bloom_positions, bloom_bits
+from ..operators.sketches import bloom_bits, bloom_probe
 from .maintenance import staged_swap
 from .windows import stream_to_batch_sink
 
@@ -50,28 +53,12 @@ def probe_keys(
     spark: SparkSession, store_dir: str, keys: DataFrame
 ) -> DataFrame:
     """(key, flagged) for every row of ``keys(key)`` against the
-    maintained filter — flagged iff ALL k positions are set. A key
-    ingested in ANY prior epoch is always flagged (no false
-    negatives); an unseen key is flagged only at the filter's FPR."""
-    probed = keys.select(
-        "key", F.explode(_bloom_positions(F.col("key"))).alias("bit")
-    )
-    return (
-        probed.join(
-            F.broadcast(
-                merged_bits(spark, store_dir).withColumn(
-                    "set", F.lit(1)
-                )
-            ),
-            "bit",
-            "left",
-        )
-        .groupBy("key")
-        .agg(
-            (F.count(F.lit(1)) == F.sum(F.coalesce("set", F.lit(0))))
-            .alias("flagged")
-        )
-    )
+    maintained filter — the SHARED membership predicate
+    (``operators/sketches.bloom_probe``), so batch and stream answers
+    can never drift. A key ingested in ANY prior epoch is always
+    flagged (no false negatives); an unseen key is flagged only at
+    the filter's FPR."""
+    return bloom_probe(keys, merged_bits(spark, store_dir))
 
 
 def maintain_membership(

@@ -195,10 +195,18 @@ def bench_bloom(spark, sf_dir, tag):
         checkpoint=os.path.join(work, "ckpt"),
     )
     walls = _run_epochs(q, waves, drop_dir)
+    # raw STORED rows (like the CMS/HLL rows), not the deduped merge:
+    # the at-rest store grows with epoch count until compact folds it
+    n_stored = spark.read.parquet(
+        os.path.join(store, sbl.BITS_SUBDIR)
+    ).count()
     n_bits = sbl.merged_bits(spark, store).count()
     n_users = events.select("user_id").distinct().count()
     shutil.rmtree(work, ignore_errors=True)
-    return walls, f"{n_bits} bits set ({n_users} keys)"
+    return walls, (
+        f"{n_stored} stored bit rows ({n_bits} distinct, "
+        f"{n_users} keys)"
+    )
 
 
 def bench_ann_ingest(spark, sf_dir, tag):
