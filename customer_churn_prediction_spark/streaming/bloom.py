@@ -22,6 +22,19 @@ at rest the store grows with epoch count until ``compact`` folds the
 history into the single <= m-row base partition via the shared
 staged swap, the same pre-compaction growth contract as the CMS and
 HLL stores.
+
+Governance: a Bloom filter CANNOT unlearn — a set bit may be shared
+by other keys, so clearing it would break the no-false-negatives
+guarantee for them (same for CMS counts and HLL registers; all three
+are lossy folds). The erasure path for every sketch store is REBUILD
+from the already-scrubbed source (the ``sources/forget`` ledger keeps
+the source clean; ``tests/test_streaming_bloom.py`` pins both halves:
+the maintained filter still flags an erased key, and a rebuild from
+the clean key set stops flagging it). Until the rebuild, the filter
+merely over-approximates — membership "maybe", never identity — which
+is why a sketch store is not itself personal data the way the IVF
+store's vectors are (THAT one erases in place,
+``ann_ingest.forget_from_store``).
 """
 
 from __future__ import annotations

@@ -124,3 +124,53 @@ def test_compact_preserves_filter_and_is_idempotent(spark, tmp_path):
     assert parts == [f"epoch_id={sbl._BASE_EPOCH}"]
     sbl.compact(spark, store, upto_epoch=10)
     assert _bits(sbl.merged_bits(spark, store)) == before
+
+
+def test_sketches_cannot_unlearn_rebuild_is_the_erasure_path(
+    spark, tmp_path
+):
+    """Governance contract (module docstring): a lossy sketch cannot
+    erase a key in place — a set bit may be shared, so the maintained
+    filter keeps flagging an 'erased' key until the store is REBUILT
+    from the scrubbed source; the rebuild stops flagging it without
+    disturbing anyone else's no-false-negative guarantee."""
+    stream_dir = str(tmp_path / "arrivals_g")
+    store = str(tmp_path / "store_g")
+    ckpt = str(tmp_path / "ckpt_g")
+    keys = _keys(spark, 0, 300)
+    keys.repartition(1).write.mode("append").parquet(stream_dir)
+    q = _run(spark, stream_dir, store, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    victim = "42"
+    # the filter has no delete: the erased key still flags (honest
+    # over-approximation, not retained identity)
+    assert (
+        sbl.probe_keys(
+            spark, store,
+            spark.createDataFrame([(victim,)], "key string"),
+        ).collect()[0].flagged
+    )
+
+    # rebuild from the scrubbed source = the erasure path
+    clean = keys.where(F.col("key") != victim)
+    stream2 = str(tmp_path / "arrivals_g2")
+    store2 = str(tmp_path / "store_g2")
+    clean.repartition(1).write.mode("append").parquet(stream2)
+    q2 = _run(spark, stream2, store2, str(tmp_path / "ckpt_g2"))
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    flags = {
+        r.key: r.flagged
+        for r in sbl.probe_keys(
+            spark, store2, keys
+        ).collect()
+    }
+    assert not flags[victim], "rebuilt filter must not flag erased key"
+    others = [v for k, v in flags.items() if k != victim]
+    assert all(others), "rebuild must keep everyone else's guarantee"
