@@ -173,6 +173,32 @@ def bench_hll(spark, sf_dir, tag):
     return walls, f"{n_regs} register rows ({n_users} keys)"
 
 
+def bench_quantiles(spark, sf_dir, tag):
+    from customer_churn_prediction_spark.catalog import load_table
+    from customer_churn_prediction_spark.streaming import (
+        quantiles as sq,
+    )
+    from customer_churn_prediction_spark.streaming import windows as sw
+    from customer_churn_prediction_spark.streaming.drift import (
+        read_report,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix=f"quant_{tag}_")
+    waves = _stage_waves(events, "event_id", os.path.join(work, "wave"))
+    drop_dir = os.path.join(work, "drops")
+    os.makedirs(drop_dir)
+    report = os.path.join(work, "report")
+    q = sq.maintain_quantiles(
+        spark, sw.as_stream(spark, drop_dir, events.schema), report,
+        checkpoint=os.path.join(work, "ckpt"),
+    )
+    walls = _run_epochs(q, waves, drop_dir)
+    n_rows = read_report(spark, report).count()
+    shutil.rmtree(work, ignore_errors=True)
+    return walls, f"{n_rows} report rows/epoch (GK buffer per group)"
+
+
 def bench_bloom(spark, sf_dir, tag):
     from pyspark.sql import functions as F
 
@@ -274,6 +300,7 @@ def main() -> None:
         ("maintain_ivf_lists", bench_ann_ingest, SF01, X10_EMB),
         ("maintain_distinct_count", bench_hll, SF01, X10_EVENTS),
         ("maintain_membership", bench_bloom, SF01, X10_EVENTS),
+        ("maintain_quantiles", bench_quantiles, SF01, X10_EVENTS),
     ]
     print("| twin | per-epoch walls sf0.1 (s) | per-epoch walls x10 (s) "
           "| last-epoch growth | state (x10) |")
