@@ -124,6 +124,10 @@ BENCH_QUERIES = [
     # as a pure map over the corpus (the fit memo FEEDS per-call work,
     # embedding_pq-style, so it is deliberately NOT in _FIT_MEMOS).
     "text_tokenize_bpe",
+    # r9 addition: the CMS heavy-hitters report graduated from the
+    # staged tier — the frequency member of the mergeable-sketch
+    # matrix (bounded d*w-cell state, probes broadcast).
+    "heavy_hitters_cms",
 ]
 
 

@@ -497,19 +497,27 @@ SELECT n_probed, n_members, n_flagged, n_false_negatives,
 FROM agg, nb
 """
 
-# Staged permanently by design: the 100-entry registry ceiling
-# (50-row driver budget x 2-round proof cycle) binds, and these lost
-# the priority call (ROADMAP round-6 state); tests/test_sketches.py holds
-# them to driver rigor regardless.
+# heavy_hitters_cms graduated to the registry in r9 (the one free
+# slot under the 100-entry ceiling — registry sat at 99 since r8's
+# retirement of label_churned_anti): it completes the registered
+# sketch story next to approx_distinct_users and percentile_quantity
+# with the frequency member of the mergeable-sketch matrix. The other
+# three stay staged permanently by design (the 50-row driver budget x
+# 2-round proof cycle binds); tests/test_sketches.py and
+# STAGED_CORRECTNESS.json hold them to driver rigor regardless.
 QUERIES = {
-    "approx_percentile_bands": approx_percentile_bands,
     "heavy_hitters_cms": heavy_hitters_cms,
+}
+ORACLES = {
+    "heavy_hitters_cms": HEAVY_HITTERS_ORACLE,
+}
+STAGED_QUERIES = {
+    "approx_percentile_bands": approx_percentile_bands,
     "distinct_users_hll": distinct_users_hll,
     "bloom_buyer_membership": bloom_buyer_membership,
 }
-ORACLES = {
+STAGED_ORACLES = {
     "approx_percentile_bands": APPROX_PERCENTILE_ORACLE,
-    "heavy_hitters_cms": HEAVY_HITTERS_ORACLE,
     "distinct_users_hll": HLL_ORACLE,
     "bloom_buyer_membership": BLOOM_ORACLE,
 }

@@ -32,6 +32,7 @@ def _modules():
             relational,
             rfm,
             sessions,
+            sketches,
             windows,
         )
 
@@ -51,7 +52,7 @@ def _modules():
         from ..text import vocab as text_vocab
 
         _MODULES = [rfm, assembly, labeling, relational, aggregates,
-                    windows, asof, sessions, scalars, fn_udtf,
+                    windows, asof, sessions, sketches, scalars, fn_udtf,
                     stream_windows, stream_stateful, stream_rollup,
                     text_analysis, text_dedup, text_spans, text_splits,
                     text_vocab,
@@ -112,67 +113,69 @@ BASELINES = {
 
 
 # Driver-budget rotation (the driver checks ~50 entries per round):
-# round 8 front-loads the entries whose most recent driver row is
-# round 6 (everything r7's PRIORITY did not cover — ROADMAP.md
-# "Round-8 rotation" lists them; label_churned_anti retired from that
-# list into its verified-equal twin, see RETIRED), plus the newly
-# registered text_tokenize_bpe as the closer (a new entry has no
-# history, so it must be proven in its registration round). The r7
-# 50 — all green in CORRECTNESS_r07 — rotate into round 9.
+# round 9 front-loads the 49 entries whose most recent driver row is
+# round 7 (everything r8's PRIORITY did not cover), plus the newly
+# registered heavy_hitters_cms as the closer (a new entry has no
+# history, so it must be proven in its registration round). The r8
+# 50 — all green in CORRECTNESS_r08 — rotate into round 10.
 # tests/test_registry_rotation.py asserts this list keeps every
-# entry's latest green row at most one round old.
+# entry's latest green row at most one round old, and
+# tests/test_gen_priority.py asserts the list equals
+# scripts/gen_priority.py's derivation from the committed
+# CORRECTNESS history — the rotation is generated, not hand-kept.
 PRIORITY = [
-    # latest green row is r6 — re-prove before the evidence goes stale
-    "rfm_groupby",
-    "feature_assembly",
-    "label_churn",
-    "label_class_balance",
-    "scan_filter_project",
-    "having_repurchase",
-    "isin_filter",
-    "na_fill_left_join",
-    "topk_orders",
-    "sampled_orders",
-    "groupby_count",
-    "avg_by_segment",
-    "approx_distinct_users",
-    "grouping_sets_revenue",
-    "pivot_status_priority",
-    "percentile_quantity",
-    "eval_confusion",
-    "latest_order_per_customer",
-    "purchase_gaps",
-    "running_spend",
-    "asof_join_clicks",
-    "event_sessions",
-    "text_tfidf_topk",
-    "corpus_sample_stratified",
-    "text_chunks",
-    "corpus_pack",
-    "text_redact",
-    "dedup_lsh_components",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_lsh_verified",
-    "dedup_incremental",
-    "dedup_incremental_materialized",
-    "dedup_cross_modal",
-    "text_dup_spans",
-    "corpus_clean_spans",
-    "corpus_split_leakproof",
-    "ann_bruteforce_topk",
-    "ann_ivf",
-    "ann_ivf_materialized",
-    "dedup_semantic",
-    "embedding_pq",
-    "ann_pq_adc",
-    "ann_ivf_pq",
-    "ann_ivf_pq_stored",
-    "feature_bucketize",
-    "model_calibration",
-    "feature_iv",
-    # registered in r8 — first driver row this round
-    "text_tokenize_bpe",
+    # latest green row is r7 — re-prove before the evidence goes stale
+    "distinct_pairs",
+    "salted_join_revenue",
+    "groupby_sum",
+    "user_event_sequences",
+    "range_join_events",
+    "date_functions",
+    "round_bround",
+    "md5_salted_key",
+    "string_functions",
+    "json_extract_events",
+    "text_sentences",
+    "stream_tumbling_counts",
+    "stream_sliding_counts",
+    "stream_session_windows",
+    "stream_dedup_events",
+    "stream_user_totals",
+    "rollup_daily_from_hourly",
+    "text_stats",
+    "text_lang_id",
+    "text_token_counts",
+    "text_fingerprint",
+    "corpus_curation",
+    "text_repetition",
+    "corpus_mix",
+    "text_logprob",
+    "corpus_keep_decision",
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "dedup_minhash_lsh_pairs",
+    "dedup_lsh_groups",
+    "corpus_dedup_keep",
+    "contamination_check",
+    "vocab_bpe_merges",
+    "ann_lsh_bucketed",
+    "ann_ivf_kmeans",
+    "embedding_quantize",
+    "ann_bruteforce_int8",
+    "ann_bruteforce_int8_stored",
+    "ann_recall_eval",
+    "ml_rf_churn",
+    "ml_gbt_churn",
+    "ml_lr_churn",
+    "ml_fm_churn",
+    "ml_feature_vectors",
+    "drift_psi",
+    "score_band_lift",
+    "eval_ks",
+    "multimodal_features",
+    "multimodal_frames",
+    # registered in r9 — first driver row this round
+    "heavy_hitters_cms",
 ]
 
 

@@ -49,6 +49,8 @@ def test_bench_covers_recent_additions():
         "vocab_bpe_merges",
         # r8 registration
         "text_tokenize_bpe",
+        # r9 registration
+        "heavy_hitters_cms",
     }
     assert tracked <= names, sorted(tracked - names)
 
