@@ -196,17 +196,25 @@ def forget_from_store(
     if not hit:
         return 0, 0, 0
     pairs = {(int(r.epoch_id), int(r.centroid_id)) for r in hit}
-    import functools
-
-    touched = store.where(
-        functools.reduce(
-            lambda a, b: a | b,
-            [
-                (F.col("epoch_id") == e) & (F.col("centroid_id") == c)
-                for e, c in sorted(pairs)
-            ],
-        )
+    # Two-stage touched-partition filter (ADVICE r8): a per-pair
+    # OR-chain is a Catalyst expression tree LINEAR in the number of
+    # touched partitions (slow analysis / codegen limits at production
+    # epoch x cell counts). Instead: (1) a coarse isin on each
+    # partition column — a SMALL tree, O(distinct epochs + cells),
+    # that still statically prunes the scan to a superset of the
+    # touched directories; (2) exact pair membership via a broadcast
+    # semi-join against the tiny pairs frame.
+    dtypes = dict(store.dtypes)
+    pairs_df = spark.createDataFrame(
+        sorted(pairs), "epoch_id long, centroid_id long"
+    ).select(
+        F.col("epoch_id").cast(dtypes["epoch_id"]),
+        F.col("centroid_id").cast(dtypes["centroid_id"]),
     )
+    touched = store.where(
+        F.col("epoch_id").isin([e for e, _ in pairs])
+        & F.col("centroid_id").isin([c for _, c in pairs])
+    ).join(F.broadcast(pairs_df), ["epoch_id", "centroid_id"], "left_semi")
     n_before = touched.count()  # partition-pruned, touched cells only
     survivors = touched.where(~F.col("vec_id").isin(ids))
     stage = store_dir.rstrip("/") + "__forget_stage"

@@ -54,12 +54,16 @@ _BASE_EPOCH = -1
 
 
 def merged_bits(spark: SparkSession, store_dir: str) -> DataFrame:
-    """The current filter: distinct union of every stored partial."""
-    return (
-        spark.read.parquet(os.path.join(store_dir, BITS_SUBDIR))
-        .select("bit")
-        .distinct()
-    )
+    """The current filter: distinct union of every stored partial.
+
+    A store with no epochs yet (missing parquet path) is an EMPTY
+    filter — no bit set — so a pre-first-epoch probe answers "not
+    flagged" instead of raising (ADVICE r8; same guard as
+    ``ann_ingest.read_erased_ids``)."""
+    path = os.path.join(store_dir, BITS_SUBDIR)
+    if not os.path.isdir(path):
+        return spark.createDataFrame([], "bit bigint")
+    return spark.read.parquet(path).select("bit").distinct()
 
 
 def probe_keys(

@@ -44,9 +44,18 @@ _BASE_EPOCH = -1
 
 
 def merged_registers(spark: SparkSession, store_dir: str) -> DataFrame:
-    """The current registers: bucket-wise max over stored partials."""
+    """The current registers: bucket-wise max over stored partials.
+
+    A store with no epochs yet (missing parquet path) is the EMPTY
+    register set, which ``hll_estimate_expr`` routes through linear
+    counting to est 0 — so a pre-first-epoch estimate answers 0
+    instead of raising (ADVICE r8; same guard as
+    ``ann_ingest.read_erased_ids``)."""
+    path = os.path.join(store_dir, REGS_SUBDIR)
+    if not os.path.isdir(path):
+        return spark.createDataFrame([], "bucket int, max_rho int")
     return (
-        spark.read.parquet(os.path.join(store_dir, REGS_SUBDIR))
+        spark.read.parquet(path)
         .groupBy("bucket")
         .agg(F.max("max_rho").alias("max_rho"))
     )

@@ -68,9 +68,17 @@ def _partial_sketch(batch_keys: DataFrame) -> DataFrame:
 
 def merged_sketch(spark: SparkSession, store_dir: str) -> DataFrame:
     """The current corpus sketch: cell-wise sum of every stored
-    partial (bounded: d*w rows per epoch partition)."""
+    partial (bounded: d*w rows per epoch partition).
+
+    A store with no epochs yet (missing parquet path) is the EMPTY
+    sketch — every cell 0 — so a pre-first-epoch point query answers
+    est 0 instead of raising (ADVICE r8 raised this for the Bloom/HLL
+    siblings; same guard as ``ann_ingest.read_erased_ids``)."""
+    path = os.path.join(store_dir, SKETCH_SUBDIR)
+    if not os.path.isdir(path):
+        return spark.createDataFrame([], "h int, b bigint, cell_cnt long")
     return (
-        spark.read.parquet(os.path.join(store_dir, SKETCH_SUBDIR))
+        spark.read.parquet(path)
         .groupBy("h", "b")
         .agg(F.sum("cell_cnt").alias("cell_cnt"))
     )

@@ -314,7 +314,10 @@ def main() -> None:
             print(f"| {name} | {base_walls} | x10 fixture missing | | |")
             continue
         x10_walls, state = fn(spark, x10_dir, "x10")
-        growth = round(x10_walls[-1] / base_walls[-1], 2)
+        # walls are rounded to 3 decimals — a sub-millisecond base
+        # epoch would round to 0.0 and kill the rest of the curve run
+        # with ZeroDivisionError (ADVICE r8)
+        growth = round(x10_walls[-1] / max(base_walls[-1], 1e-3), 2)
         print(f"| {name} | {base_walls} | {x10_walls} "
               f"| {growth}x | {state} |")
     spark.stop()

@@ -1,9 +1,10 @@
 """Streaming IVF maintenance (streaming/ann_ingest.py): after the
 corpus drains through the stream, querying the maintained store
-equals the batch ``ann_ivf`` exactly; a replayed epoch overwrites its
-own partitions; offline compaction preserves the index and
-self-heals; the store keeps the cell-partitioned layout queries
-prune on."""
+equals the batch ``ann_ivf`` exactly; the store keeps the
+cell-partitioned layout queries prune on; erasure is
+partition-scoped with a WAL scrub. Crash-replay / compaction /
+governance cells live in the shared matrix
+(tests/test_maintained_stores.py)."""
 
 from __future__ import annotations
 
@@ -15,7 +16,6 @@ from customer_churn_prediction_spark.catalog import load_table
 from customer_churn_prediction_spark.similarity import ann
 from customer_churn_prediction_spark.streaming import ann_ingest as sai
 
-from .conftest import CrashOnce, drain_to_exception as _drain
 
 
 def _stage_drops(spark, sf_smoke, stream_dir, n_waves=3):
@@ -72,91 +72,6 @@ def test_maintained_store_serves_exact_batch_ivf(spark, sf_smoke, tmp_path):
     assert len(epochs) >= 2  # one per non-empty wave
     cells = os.listdir(os.path.join(store, epochs[0]))
     assert any(c.startswith("centroid_id=") for c in cells)
-
-
-def test_replayed_epoch_overwrites_its_own_partitions(
-    spark, sf_smoke, tmp_path
-):
-    """Crash AFTER the store write, BEFORE the offset commit: the
-    replayed epoch must overwrite its own (epoch, cell) partitions —
-    no duplicate vectors, and the served top-k still equals batch."""
-    stream_dir = str(tmp_path / "arrivals_r")
-    store = str(tmp_path / "store_r")
-    ckpt = str(tmp_path / "ckpt_r")
-    _stage_drops(spark, sf_smoke, stream_dir)
-
-    crash = CrashOnce(at_epoch=1)
-    q = _run(spark, sf_smoke, stream_dir, store, ckpt, fault=crash)
-    assert _drain(q) is not None, "fault must abort the first run"
-    assert crash.fired
-
-    q2 = _run(spark, sf_smoke, stream_dir, store, ckpt)
-    try:
-        q2.processAllAvailable()
-        assert q2.exception() is None, "recovery run must drain cleanly"
-    finally:
-        q2.stop()
-
-    stored = spark.read.parquet(store)
-    n_corpus = load_table(spark, sf_smoke, "embeddings").count()
-    assert stored.count() == n_corpus
-    assert stored.select("vec_id").distinct().count() == n_corpus
-    assert _topk_rows(
-        sai.ivf_topk_from_store(spark, sf_smoke, store)
-    ) == _topk_rows(ann.ann_ivf(spark, sf_smoke))
-
-
-def test_compact_preserves_index_and_is_idempotent(
-    spark, sf_smoke, tmp_path
-):
-    stream_dir = str(tmp_path / "arrivals_c")
-    store = str(tmp_path / "store_c")
-    ckpt = str(tmp_path / "ckpt_c")
-    _stage_drops(spark, sf_smoke, stream_dir)
-    q = _run(spark, sf_smoke, stream_dir, store, ckpt)
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-
-    before = _topk_rows(sai.ivf_topk_from_store(spark, sf_smoke, store))
-    sai.compact(spark, store, upto_epoch=10)
-    assert _topk_rows(
-        sai.ivf_topk_from_store(spark, sf_smoke, store)
-    ) == before
-    epochs = [d for d in os.listdir(store) if d.startswith("epoch_id=")]
-    assert epochs == [f"epoch_id={sai._BASE_EPOCH}"]
-    # the cell sub-partitioning survives the fold
-    cells = os.listdir(os.path.join(store, epochs[0]))
-    assert any(c.startswith("centroid_id=") for c in cells)
-    # idempotent re-run
-    sai.compact(spark, store, upto_epoch=10)
-    assert _topk_rows(
-        sai.ivf_topk_from_store(spark, sf_smoke, store)
-    ) == before
-
-
-def test_compact_heals_a_crashed_swap(spark, sf_smoke, tmp_path):
-    """Entry-time self-heal: old-without-live -> rename back, stale
-    stage -> delete — a compaction killed between its renames must
-    leave the next run with the full index."""
-    stream_dir = str(tmp_path / "arrivals_h")
-    store = str(tmp_path / "store_h")
-    ckpt = str(tmp_path / "ckpt_h")
-    _stage_drops(spark, sf_smoke, stream_dir)
-    q = _run(spark, sf_smoke, stream_dir, store, ckpt)
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    want = _topk_rows(sai.ivf_topk_from_store(spark, sf_smoke, store))
-
-    # simulate the worst window: live renamed to old, stage missing
-    os.rename(store, store + "__compact_old")
-    sai.compact(spark, store, upto_epoch=10)
-    assert _topk_rows(
-        sai.ivf_topk_from_store(spark, sf_smoke, store)
-    ) == want
 
 
 def _files_snapshot(root):

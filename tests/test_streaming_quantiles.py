@@ -1,7 +1,8 @@
 """Streaming GK maintenance (streaming/quantiles.py): the maintained
 per-group percentiles honor the batch op's rank-error contract
-against the exact percentiles of everything ingested, and a
-checkpointed restart restores the sketch state."""
+against the exact percentiles of everything ingested. The
+checkpointed-restart cell lives in the shared matrix
+(tests/test_maintained_stores.py)."""
 
 from __future__ import annotations
 
@@ -73,41 +74,6 @@ def test_maintained_quantiles_hold_batch_band(spark, sf_smoke, tmp_path):
         assert q.exception() is None
     finally:
         q.stop()
-
-    rows = [r.asDict() for r in read_report(spark, report).collect()]
-    n_want = events.where(F.col("value").isNotNull()).count()
-    _assert_report_in_band(rows, _group_values(events), n_want)
-
-
-def test_restart_restores_sketch_state(spark, sf_smoke, tmp_path):
-    """Stop after half the data, restart with the same checkpoint,
-    ingest the rest: the final report must reflect ALL ingested rows
-    (complete-mode state lives behind the checkpoint) and still honor
-    the band over the full data."""
-    events = load_table(spark, sf_smoke, "events")
-    src = str(tmp_path / "events_src_r")
-    report = str(tmp_path / "report_r")
-    ckpt = str(tmp_path / "ckpt_r")
-    half1 = events.where(F.col("event_id") % 2 == 0)
-    half1.repartition(1).write.mode("append").parquet(src)
-
-    stream = spark.readStream.schema(events.schema).parquet(src)
-    q = sq.maintain_quantiles(spark, stream, report, checkpoint=ckpt)
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-
-    events.where(F.col("event_id") % 2 == 1).repartition(
-        1
-    ).write.mode("append").parquet(src)
-    stream2 = spark.readStream.schema(events.schema).parquet(src)
-    q2 = sq.maintain_quantiles(spark, stream2, report, checkpoint=ckpt)
-    try:
-        q2.processAllAvailable()
-        assert q2.exception() is None
-    finally:
-        q2.stop()
 
     rows = [r.asDict() for r in read_report(spark, report).collect()]
     n_want = events.where(F.col("value").isNotNull()).count()

@@ -1,7 +1,8 @@
 """Streaming CMS maintenance (streaming/sketch.py): mergeability
 through the engine — per-epoch partials sum to exactly the batch
 sketch, exactly-once under an injected crash, candidate top-K tracks
-an injected hot key, and offline compaction preserves the sketch."""
+an injected hot key, and offline compaction preserves the sketch. Crash-replay / compaction / governance
+cells live in the shared matrix (tests/test_maintained_stores.py)."""
 
 from __future__ import annotations
 
@@ -12,7 +13,6 @@ from pyspark.sql import functions as F
 from customer_churn_prediction_spark.operators import sketches
 from customer_churn_prediction_spark.streaming import sketch as ssk
 
-from .conftest import CrashOnce, drain_to_exception as _drain
 
 
 def _events(spark, n, key_mod, hot_key=None, hot_n=0, id0=0):
@@ -100,88 +100,6 @@ def ssk_read_latest(spark, store):
     return read_report(
         spark, os.path.join(store, ssk.REPORT_SUBDIR)
     )
-
-
-def test_replayed_epoch_does_not_double_merge(spark, tmp_path):
-    """Crash AFTER the store write and report publish, BEFORE the
-    offset commit: the replayed epoch must overwrite its own partial
-    (dynamic partition overwrite), leaving the merged sketch exactly
-    the batch sketch."""
-    stream_dir = str(tmp_path / "arrivals_r")
-    store = str(tmp_path / "store_r")
-    ckpt = str(tmp_path / "ckpt_r")
-
-    w1 = _events(spark, 200, 40)
-    w1.repartition(1).write.mode("append").parquet(stream_dir)
-    w2 = _events(spark, 200, 40, id0=200)
-    w2.repartition(1).write.mode("append").parquet(stream_dir)
-
-    crash = CrashOnce(at_epoch=1)
-    q = _run(spark, stream_dir, store, ckpt, fault=crash)
-    assert _drain(q) is not None, "fault must abort the first run"
-    assert crash.fired
-
-    q2 = _run(spark, stream_dir, store, ckpt)
-    try:
-        q2.processAllAvailable()
-        assert q2.exception() is None, "recovery run must drain cleanly"
-    finally:
-        q2.stop()
-
-    assert _rows(ssk.merged_sketch(spark, store)) == _rows(
-        _batch_sketch(w1.unionByName(w2))
-    )
-
-
-def test_compact_preserves_sketch_and_is_idempotent(spark, tmp_path):
-    stream_dir = str(tmp_path / "arrivals_c")
-    store = str(tmp_path / "store_c")
-    ckpt = str(tmp_path / "ckpt_c")
-    for i in range(3):
-        _events(spark, 100, 30, id0=100 * i).repartition(1).write.mode(
-            "append"
-        ).parquet(stream_dir)
-    q = _run(spark, stream_dir, store, ckpt)
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-
-    before = _rows(ssk.merged_sketch(spark, store))
-    ssk.compact(spark, store, upto_epoch=10)
-    after = _rows(ssk.merged_sketch(spark, store))
-    assert before == after
-    sketch_path = os.path.join(store, ssk.SKETCH_SUBDIR)
-    parts = [
-        d for d in os.listdir(sketch_path) if d.startswith("epoch_id=")
-    ]
-    assert parts == [f"epoch_id={ssk._BASE_EPOCH}"]
-    # idempotent re-run
-    ssk.compact(spark, store, upto_epoch=10)
-    assert _rows(ssk.merged_sketch(spark, store)) == before
-
-
-def test_compact_heals_a_crashed_swap(spark, tmp_path):
-    """Worst crash window: live store renamed away, stage not yet
-    promoted. The next compact() must restore and converge."""
-    stream_dir = str(tmp_path / "arrivals_h")
-    store = str(tmp_path / "store_h")
-    ckpt = str(tmp_path / "ckpt_h")
-    for i in range(2):
-        _events(spark, 80, 20, id0=80 * i).repartition(1).write.mode(
-            "append"
-        ).parquet(stream_dir)
-    q = _run(spark, stream_dir, store, ckpt)
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-
-    before = _rows(ssk.merged_sketch(spark, store))
-    sketch_path = os.path.join(store, ssk.SKETCH_SUBDIR)
-    os.rename(sketch_path, sketch_path + "__compact_old")
-    ssk.compact(spark, store, upto_epoch=10)
-    assert _rows(ssk.merged_sketch(spark, store)) == before
 
 
 def test_point_query_prices_unseen_and_partially_empty_keys(
