@@ -57,6 +57,19 @@ def get_spark(
             "spark.driver.memory",
             os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
         )
+        # Static conf: Spark's generated-class cache holds only 100
+        # entries by default. A 63-query bench session (or a full
+        # registry pass) compiles several hundred distinct codegen
+        # units — stages, subexpression variants, AQE re-plans — so
+        # the LRU thrashes and later passes re-pay cold compiles
+        # (observed: dedup_simhash 0.85 s in-bench vs 0.37 s in a
+        # fresh solo process, identical plan — VERDICT r8 item 4).
+        # 2000 entries covers the whole registry with headroom;
+        # generated classes are small, so the memory cost is noise
+        # next to the 8g driver heap.
+        builder = builder.config(
+            "spark.sql.codegen.cache.maxEntries", "2000"
+        )
 
     conf = {
         # Determinism: all date/timestamp math in UTC regardless of host tz.

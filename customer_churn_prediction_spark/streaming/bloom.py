@@ -141,3 +141,18 @@ def compact(spark: SparkSession, store_dir: str, upto_epoch: int) -> None:
         )
 
     staged_swap(bits_path, _write)
+
+
+def rebuild(
+    spark: SparkSession, store_dir: str, clean_keys: DataFrame
+) -> None:
+    """Erasure for a Bloom store (module docstring: sketches REBUILD,
+    they cannot unlearn): recompute the filter from the scrubbed
+    ``clean_keys(key)`` source and staged-swap it in as the base
+    epoch. After the rebuild an erased key flags only at the FPR and
+    every remaining key keeps the no-false-negative guarantee."""
+    from .maintenance import rebuild_base
+
+    rebuild_base(
+        os.path.join(store_dir, BITS_SUBDIR), bloom_bits(clean_keys)
+    )

@@ -142,3 +142,17 @@ def compact(spark: SparkSession, store_dir: str, upto_epoch: int) -> None:
         )
 
     staged_swap(regs_path, _write)
+
+
+def rebuild(
+    spark: SparkSession, store_dir: str, clean_keys: DataFrame
+) -> None:
+    """Erasure for an HLL store (sketches REBUILD, they cannot
+    unlearn — a register's max-rho may belong to many keys):
+    recompute the registers from the scrubbed ``clean_keys(key)``
+    source and staged-swap them in as the base epoch."""
+    from .maintenance import rebuild_base
+
+    rebuild_base(
+        os.path.join(store_dir, REGS_SUBDIR), hll_registers(clean_keys)
+    )

@@ -39,3 +39,40 @@ def staged_swap(live_path: str, write_fn) -> None:
     os.rename(live_path, old)
     os.rename(stage, live_path)
     shutil.rmtree(old)
+
+
+def rebuild_base(live_path: str, state_df) -> None:
+    """Replace a store's ENTIRE epoch history with a freshly computed
+    base partition — THE erasure path for lossy sketches. A shared
+    bit/register/cell cannot be unlearned in place (it may belong to
+    other keys), so governance for a sketch store is: scrub the
+    SOURCE, recompute the state from the clean source, and swap it in
+    as the base epoch. The swap is the same staged-swap crash
+    discipline as compaction, so a crash mid-rebuild never leaves a
+    half-forgotten store — readers see the old state or the clean
+    state, nothing between. OFFLINE (maintenance query stopped); the
+    restarted query's checkpoint must be fresh, since the old
+    offsets' epochs no longer exist in the store.
+
+    ``state_df`` is the family's mergeable state computed over the
+    scrubbed source (bloom bits / HLL registers / CMS cells).
+    Requires an existing store — rebuilding a store that never
+    ingested is meaningless (there is nothing to forget)."""
+    from pyspark.sql import functions as F
+
+    if not os.path.isdir(live_path):
+        raise FileNotFoundError(
+            f"rebuild_base: no store at {live_path} — nothing to "
+            "rebuild; a first build is the maintenance query's job"
+        )
+
+    def _write(stage: str) -> None:
+        (
+            state_df.withColumn("epoch_id", F.lit(-1))
+            .repartition("epoch_id")
+            .write.mode("overwrite")
+            .partitionBy("epoch_id")
+            .parquet(stage)
+        )
+
+    staged_swap(live_path, _write)

@@ -227,3 +227,18 @@ def compact(spark: SparkSession, store_dir: str, upto_epoch: int) -> None:
         )
 
     staged_swap(sketch_path, _write)
+
+
+def rebuild(
+    spark: SparkSession, store_dir: str, clean_keys: DataFrame
+) -> None:
+    """Erasure for a CMS store (sketches REBUILD, they cannot unlearn
+    — decrementing a cell would corrupt every other key hashing into
+    it): recompute the sketch from the scrubbed ``clean_keys(key)``
+    source and staged-swap it in as the base epoch."""
+    from .maintenance import rebuild_base
+
+    rebuild_base(
+        os.path.join(store_dir, SKETCH_SUBDIR),
+        _partial_sketch(clean_keys),
+    )

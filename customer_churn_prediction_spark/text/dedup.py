@@ -1261,11 +1261,110 @@ def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAINMENT_THRESHOLD = 0.9
+CONTAINMENT_DF_CAP = 20
+
+
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup: (contained, container) pairs
+    where C(A→B) = |grams(A) ∩ grams(B)| / |grams(A)| ≥ threshold —
+    the fragment/quote/subset case symmetric Jaccard structurally
+    misses (a 100-gram doc fully inside a 10,000-gram doc has
+    containment 1.0 but Jaccard ~0.01, far under any dedup
+    threshold). For a training corpus this is the boilerplate-wrapped
+    repost / quoted-article case.
+
+    Scale shape (prefix-filter family, à la Xiao et al. ED-Join):
+    candidates come from an equi-join on RARE grams only — grams with
+    document frequency ≤ {CONTAINMENT_DF_CAP} — so the stop-gram hot
+    keys that carry the quadratic pair mass never generate pairs; the
+    df table is one gram-keyed aggregate that reuses the gram
+    shuffle. Direction is smaller-gram-set-into-larger (ties to the
+    lower doc_id), assigned at candidate time from the ride-along set
+    sizes. Verification then computes EXACT containment over the full
+    gram sets of the ~|candidates| surviving pairs via the
+    semi-join-pruned gram fetch (the ``_verified_best_match`` idiom)
+    — never all pairs. Like banded LSH, the rare-gram candidate rule
+    is part of the operator's definition (a pair sharing only
+    stop-grams is not a candidate), and the oracle encodes the same
+    rule."""
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    sh = (
+        d.select(
+            "doc_id", F.expr(_word_shingles_spark()).alias("grams")
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(grams, x -> "
+                    "named_struct('shingle', x, 'n_sh', size(grams)))"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "g.shingle", "g.n_sh")
+    )
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= CONTAINMENT_DF_CAP)
+        .select("shingle")
+    )
+    rsh = sh.join(rare, "shingle")
+    a, b = rsh.alias("a"), rsh.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (
+                (F.col("a.n_sh") < F.col("b.n_sh"))
+                | (
+                    (F.col("a.n_sh") == F.col("b.n_sh"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id"))
+                )
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("contained"),
+            F.col("b.doc_id").alias("container"),
+        )
+        .distinct()
+    )
+    member_ids = (
+        cands.select(F.col("contained").alias("doc_id"))
+        .union(cands.select(F.col("container").alias("doc_id")))
+        .distinct()
+    )
+    grams = (
+        d.join(member_ids, "doc_id", "left_semi")
+        .select("doc_id", F.expr(_word_shingles_spark()).alias("grams"))
+    )
+    ga = grams.select(
+        F.col("doc_id").alias("contained"), F.col("grams").alias("ga")
+    )
+    gb = grams.select(
+        F.col("doc_id").alias("container"), F.col("grams").alias("gb")
+    )
+    inter = F.size(F.array_intersect("ga", "gb"))
+    # try_divide: a gram-less contained side is 0/0 under ANSI.
+    return (
+        cands.join(ga, "contained")
+        .join(gb, "container")
+        .select(
+            "contained",
+            "container",
+            F.try_divide(inter, F.size("ga")).alias("containment"),
+        )
+        .where(F.col("containment") >= CONTAINMENT_THRESHOLD)
+    )
+
+
 # Staged split (the vocab pattern): the module is REGISTERED, so the
 # staged remainder lives in STAGED_QUERIES/STAGED_ORACLES and is
 # proven through STAGED_CORRECTNESS.json instead of a driver row.
 STAGED_QUERIES = {
     "dedup_recall_eval": dedup_recall_eval,
+    "dedup_containment": containment_pairs,
 }
 STAGED_ORACLES = {
     "dedup_recall_eval": f"""
@@ -1289,4 +1388,34 @@ FROM (SELECT CAST(count(*) AS BIGINT) AS n_true_pairs FROM truth) t,
         PAIRS=ORACLES["dedup_minhash_lsh_pairs"],
         VERIFIED=ORACLES["dedup_lsh_verified"],
     ),
+    # Same rare-gram candidate rule + exact containment verify as the
+    # Spark plan; co-occurrence count over distinct gram sets equals
+    # |array_intersect|, so the two verifies are the same number.
+    "dedup_containment": f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+rare AS (SELECT shingle FROM df WHERE df <= {CONTAINMENT_DF_CAP}),
+rsh AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS contained, b.doc_id AS container
+  FROM rsh a
+  JOIN rsh b ON a.shingle = b.shingle
+  JOIN sizes sa ON sa.doc_id = a.doc_id
+  JOIN sizes sb ON sb.doc_id = b.doc_id
+  WHERE (sa.n_sh < sb.n_sh)
+     OR (sa.n_sh = sb.n_sh AND a.doc_id < b.doc_id)
+),
+co AS (
+  SELECT c.contained, c.container, count(*) AS co
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.contained
+  JOIN sh b ON b.doc_id = c.container AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT co.contained, co.container,
+       co.co / CAST(s.n_sh AS DOUBLE) AS containment
+FROM co JOIN sizes s ON s.doc_id = co.contained
+WHERE co.co / CAST(s.n_sh AS DOUBLE) >= {CONTAINMENT_THRESHOLD}
+""",
 }

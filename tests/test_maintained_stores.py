@@ -95,6 +95,13 @@ class Family:
         """Drop the governance victim's rows from the input."""
         raise NotImplementedError
 
+    def rebuild(self, spark, store, clean_df):
+        """In-place rebuild API (``maintenance.rebuild_base``); None
+        when the family has no store to swap (GK's complete-mode
+        report is a pure function of the checkpoint — its rebuild IS
+        a fresh run)."""
+        return None
+
     def empty_read(self, spark, sf_smoke, store):
         """Probe a store with no epochs; must answer, not raise."""
         raise NotImplementedError
@@ -141,6 +148,12 @@ class CMSFamily(Family):
     def scrub(self, input_df):
         return input_df.where(F.col("user_id") != 7)
 
+    def rebuild(self, spark, store, clean_df):
+        ssk.rebuild(
+            spark, store, clean_df.select(F.col("user_id").alias("key"))
+        )
+        return True
+
     def empty_read(self, spark, sf_smoke, store):
         est = ssk.estimate_keys(
             spark, store, spark.createDataFrame([(42,)], "key bigint")
@@ -186,6 +199,12 @@ class HLLFamily(Family):
     def scrub(self, input_df):
         return input_df.where(F.col("user_id") != 7)
 
+    def rebuild(self, spark, store, clean_df):
+        shll.rebuild(
+            spark, store, clean_df.select(F.col("user_id").alias("key"))
+        )
+        return True
+
     def empty_read(self, spark, sf_smoke, store):
         est = shll.estimate(spark, store).collect()
         assert len(est) == 1 and est[0].est == 0.0
@@ -224,6 +243,10 @@ class BloomFamily(Family):
 
     def scrub(self, input_df):
         return input_df.where(F.col("key") != "42")
+
+    def rebuild(self, spark, store, clean_df):
+        sbl.rebuild(spark, store, clean_df)
+        return True
 
     def empty_read(self, spark, sf_smoke, store):
         flags = sbl.probe_keys(
@@ -475,6 +498,20 @@ def test_erasure_or_rebuild_governance(fam, spark, sf_smoke, tmp_path):
             ).collect()[0].flagged
         ), "erased key must still flag until the store is rebuilt"
     clean = fam.scrub(_union(waves))
+    if fam.rebuild(spark, store, clean):
+        # the real erasure API: recompute from the scrubbed source and
+        # staged-swap into the SAME store — afterwards it must equal
+        # the store a clean history would have produced, with the old
+        # epoch history gone (only the base partition remains).
+        fam.final_check(spark, sf_smoke, store, clean)
+        live = os.path.join(store, fam.live_subdir)
+        parts = [
+            d for d in os.listdir(live) if d.startswith("epoch_id=")
+        ]
+        assert parts == ["epoch_id=-1"], parts
+        return
+    # no store to swap (GK): rebuild IS a fresh run over the scrubbed
+    # source with a fresh checkpoint.
     stream2 = str(tmp_path / "arrivals_clean")
     store2 = str(tmp_path / "store_clean")
     clean.repartition(1).write.mode("append").parquet(stream2)

@@ -22,6 +22,9 @@ ALLOWED_NESTED_LOOP = {
     # module fn keeps the all-pairs plan for the recall/governance
     # tests but is no longer parametrized here.)
     "text_tfidf_topk",          # 1-row broadcast scalar (corpus size)
+    # registered r9: the error-band report crossJoins the broadcast
+    # 1-row N-total scalar (the calibration-tier report pattern)
+    "heavy_hitters_cms",
 }
 
 _PLANNABLE = [
