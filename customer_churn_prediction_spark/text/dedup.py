@@ -1262,32 +1262,48 @@ def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CONTAINMENT_THRESHOLD = 0.9
-CONTAINMENT_DF_CAP = 20
 
 
 def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment dedup: (contained, container) pairs
-    where C(A→B) = |grams(A) ∩ grams(B)| / |grams(A)| ≥ threshold —
-    the fragment/quote/subset case symmetric Jaccard structurally
-    misses (a 100-gram doc fully inside a 10,000-gram doc has
-    containment 1.0 but Jaccard ~0.01, far under any dedup
-    threshold). For a training corpus this is the boilerplate-wrapped
-    repost / quoted-article case.
+    where C(A→B) = |grams(A) ∩ grams(B)| / |grams(A)| ≥ threshold and
+    A's gram set is no larger than B's — the fragment/quote/subset
+    case symmetric Jaccard structurally misses (a 100-gram doc fully
+    inside a 10,000-gram doc has containment 1.0 but Jaccard ~0.01,
+    far under any dedup threshold). For a training corpus this is the
+    boilerplate-wrapped repost / quoted-article case.
 
-    Scale shape (prefix-filter family, à la Xiao et al. ED-Join):
-    candidates come from an equi-join on RARE grams only — grams with
-    document frequency ≤ {CONTAINMENT_DF_CAP} — so the stop-gram hot
-    keys that carry the quadratic pair mass never generate pairs; the
-    df table is one gram-keyed aggregate that reuses the gram
-    shuffle. Direction is smaller-gram-set-into-larger (ties to the
-    lower doc_id), assigned at candidate time from the ride-along set
-    sizes. Verification then computes EXACT containment over the full
-    gram sets of the ~|candidates| surviving pairs via the
-    semi-join-pruned gram fetch (the ``_verified_best_match`` idiom)
-    — never all pairs. Like banded LSH, the rare-gram candidate rule
-    is part of the operator's definition (a pair sharing only
-    stop-grams is not a candidate), and the oracle encodes the same
-    rule."""
+    Scale shape: EXACT prefix filtering (Chaudhuri et al. SSJoin /
+    Xiao et al. PPJoin family). If C(A→B) ≥ τ then A has at most
+    (1-τ)·|A| grams outside B, so among A's p = floor((1-τ)·|A|)+1
+    globally-RAREST grams at least one must be in B — joining only
+    those p prefix grams (per contained candidate) against the full
+    gram table finds EVERY qualifying pair, no recall loss, while a
+    hot stop-gram can only fan out from docs whose prefix it is
+    (i.e., docs whose every gram is common). At τ=0.9 the prefix is
+    ~|A|/10+1 grams, and measured candidate volume collapses ~450×
+    vs a rare-gram cap rule at sf0.01 (26 candidates for 25 verified
+    pairs — 96% candidate precision). Rarity ranking costs one
+    gram-keyed df aggregate plus one doc-keyed row_number window —
+    both O(tokens) shuffles, the same order as the LSH tier's gram
+    passes. Verification computes exact containment over the
+    semi-join-pruned gram arrays of candidates only (the
+    ``_verified_best_match`` idiom) — never all pairs. Because the
+    filter is lossless, the operator's contract is the pure
+    containment definition; the oracle encodes the same prefix
+    candidates only to stay plan-faithful, not because the rule
+    changes the answer.
+
+    DEPLOYMENT ORDER MATTERS (measured, SCALE §10.3 r9 addendum):
+    near-dup clusters share their rare grams, so a cluster of k
+    replicas contributes ~k² prefix candidates — on the raw ×10
+    corpus that is 690k candidates at 0.4% precision. Run this
+    fragment tier AFTER the near-dup tier's ``corpus_dedup_keep``
+    collapse: on the ×10 corpus's 1,228 representatives the same
+    pass generates 0 replica-driven candidates and finishes 3×
+    faster end-to-end."""
+    from pyspark.sql import Window
+
     d = load_table(spark, sf_dir, "documents", spread=True)
     sh = (
         d.select(
@@ -1304,14 +1320,21 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "g.shingle", "g.n_sh")
     )
-    rare = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") <= CONTAINMENT_DF_CAP)
-        .select("shingle")
+    df_tab = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    prefix = (
+        sh.join(df_tab, "shingle")
+        .withColumn("rk", F.row_number().over(w))
+        .where(
+            F.col("rk")
+            <= F.floor(
+                (1.0 - CONTAINMENT_THRESHOLD) * F.col("n_sh")
+            )
+            + 1
+        )
+        .select("doc_id", "shingle", "n_sh")
     )
-    rsh = sh.join(rare, "shingle")
-    a, b = rsh.alias("a"), rsh.alias("b")
+    a, b = prefix.alias("a"), sh.alias("b")
     cands = (
         a.join(
             b,
@@ -1388,23 +1411,34 @@ FROM (SELECT CAST(count(*) AS BIGINT) AS n_true_pairs FROM truth) t,
         PAIRS=ORACLES["dedup_minhash_lsh_pairs"],
         VERIFIED=ORACLES["dedup_lsh_verified"],
     ),
-    # Same rare-gram candidate rule + exact containment verify as the
-    # Spark plan; co-occurrence count over distinct gram sets equals
-    # |array_intersect|, so the two verifies are the same number.
+    # Same exact prefix-filter candidates + exact containment verify
+    # as the Spark plan (the filter is lossless, so this is also just
+    # the containment definition); co-occurrence count over distinct
+    # gram sets equals |array_intersect|, so the verifies agree.
     "dedup_containment": f"""
 WITH sh AS ({_SHINGLES_SQL}),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
-rare AS (SELECT shingle FROM df WHERE df <= {CONTAINMENT_DF_CAP}),
-rsh AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
+ranked AS (
+  SELECT sh.doc_id, sh.shingle,
+         row_number() OVER (PARTITION BY sh.doc_id
+                            ORDER BY d.df, sh.shingle) AS rk
+  FROM sh JOIN df d USING (shingle)
+),
+prefix AS (
+  SELECT r.doc_id, r.shingle
+  FROM ranked r JOIN sizes s USING (doc_id)
+  WHERE r.rk <= CAST(floor((1.0 - {CONTAINMENT_THRESHOLD}) * s.n_sh)
+                     AS BIGINT) + 1
+),
 cand AS (
-  SELECT DISTINCT a.doc_id AS contained, b.doc_id AS container
-  FROM rsh a
-  JOIN rsh b ON a.shingle = b.shingle
-  JOIN sizes sa ON sa.doc_id = a.doc_id
+  SELECT DISTINCT p.doc_id AS contained, b.doc_id AS container
+  FROM prefix p
+  JOIN sh b ON b.shingle = p.shingle
+  JOIN sizes sa ON sa.doc_id = p.doc_id
   JOIN sizes sb ON sb.doc_id = b.doc_id
   WHERE (sa.n_sh < sb.n_sh)
-     OR (sa.n_sh = sb.n_sh AND a.doc_id < b.doc_id)
+     OR (sa.n_sh = sb.n_sh AND p.doc_id < b.doc_id)
 ),
 co AS (
   SELECT c.contained, c.container, count(*) AS co
