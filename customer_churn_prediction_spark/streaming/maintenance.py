@@ -65,6 +65,14 @@ def rebuild_base(live_path: str, state_df) -> None:
             f"rebuild_base: no store at {live_path} — nothing to "
             "rebuild; a first build is the maintenance query's job"
         )
+    if state_df.isEmpty():
+        # Scrub removed every key: an EMPTY partitioned write would
+        # leave a dir with no part files, which passes the readers'
+        # isdir guard and then fails schema inference. The truthful
+        # state is "never ingested" — remove the store and let the
+        # readers' missing-path guard answer empty/0/not-flagged.
+        shutil.rmtree(live_path)
+        return
 
     def _write(stage: str) -> None:
         (

@@ -533,3 +533,27 @@ def test_pre_first_epoch_store_answers_instead_of_raising(
     has not landed yet must answer empty/0/"not flagged" — the same
     ``os.path.isdir`` guard as ``ann_ingest.read_erased_ids``."""
     fam.empty_read(spark, sf_smoke, str(tmp_path / "never_written"))
+
+
+@pytest.mark.parametrize(
+    "fam",
+    [f for f in FAMILIES if f.governance == "rebuild"
+     and f.live_subdir is not None],
+    ids=[f.name for f in FAMILIES if f.governance == "rebuild"
+         and f.live_subdir is not None],
+)
+def test_rebuild_to_empty_resets_store(fam, spark, sf_smoke, tmp_path):
+    """Scrubbing EVERY key: the rebuild must not leave an empty
+    partitioned dir (it passes the isdir guard, then crashes schema
+    inference) — it resets the store to never-ingested, and the
+    pre-first-epoch guard answers empty/0/"not flagged"."""
+    stream_dir = str(tmp_path / "arrivals")
+    store = str(tmp_path / "store")
+    waves = fam.waves(spark, sf_smoke)
+    _stage(waves[:1], stream_dir)
+    q = fam.run(spark, sf_smoke, stream_dir, store,
+                str(tmp_path / "ckpt"))
+    _drain_clean(q)
+
+    assert fam.rebuild(spark, store, waves[0].limit(0))
+    fam.empty_read(spark, sf_smoke, store)
