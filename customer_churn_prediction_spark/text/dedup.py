@@ -1264,6 +1264,53 @@ def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 CONTAINMENT_THRESHOLD = 0.9
 
 
+def _gram_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle, n_sh) — each doc's distinct word-3-gram set
+    exploded with its size riding along (the struct-carried transform,
+    see ``ngram_jaccard_pairs`` for why a bare explode is slower)."""
+    return (
+        docs.select(
+            "doc_id", F.expr(_word_shingles_spark()).alias("grams")
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(grams, x -> "
+                    "named_struct('shingle', x, 'n_sh', size(grams)))"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "g.shingle", "g.n_sh")
+    )
+
+
+def _containment_prefix(sh: DataFrame, df_tab: DataFrame) -> DataFrame:
+    """Each doc's floor((1-τ)·n)+1 RAREST grams by the given document
+    frequencies — the lossless candidate generator (pigeonhole: any
+    that many grams of A must intersect every B with C(A→B) ≥ τ, so
+    WHICH grams are chosen affects only candidate volume, never
+    recall; a frozen/stale df table therefore stays exact, it just
+    prunes a little worse). Grams absent from ``df_tab`` count df 0 —
+    maximally rare, prefix-first."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    return (
+        sh.join(df_tab, "shingle", "left")
+        .withColumn("df", F.coalesce("df", F.lit(0)))
+        .withColumn("rk", F.row_number().over(w))
+        .where(
+            F.col("rk")
+            <= F.floor(
+                (1.0 - CONTAINMENT_THRESHOLD) * F.col("n_sh")
+            )
+            + 1
+        )
+        .select("doc_id", "shingle", "n_sh")
+    )
+
+
 def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment dedup: (contained, container) pairs
     where C(A→B) = |grams(A) ∩ grams(B)| / |grams(A)| ≥ threshold and
@@ -1302,38 +1349,10 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapse: on the ×10 corpus's 1,228 representatives the same
     pass generates 0 replica-driven candidates and finishes 3×
     faster end-to-end."""
-    from pyspark.sql import Window
-
     d = load_table(spark, sf_dir, "documents", spread=True)
-    sh = (
-        d.select(
-            "doc_id", F.expr(_word_shingles_spark()).alias("grams")
-        )
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(grams, x -> "
-                    "named_struct('shingle', x, 'n_sh', size(grams)))"
-                )
-            ).alias("g"),
-        )
-        .select("doc_id", "g.shingle", "g.n_sh")
-    )
+    sh = _gram_rows(d)
     df_tab = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
-    prefix = (
-        sh.join(df_tab, "shingle")
-        .withColumn("rk", F.row_number().over(w))
-        .where(
-            F.col("rk")
-            <= F.floor(
-                (1.0 - CONTAINMENT_THRESHOLD) * F.col("n_sh")
-            )
-            + 1
-        )
-        .select("doc_id", "shingle", "n_sh")
-    )
+    prefix = _containment_prefix(sh, df_tab)
     a, b = prefix.alias("a"), sh.alias("b")
     cands = (
         a.join(
@@ -1382,12 +1401,105 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _containment_best_match(d: DataFrame, cands: DataFrame) -> DataFrame:
+    """Containment analog of ``_verified_best_match``: exact
+    containment over the semi-join-pruned gram arrays of
+    ``(doc_id, dup_of)`` candidate pairs, thresholded, then the best
+    container per contained doc (highest containment, ties to the
+    lowest container id). Shared by the batch fragment form and the
+    streaming ingest twin so the verify rule can never drift."""
+    member_ids = (
+        cands.select("doc_id")
+        .union(cands.select(F.col("dup_of").alias("doc_id")))
+        .distinct()
+    )
+    grams = (
+        d.join(member_ids, "doc_id", "left_semi")
+        .select("doc_id", F.expr(_word_shingles_spark()).alias("grams"))
+    )
+    ga = grams.select(
+        F.col("doc_id").alias("doc_id"), F.col("grams").alias("ga")
+    )
+    gb = grams.select(
+        F.col("doc_id").alias("dup_of"), F.col("grams").alias("gb")
+    )
+    inter = F.size(F.array_intersect("ga", "gb"))
+    verified = (
+        cands.join(ga, "doc_id")
+        .join(gb, "dup_of")
+        .select(
+            "doc_id", "dup_of",
+            F.try_divide(inter, F.size("ga")).alias("containment"),
+        )
+        .where(F.col("containment") >= CONTAINMENT_THRESHOLD)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("containment").desc(), F.col("dup_of")
+    )
+    return (
+        verified.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "dup_of", "containment")
+    )
+
+
+def fragment_pairs_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fragment-vs-corpus dedup at the ingest boundary — the
+    asymmetric sibling of ``dedup_incremental``: for every NEW
+    document (the ``doc_id % 10 >= 8`` slice, same convention), the
+    best at-rest CORPUS document that CONTAINS it (containment of the
+    new doc's gram set ≥ τ, corpus gram set at least as large) — the
+    "is this crawl drop already covered by something we have?"
+    question that symmetric Jaccard misses for boilerplate-wrapped
+    reposts and quoted articles.
+
+    The prefix ranks the NEW doc's grams by the CORPUS document
+    frequency — exactly what a deployment has at ingest time (a
+    frozen df snapshot maintained with the corpus gram table, the
+    frozen-coarse-centroids pattern from the ANN ingest store). The
+    pigeonhole argument in ``_containment_prefix`` does not care
+    which grams form the prefix, so a frozen/stale snapshot keeps
+    the filter LOSSLESS — staleness only costs candidate volume.
+    Grams never seen in the corpus rank df 0 (rarest, prefix-first).
+    Streaming twin: ``streaming/fragment_ingest.py`` mounts this
+    per-epoch against the materialized gram store; union of epoch
+    drop-lists equals this batch form regardless of slicing, because
+    candidates only ever pair a NEW doc with the CORPUS."""
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    is_new = (F.col("doc_id") % INCREMENTAL_MOD) >= INCREMENTAL_NEW_RESIDUE
+    new_sh = _gram_rows(d.where(is_new))
+    cor_sh = _gram_rows(d.where(~is_new))
+    frozen_df = cor_sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    prefix = _containment_prefix(new_sh, frozen_df)
+    a, b = prefix.alias("a"), cor_sh.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.n_sh") <= F.col("b.n_sh")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("b.doc_id").alias("dup_of"),
+        )
+        .distinct()
+    )
+    return _containment_best_match(d, cands)
+
+
 # Staged split (the vocab pattern): the module is REGISTERED, so the
 # staged remainder lives in STAGED_QUERIES/STAGED_ORACLES and is
 # proven through STAGED_CORRECTNESS.json instead of a driver row.
 STAGED_QUERIES = {
     "dedup_recall_eval": dedup_recall_eval,
     "dedup_containment": containment_pairs,
+    "dedup_fragments_incremental": fragment_pairs_incremental,
 }
 STAGED_ORACLES = {
     "dedup_recall_eval": f"""
@@ -1451,5 +1563,53 @@ SELECT co.contained, co.container,
        co.co / CAST(s.n_sh AS DOUBLE) AS containment
 FROM co JOIN sizes s ON s.doc_id = co.contained
 WHERE co.co / CAST(s.n_sh AS DOUBLE) >= {CONTAINMENT_THRESHOLD}
+""",
+    # Same frozen-corpus-df prefix + exact verify + best-match rule
+    # as the Spark plan (and as dedup_incremental's best-match shape).
+    "dedup_fragments_incremental": f"""
+WITH sh AS ({_SHINGLES_SQL}),
+cor AS (SELECT * FROM sh WHERE doc_id % {INCREMENTAL_MOD}
+                               < {INCREMENTAL_NEW_RESIDUE}),
+new AS (SELECT * FROM sh WHERE doc_id % {INCREMENTAL_MOD}
+                               >= {INCREMENTAL_NEW_RESIDUE}),
+sizes_new AS (SELECT doc_id, count(*) AS n_sh FROM new GROUP BY doc_id),
+sizes_cor AS (SELECT doc_id, count(*) AS n_sh FROM cor GROUP BY doc_id),
+fdf AS (SELECT shingle, count(*) AS df FROM cor GROUP BY shingle),
+ranked AS (
+  SELECT n.doc_id, n.shingle,
+         row_number() OVER (PARTITION BY n.doc_id
+                            ORDER BY COALESCE(f.df, 0), n.shingle) AS rk
+  FROM new n LEFT JOIN fdf f USING (shingle)
+),
+prefix AS (
+  SELECT r.doc_id, r.shingle
+  FROM ranked r JOIN sizes_new s USING (doc_id)
+  WHERE r.rk <= CAST(floor((1.0 - {CONTAINMENT_THRESHOLD}) * s.n_sh)
+                     AS BIGINT) + 1
+),
+cand AS (
+  SELECT DISTINCT p.doc_id, c.doc_id AS dup_of
+  FROM prefix p
+  JOIN cor c ON c.shingle = p.shingle
+  JOIN sizes_new sa ON sa.doc_id = p.doc_id
+  JOIN sizes_cor sb ON sb.doc_id = c.doc_id
+  WHERE sa.n_sh <= sb.n_sh
+),
+co AS (
+  SELECT cd.doc_id, cd.dup_of, count(*) AS co
+  FROM cand cd
+  JOIN new a ON a.doc_id = cd.doc_id
+  JOIN cor b ON b.doc_id = cd.dup_of AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT co.doc_id, co.dup_of,
+         co.co / CAST(s.n_sh AS DOUBLE) AS containment
+  FROM co JOIN sizes_new s ON s.doc_id = co.doc_id
+  WHERE co.co / CAST(s.n_sh AS DOUBLE) >= {CONTAINMENT_THRESHOLD}
+)
+SELECT doc_id, dup_of, containment FROM scored
+QUALIFY row_number() OVER (PARTITION BY doc_id
+        ORDER BY containment DESC, dup_of) = 1
 """,
 }
