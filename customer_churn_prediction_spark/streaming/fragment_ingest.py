@@ -100,6 +100,7 @@ def fragment_ingest_stream(
     query_name: str = "fragment_ingest",
     max_files_per_trigger: int | None = None,
     fault=None,
+    available_now: bool = True,
 ):
     """Start the fragment-check query (availableNow trigger — the
     scheduled re-crawl shape, same as ``dedup_ingest_stream``): each
@@ -161,10 +162,14 @@ def fragment_ingest_stream(
         if fault is not None:
             fault(epoch_id)
 
+    writer = stream.writeStream.foreachBatch(epoch)
+    if available_now:
+        # the scheduled re-crawl shape: drain what's there, stop
+        writer = writer.trigger(availableNow=True)
+    # available_now=False leaves the default processing-time trigger —
+    # the live-deployment shape scripts/streaming_curve.py measures
     return (
-        stream.writeStream.foreachBatch(epoch)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", checkpoint)
+        writer.option("checkpointLocation", checkpoint)
         .queryName(query_name)
         .start()
     )

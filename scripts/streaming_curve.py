@@ -284,6 +284,40 @@ def bench_vector_drift(spark, sf_dir, tag):
     return walls, f"{rep_rows} report rows/epoch"
 
 
+def bench_fragment_ingest(spark, sf_dir, tag):
+    from pyspark.sql import functions as F
+
+    from customer_churn_prediction_spark.catalog import load_table
+    from customer_churn_prediction_spark.streaming import (
+        fragment_ingest as fin,
+    )
+    from customer_churn_prediction_spark.text import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.where(
+        (F.col("doc_id") % dedup.INCREMENTAL_MOD)
+        >= dedup.INCREMENTAL_NEW_RESIDUE
+    )
+    work = tempfile.mkdtemp(prefix=f"fragin_{tag}_")
+    waves = _stage_waves(new, "doc_id", os.path.join(work, "wave"))
+    drop_dir = os.path.join(work, "drops")
+    os.makedirs(drop_dir)
+    out = os.path.join(work, "out")
+    # store/df-snapshot builds happen here, BEFORE epoch timing —
+    # the once-per-crawl-cycle cost, not the per-drop cost
+    q = fin.fragment_ingest_stream(
+        spark, sf_dir, drop_dir, out,
+        checkpoint=os.path.join(work, "ckpt"),
+        query_name=f"fragment_curve_{tag}",
+        available_now=False,
+    )
+    walls = _run_epochs(q, waves, drop_dir)
+    n_covered = spark.read.parquet(out).count()
+    n_new = new.count()
+    shutil.rmtree(work, ignore_errors=True)
+    return walls, f"{n_covered} covered of {n_new} drops"
+
+
 def main() -> None:
     from customer_churn_prediction_spark.session import get_spark
 
@@ -301,6 +335,8 @@ def main() -> None:
         ("maintain_distinct_count", bench_hll, SF01, X10_EVENTS),
         ("maintain_membership", bench_bloom, SF01, X10_EVENTS),
         ("maintain_quantiles", bench_quantiles, SF01, X10_EVENTS),
+        ("fragment_ingest", bench_fragment_ingest, SF01,
+         os.path.join(REPO, ".scale", "sf1docs")),
     ]
     print("| twin | per-epoch walls sf0.1 (s) | per-epoch walls x10 (s) "
           "| last-epoch growth | state (x10) |")
