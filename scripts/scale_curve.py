@@ -54,10 +54,11 @@ DOC_ONLY_QUERIES = [
     # sf_dir, so warm-up pays any x10 re-train and the timed passes
     # measure the production fit-once/encode-forever shape)
     "text_tokenize_bpe",
-    # r9 staged: asymmetric containment dedup (rare-gram candidates,
-    # df <= CONTAINMENT_DF_CAP — the prefix-filter scale rule whose
-    # growth this curve is the evidence for)
+    # r9 staged: asymmetric containment dedup (exact prefix-filter
+    # candidates — the lossless scale rule whose growth this curve is
+    # the evidence for) and its ingest-boundary sibling
     "dedup_containment",
+    "dedup_fragments_incremental",
 ]
 
 # ANN-tier 4th decade: scripts/make_embeddings_x10.py replicates the
