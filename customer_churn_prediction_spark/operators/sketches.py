@@ -497,6 +497,316 @@ SELECT n_probed, n_members, n_flagged, n_false_negatives,
 FROM agg, nb
 """
 
+# ---------------------------------------------------------------------------
+# KMV (K-minimum-values) — the SET-OPERATION member of the sketch
+# matrix: frequency (CMS), cardinality (HLL), membership (Bloom),
+# quantiles (GK), and now union/intersection cardinality ACROSS
+# segments. The KMV sketch of a set is its K smallest distinct hash
+# values (Bar-Yossef et al. 2002; Beyer et al. 2007 for the set-op
+# estimators): with hashes uniform on [0, S), the Kth smallest value
+# U_K estimates |A| as (K-1)*S/U_K, and — the property the other four
+# sketches lack — two sketches COMPOSE: the K smallest of
+# (sketch_A ∪ sketch_B) is exactly the KMV sketch of A ∪ B (any hash
+# among the union's K smallest is among its own set's K smallest), so
+# union cardinality needs no re-scan, and the fraction rho/K of the
+# union sketch present in BOTH sides estimates the Jaccard, giving
+# |A ∩ B| ~= (rho/K) * est_union. Merge = union + re-top-K, which is
+# what lets a stream maintain it (``streaming/kmv.py``).
+#
+# Like Bloom (and unlike CMS/HLL), the hashes are md5-derived, so the
+# DuckDB oracle rebuilds the IDENTICAL sketch and every estimate is
+# hash-compared bit-for-bit — the strongest oracle contract.
+# ---------------------------------------------------------------------------
+
+KMV_K = 128
+KMV_SEED = "kmv|"
+# 15 md5 hex chars = 60 bits, the widest prefix that is a
+# non-negative BIGINT in both engines (same trick as _bloom_positions)
+_KMV_SPACE = float(1 << 60)
+# (K-1)*S precomputed as ONE literal so est_union is a single
+# division in both engines — bit-identical IEEE doubles.
+_KMV_NUM = float(KMV_K - 1) * _KMV_SPACE
+# (K-1)/U_K has relative standard error ~1/sqrt(K-2) (Beyer et al.);
+# 5 sigma keeps ~25 pair-rows deterministic at every fixture SF.
+_KMV_UNION_BAND = 5.0 / ((KMV_K - 2) ** 0.5)
+# the intersection estimator's error scales with the UNION size (rho
+# is a hypergeometric draw of K from the union): 3 * U / sqrt(K).
+_KMV_INTER_BAND = 3.0 / (KMV_K ** 0.5)
+
+
+def _kmv_hash(key_col):
+    """60-bit md5-derived hash — portable: the DuckDB oracle computes
+    the same value, so the sketches match bit-for-bit."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(KMV_SEED), key_col)), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def kmv_sketch(
+    keys: DataFrame, group: str = "grp", key: str = "key"
+) -> DataFrame:
+    """(grp, h): the K smallest distinct hashes per group — THE
+    mergeable state (union + re-top-K is the merge; a stream maintains
+    it epoch-by-epoch, ``streaming/kmv.py``). One shuffle on the group
+    key; state is <= K rows per group, constant in set size."""
+    from pyspark.sql import Window
+
+    hashed = keys.select(
+        F.col(group).alias("grp"), _kmv_hash(F.col(key)).alias("h")
+    ).distinct()
+    w = Window.partitionBy("grp").orderBy("h")
+    return (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= KMV_K)
+        .drop("rn")
+    )
+
+
+def kmv_pair_report(
+    sketches: DataFrame, exact_sets: DataFrame
+) -> DataFrame:
+    """Month-over-month overlap report from a (grp=month, h) sketch
+    table plus the exact (month, key) sets for verification. For each
+    consecutive-month pair: the exact retained-buyer count next to the
+    KMV estimates (union, intersection) and their error-contract
+    verdicts. The sketch side never touches the raw sets — pairs are
+    composed from the <= K-row sketches alone, which is the point: at
+    100 TB you materialize one tiny sketch per segment and answer ALL
+    pairwise overlap questions from sketch x sketch, never
+    re-shuffling the data."""
+    from pyspark.sql import Window
+
+    a = sketches.select(
+        F.col("grp").alias("month_a"),
+        "h",
+        F.lit(1).alias("in_a"),
+        F.lit(0).alias("in_b"),
+    )
+    b = sketches.select(
+        F.add_months(F.col("grp"), -1).alias("month_a"),
+        "h",
+        F.lit(0).alias("in_a"),
+        F.lit(1).alias("in_b"),
+    )
+    merged = (
+        a.unionByName(b)
+        .groupBy("month_a", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    wu = Window.partitionBy("month_a").orderBy("h")
+    union_sk = merged.withColumn(
+        "rn", F.row_number().over(wu)
+    ).where(F.col("rn") <= KMV_K)
+    pair = (
+        union_sk.groupBy("month_a")
+        .agg(
+            F.count(F.lit(1)).alias("k_eff"),
+            F.max("h").alias("kth"),
+            F.sum(F.col("in_a") * F.col("in_b")).cast("bigint")
+            .alias("rho"),
+            F.sum("in_a").alias("_seen_a"),
+            F.sum("in_b").alias("_seen_b"),
+        )
+        # a pair needs BOTH months present (the first month has no
+        # predecessor, the last no successor — their half-pairs drop)
+        .where((F.col("_seen_a") > 0) & (F.col("_seen_b") > 0))
+    )
+    est_union = F.when(
+        F.col("k_eff") < F.lit(KMV_K), F.col("k_eff").cast("double")
+    ).otherwise(F.lit(_KMV_NUM) / F.col("kth"))
+    pair = pair.withColumn("_est_union", est_union).withColumn(
+        "_est_int",
+        (F.col("rho").cast("double") * F.col("_est_union"))
+        / F.col("k_eff"),
+    )
+
+    exact_n = exact_sets.groupBy(F.col("grp").alias("month_a")).agg(
+        F.count(F.lit(1)).alias("exact_a")
+    )
+    exact_next = exact_sets.groupBy(
+        F.add_months(F.col("grp"), -1).alias("month_a")
+    ).agg(F.count(F.lit(1)).alias("exact_b"))
+    ret = (
+        exact_sets.alias("x")
+        .join(
+            exact_sets.alias("y"),
+            (F.col("x.key") == F.col("y.key"))
+            & (
+                F.col("y.grp")
+                == F.add_months(F.col("x.grp"), 1)
+            ),
+        )
+        .groupBy(F.col("x.grp").alias("month_a"))
+        .agg(F.count(F.lit(1)).alias("exact_retained"))
+    )
+    out = (
+        pair.join(exact_n, "month_a")
+        .join(exact_next, "month_a")
+        .join(ret, "month_a", "left")
+        .withColumn(
+            "exact_retained",
+            F.coalesce("exact_retained", F.lit(0)).cast("bigint"),
+        )
+        .withColumn(
+            "exact_union",
+            (
+                F.col("exact_a") + F.col("exact_b")
+                - F.col("exact_retained")
+            ).cast("bigint"),
+        )
+    )
+    # months as ISO strings: a DATE round-trips differently through
+    # pandas in the two engines (datetime.date vs Timestamp 00:00:00)
+    return out.select(
+        F.col("month_a").cast("string").alias("month_a"),
+        F.add_months(F.col("month_a"), 1).cast("string")
+        .alias("month_b"),
+        F.col("exact_a").cast("bigint").alias("exact_a"),
+        F.col("exact_b").cast("bigint").alias("exact_b"),
+        "exact_retained",
+        "exact_union",
+        F.round("_est_union", 6).alias("est_union"),
+        F.round("_est_int", 6).alias("est_retained"),
+        (
+            F.abs(F.col("_est_union") - F.col("exact_union"))
+            <= F.lit(_KMV_UNION_BAND) * F.col("exact_union")
+        ).alias("union_in_band"),
+        (
+            F.abs(F.col("_est_int") - F.col("exact_retained"))
+            <= F.lit(_KMV_INTER_BAND) * F.col("exact_union")
+        ).alias("retained_in_band"),
+    )
+
+
+def segment_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month retained-buyer overlap from composed KMV sketches.
+
+    The set-operation member of the mergeable-sketch matrix.
+    "How many of last month's buyers bought again this month"
+    is a distinct-intersection question; exact answers need a
+    key-shuffled self-join per pair, which at 100 TB x N segments is
+    N^2 shuffles over the data. The KMV answer shuffles the data ONCE
+    (to build <= K-row per-month sketches), then every pairwise union
+    AND intersection estimate composes from sketch x sketch.
+
+    The md5-derived hashes make the DuckDB oracle rebuild the
+    identical sketches, so the estimates — not just verdict booleans —
+    are hash-compared exactly (the ``bloom_buyer_membership``
+    contract); the in-band booleans additionally document the
+    advertised error bounds, and both engines compute them from the
+    same bit-identical doubles."""
+    orders = load_table(spark, sf_dir, "orders")
+    buyers = orders.select(
+        F.date_trunc("month", F.col("o_orderdate"))
+        .cast("date")
+        .alias("grp"),
+        F.col("o_custkey").cast("string").alias("key"),
+    ).distinct()
+    # the distinct (month, buyer) set feeds the sketch build AND both
+    # exact verification legs — cache the set you'd materialize anyway
+    buyers = buyers.cache()
+    return kmv_pair_report(kmv_sketch(buyers), buyers)
+
+
+def _kmv_hash_sql(expr: str) -> str:
+    return (
+        f"CAST(('0x' || substring(md5('{KMV_SEED}' || {expr}), 1, 15)) "
+        f"AS BIGINT)"
+    )
+
+
+KMV_ORACLE = f"""
+WITH buyers AS (
+  SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE) AS grp,
+         CAST(o_custkey AS VARCHAR) AS key
+  FROM orders
+),
+hashed AS (
+  SELECT DISTINCT grp, {_kmv_hash_sql('key')} AS h FROM buyers
+),
+sk AS (
+  SELECT grp, h FROM (
+    SELECT grp, h,
+           row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+    FROM hashed
+  ) WHERE rn <= {KMV_K}
+),
+u0 AS (
+  SELECT grp AS month_a, h, 1 AS in_a, 0 AS in_b FROM sk
+  UNION ALL
+  SELECT CAST(grp - INTERVAL 1 MONTH AS DATE) AS month_a, h,
+         0 AS in_a, 1 AS in_b
+  FROM sk
+),
+u1 AS (
+  SELECT month_a, h, max(in_a) AS in_a, max(in_b) AS in_b
+  FROM u0 GROUP BY 1, 2
+),
+u AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY month_a ORDER BY h) AS rn
+    FROM u1
+  ) WHERE rn <= {KMV_K}
+),
+pair AS (
+  SELECT month_a, count(*) AS k_eff, max(h) AS kth,
+         CAST(sum(in_a * in_b) AS BIGINT) AS rho
+  FROM u GROUP BY 1
+  HAVING sum(in_a) > 0 AND sum(in_b) > 0
+),
+est AS (
+  SELECT month_a, k_eff, rho,
+         CASE WHEN k_eff < {KMV_K} THEN CAST(k_eff AS DOUBLE)
+              ELSE {_KMV_NUM!r} / CAST(kth AS DOUBLE) END AS est_union_f
+  FROM pair
+),
+est2 AS (
+  SELECT month_a, est_union_f,
+         (CAST(rho AS DOUBLE) * est_union_f) / CAST(k_eff AS DOUBLE)
+           AS est_int_f
+  FROM est
+),
+exact_n AS (SELECT grp AS month_a, count(*) AS exact_a FROM buyers
+            GROUP BY 1),
+exact_next AS (
+  SELECT CAST(grp - INTERVAL 1 MONTH AS DATE) AS month_a,
+         count(*) AS exact_b
+  FROM buyers GROUP BY 1
+),
+ret AS (
+  SELECT x.grp AS month_a, count(*) AS exact_retained
+  FROM buyers x JOIN buyers y
+    ON x.key = y.key AND y.grp = CAST(x.grp + INTERVAL 1 MONTH AS DATE)
+  GROUP BY 1
+)
+SELECT CAST(e.month_a AS VARCHAR) AS month_a,
+       CAST(CAST(e.month_a + INTERVAL 1 MONTH AS DATE) AS VARCHAR)
+         AS month_b,
+       CAST(n.exact_a AS BIGINT) AS exact_a,
+       CAST(nx.exact_b AS BIGINT) AS exact_b,
+       CAST(coalesce(r.exact_retained, 0) AS BIGINT) AS exact_retained,
+       CAST(n.exact_a + nx.exact_b - coalesce(r.exact_retained, 0)
+            AS BIGINT) AS exact_union,
+       round(e.est_union_f, 6) AS est_union,
+       round(e.est_int_f, 6) AS est_retained,
+       abs(e.est_union_f
+             - (n.exact_a + nx.exact_b - coalesce(r.exact_retained, 0)))
+         <= {_KMV_UNION_BAND!r}
+            * (n.exact_a + nx.exact_b - coalesce(r.exact_retained, 0))
+         AS union_in_band,
+       abs(e.est_int_f - coalesce(r.exact_retained, 0))
+         <= {_KMV_INTER_BAND!r}
+            * (n.exact_a + nx.exact_b - coalesce(r.exact_retained, 0))
+         AS retained_in_band
+FROM est2 e
+JOIN exact_n n USING (month_a)
+JOIN exact_next nx USING (month_a)
+LEFT JOIN ret r USING (month_a)
+"""
+
+
 # heavy_hitters_cms graduated to the registry in r9 (the one free
 # slot under the 100-entry ceiling — registry sat at 99 since r8's
 # retirement of label_churned_anti): it completes the registered
@@ -515,9 +825,11 @@ STAGED_QUERIES = {
     "approx_percentile_bands": approx_percentile_bands,
     "distinct_users_hll": distinct_users_hll,
     "bloom_buyer_membership": bloom_buyer_membership,
+    "segment_overlap_kmv": segment_overlap_kmv,
 }
 STAGED_ORACLES = {
     "approx_percentile_bands": APPROX_PERCENTILE_ORACLE,
     "distinct_users_hll": HLL_ORACLE,
     "bloom_buyer_membership": BLOOM_ORACLE,
+    "segment_overlap_kmv": KMV_ORACLE,
 }

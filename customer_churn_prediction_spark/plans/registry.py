@@ -236,12 +236,13 @@ def staged_modules() -> tuple:
     )
     from ..similarity import recall
     from ..text import dedup as text_dedup
+    from ..text import selection as text_selection
     from ..text import vocab
 
     return (
         survival, funnels, quality, sketches, affinity, attribution,
         anomaly, vocab, regression, drift_features, recall, encoding,
-        sampling, text_dedup,
+        sampling, text_dedup, text_selection,
     )
 
 
@@ -249,7 +250,11 @@ def get_staged_queries() -> dict[str, QueryFn]:
     out: dict[str, QueryFn] = {}
     registered = get_queries()
     for mod in staged_modules():
-        staged = getattr(mod, "STAGED_QUERIES", mod.QUERIES)
+        # getattr's default evaluates eagerly — a staged-only module
+        # (no registered QUERIES dict at all) must not require one
+        staged = getattr(mod, "STAGED_QUERIES", None)
+        if staged is None:
+            staged = mod.QUERIES
         for name, fn in staged.items():
             if name in out or name in registered:
                 raise ValueError(f"staged name collision: {name!r}")

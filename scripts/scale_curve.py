@@ -59,6 +59,10 @@ DOC_ONLY_QUERIES = [
     # the evidence for) and its ingest-boundary sibling
     "dedup_containment",
     "dedup_fragments_incremental",
+    # r9 staged: DSIR importance-resampling selection (one corpus
+    # scan for the bucket model, one for scoring; the final rank is
+    # over doc-count rows)
+    "corpus_select_dsir",
 ]
 
 # ANN-tier 4th decade: scripts/make_embeddings_x10.py replicates the
@@ -147,6 +151,10 @@ CURVE_QUERIES = [
     "model_calibration",
     "feature_iv",
     "event_sessions",
+    # r9 staged: KMV set-operation sketch over orders (one buyers
+    # shuffle + sketch-composed pair report; exact legs are the
+    # verification harness)
+    "segment_overlap_kmv",
 ]
 
 

@@ -173,6 +173,36 @@ def bench_hll(spark, sf_dir, tag):
     return walls, f"{n_regs} register rows ({n_users} keys)"
 
 
+def bench_kmv(spark, sf_dir, tag):
+    from pyspark.sql import functions as F
+
+    from customer_churn_prediction_spark.catalog import load_table
+    from customer_churn_prediction_spark.streaming import kmv as skmv
+    from customer_churn_prediction_spark.streaming import windows as sw
+
+    events = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix=f"kmv_{tag}_")
+    waves = _stage_waves(events, "event_id", os.path.join(work, "wave"))
+    drop_dir = os.path.join(work, "drops")
+    os.makedirs(drop_dir)
+    store = os.path.join(work, "store")
+    stream = sw.as_stream(spark, drop_dir, events.schema).select(
+        F.date_trunc("month", F.col("ts"))
+        .cast("date").cast("string").alias("grp"),
+        F.col("user_id").cast("string").alias("key"),
+    )
+    q = skmv.maintain_group_sketches(
+        spark, stream, store, checkpoint=os.path.join(work, "ckpt")
+    )
+    walls = _run_epochs(q, waves, drop_dir)
+    stored = spark.read.parquet(
+        os.path.join(store, skmv.SKETCH_SUBDIR)
+    ).count()
+    merged = skmv.merged_sketch(spark, store).count()
+    shutil.rmtree(work, ignore_errors=True)
+    return walls, f"{stored} stored rows, {merged} merged (<=K/grp)"
+
+
 def bench_quantiles(spark, sf_dir, tag):
     from customer_churn_prediction_spark.catalog import load_table
     from customer_churn_prediction_spark.streaming import (
@@ -335,6 +365,7 @@ def main() -> None:
         ("maintain_distinct_count", bench_hll, SF01, X10_EVENTS),
         ("maintain_membership", bench_bloom, SF01, X10_EVENTS),
         ("maintain_quantiles", bench_quantiles, SF01, X10_EVENTS),
+        ("maintain_group_sketches", bench_kmv, SF01, X10_EVENTS),
         ("fragment_ingest", bench_fragment_ingest, SF01,
          os.path.join(REPO, ".scale", "sf1docs")),
     ]

@@ -1,9 +1,10 @@
 """ONE contract matrix for every maintained at-rest store family.
 
-Five store families share the ``streaming/maintenance.py`` discipline
+Six store families share the ``streaming/maintenance.py`` discipline
 (exactly-once epochs, staged-swap compaction, governance semantics):
-CMS partials, HLL registers, Bloom bits, GK quantile reports, and the
-streaming IVF lists. Their per-family test files each re-implemented
+CMS partials, HLL registers, Bloom bits, KMV sketches, GK quantile
+reports, and the streaming IVF lists. Their per-family test files
+(pre-matrix, the first five) each re-implemented
 the same contract cells, so a drift in a future sixth family — or a
 fix that lands in one family and not another — had nothing to catch
 it (VERDICT r8 item 6). This module parametrizes the shared contract:
@@ -45,6 +46,7 @@ from customer_churn_prediction_spark.similarity import ann
 from customer_churn_prediction_spark.streaming import ann_ingest as sai
 from customer_churn_prediction_spark.streaming import bloom as sbl
 from customer_churn_prediction_spark.streaming import hll as shll
+from customer_churn_prediction_spark.streaming import kmv as skmv
 from customer_churn_prediction_spark.streaming import quantiles as sq
 from customer_churn_prediction_spark.streaming import sketch as ssk
 from customer_churn_prediction_spark.streaming.drift import read_report
@@ -255,6 +257,53 @@ class BloomFamily(Family):
         assert [(r.key, r.flagged) for r in flags] == [("42", False)]
 
 
+class KMVFamily(Family):
+    """The sixth family — added AFTER the matrix landed (r9), which is
+    the matrix's reason to exist: the KMV store only had to supply the
+    adapter; every shared-contract cell came for free."""
+
+    name = "kmv"
+    live_subdir = skmv.SKETCH_SUBDIR
+
+    def waves(self, spark, sf_smoke):
+        return [
+            spark.range(300 * i, 300 * (i + 1)).select(
+                (F.col("id") % 2).cast("string").alias("grp"),
+                (F.col("id") % 450).cast("string").alias("key"),
+            )
+            for i in range(3)
+        ]
+
+    def run(self, spark, sf_smoke, stream_dir, store, ckpt, fault=None):
+        stream = (
+            spark.readStream.schema("grp string, key string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        return skmv.maintain_group_sketches(
+            spark, stream, store, checkpoint=ckpt, fault=fault
+        )
+
+    def state(self, spark, sf_smoke, store):
+        return _rows(skmv.merged_sketch(spark, store))
+
+    def batch_state(self, spark, sf_smoke, input_df):
+        return _rows(sk.kmv_sketch(input_df))
+
+    def compact(self, spark, store):
+        skmv.compact(spark, store, upto_epoch=10)
+
+    def scrub(self, input_df):
+        return input_df.where(F.col("key") != "7")
+
+    def rebuild(self, spark, store, clean_df):
+        skmv.rebuild(spark, store, clean_df)
+        return True
+
+    def empty_read(self, spark, sf_smoke, store):
+        assert skmv.estimate_groups(spark, store).collect() == []
+
+
 class IVFFamily(Family):
     name = "ivf"
     live_subdir = ""  # staged_swap targets the store dir itself
@@ -367,8 +416,8 @@ class GKFamily(Family):
         return input_df.where(F.col("event_type") != "click")
 
 
-FAMILIES = [CMSFamily(), HLLFamily(), BloomFamily(), IVFFamily(),
-            GKFamily()]
+FAMILIES = [CMSFamily(), HLLFamily(), BloomFamily(), KMVFamily(),
+            IVFFamily(), GKFamily()]
 _IDS = [f.name for f in FAMILIES]
 
 

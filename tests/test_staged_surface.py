@@ -24,8 +24,12 @@ def _staged():
     out = {}
     for mod in STAGED_MODULES:
         # A module that is ALSO registered (vocab since r7) splits its
-        # staged remainder into STAGED_QUERIES/STAGED_ORACLES.
-        staged = getattr(mod, "STAGED_QUERIES", mod.QUERIES)
+        # staged remainder into STAGED_QUERIES/STAGED_ORACLES; a
+        # staged-only module (selection since r9) may have no QUERIES
+        # dict at all, so don't evaluate getattr's default eagerly.
+        staged = getattr(mod, "STAGED_QUERIES", None)
+        if staged is None:
+            staged = mod.QUERIES
         for name, fn in staged.items():
             assert name not in out, f"staged name collision: {name}"
             out[name] = (mod, fn)
