@@ -186,8 +186,10 @@ def bench_kmv(spark, sf_dir, tag):
     drop_dir = os.path.join(work, "drops")
     os.makedirs(drop_dir)
     store = os.path.join(work, "store")
+    # day granularity: the events fixture spans ~a month, so months
+    # would collapse to one group — days give ~30 real sketch groups
     stream = sw.as_stream(spark, drop_dir, events.schema).select(
-        F.date_trunc("month", F.col("ts"))
+        F.date_trunc("day", F.col("ts"))
         .cast("date").cast("string").alias("grp"),
         F.col("user_id").cast("string").alias("key"),
     )
