@@ -297,16 +297,132 @@ ORDER BY bucket
 """
 
 
+TEXT_DRIFT_B = 64       # hashed-vocabulary histogram bins
+_TD_SEED = "tdrift|"
+# the vocabulary-shift stand-in: a deterministic vowel-rotation
+# cipher — same documents, a shifted token distribution (the "crawl
+# source changed tokenizer/language mix" analog of embedding_drift's
+# abs() re-embedding); identity on both sides makes the null floor
+# exactly 0
+_TD_FROM, _TD_TO = "aeiou", "eioua"
+
+
+def _td_bucket(tok_col):
+    return F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(_TD_SEED), tok_col)), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(TEXT_DRIFT_B),
+    )
+
+
+def text_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-corpus drift: hashed-vocabulary PSI — the monitoring
+    tier's third modality, completing scalar features
+    (``drift_psi_features``) and embeddings (``embedding_drift``). A
+    training corpus drifts when its TOKEN distribution moves (new
+    crawl sources, language-mix shift, template churn) long before any
+    scalar doc stat does; hashing the vocabulary into TEXT_DRIFT_B
+    buckets makes the histogram fixed-width at any corpus size, and
+    the report is the ONE shared PSI formula over that pair.
+
+    Shape: one scan of the corpus (both sides ride an exploded
+    two-struct array, the ``embedding_drift`` convention), one tiny
+    (bucket, side) aggregate, psi_from_counts — at 100 TB: O(scan) +
+    a 64-row report. Snapshots (fixture convention, mirrored exactly
+    by the oracle so the PSI is hash-gated): baseline = the corpus;
+    current = the same corpus under a deterministic vowel-rotation
+    cipher — same documents, a vocabulary the baseline never saw."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    sided = docs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("is_base"),
+                    F.col("text").alias("t"),
+                ),
+                F.struct(
+                    F.lit(0).alias("is_base"),
+                    F.translate(
+                        F.col("text"), _TD_FROM, _TD_TO
+                    ).alias("t"),
+                ),
+            )
+        ).alias("s")
+    ).select(F.col("s.is_base").alias("is_base"), F.col("s.t").alias("t"))
+    toks = sided.select(
+        "is_base",
+        F.explode(
+            F.split(F.trim(F.lower(F.col("t"))), r"\s+")
+        ).alias("tok"),
+    )
+    per_bucket = toks.groupBy(
+        _td_bucket(F.col("tok")).alias("bucket")
+    ).agg(
+        F.sum("is_base").cast("long").alias("base_n"),
+        F.sum(1 - F.col("is_base")).cast("long").alias("curr_n"),
+    )
+    return psi_from_counts(per_bucket, nbins=TEXT_DRIFT_B, eps=_PSI_EPS)
+
+
+def _text_drift_oracle() -> str:
+    smooth = _PSI_EPS * TEXT_DRIFT_B
+    bucket_sql = (
+        f"CAST(('0x' || substring(md5('{_TD_SEED}' || tok), 1, 15)) "
+        f"AS BIGINT) % {TEXT_DRIFT_B}"
+    )
+    return f"""
+WITH sided AS (
+  SELECT 1 AS is_base, text AS t FROM documents
+  UNION ALL
+  SELECT 0 AS is_base, translate(text, '{_TD_FROM}', '{_TD_TO}') AS t
+  FROM documents
+),
+toks AS (
+  SELECT is_base,
+         unnest(string_split_regex(trim(lower(t)), '\\s+')) AS tok
+  FROM sided
+),
+per_bucket AS (
+  SELECT {bucket_sql} AS bucket,
+         CAST(sum(is_base) AS BIGINT) AS base_n,
+         CAST(sum(1 - is_base) AS BIGINT) AS curr_n
+  FROM toks GROUP BY 1
+),
+frac AS (
+  SELECT *,
+    (base_n + {_PSI_EPS}) / (sum(base_n) OVER () + {smooth}) AS p_base,
+    (curr_n + {_PSI_EPS}) / (sum(curr_n) OVER () + {smooth}) AS p_curr
+  FROM per_bucket
+)
+SELECT bucket, base_n, curr_n,
+  round(p_base, 6) AS base_frac,
+  round(p_curr, 6) AS curr_frac,
+  round((p_base - p_curr) * ln(p_base / p_curr), 6) AS psi_term,
+  round(sum((p_base - p_curr) * ln(p_base / p_curr)) OVER (), 6)
+    AS psi_total
+FROM frac
+ORDER BY bucket
+"""
+
+
 # Staged permanently by design: the 100-entry registry ceiling
 # (50-row driver budget x 2-round proof cycle) binds, and these lost
-# the priority call (ROADMAP round-6 state); tests/test_drift_features.py holds
-# them to driver rigor regardless. embedding_drift (r7) extends the
-# tier to the vector modality.
+# the priority call (ROADMAP round-6 state); tests/test_drift_features.py
+# holds them to driver rigor regardless. embedding_drift (r7) extends
+# the tier to the vector modality; text_drift_psi (r9) completes the
+# modality trio with the hashed-vocabulary histogram.
 QUERIES = {
     "drift_psi_features": drift_psi_features,
     "embedding_drift": embedding_drift,
+    "text_drift_psi": text_drift_psi,
 }
 ORACLES = {
     "drift_psi_features": DRIFT_FEATURES_ORACLE,
     "embedding_drift": _embedding_drift_oracle(),
+    "text_drift_psi": _text_drift_oracle(),
 }

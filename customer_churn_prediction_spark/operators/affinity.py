@@ -64,6 +64,14 @@ def _pair_lift_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
     )
+    return _pair_lift_from_baskets(baskets)
+
+
+def _pair_lift_from_baskets(baskets: DataFrame) -> DataFrame:
+    """The scored pair model over any (l_orderkey, brands) baskets
+    frame — the single source of truth for the model math, shared by
+    the full-corpus report and the train-window eval fit
+    (``rec_eval_ndcg``), so the two cannot drift."""
     # One aggregation feeds pairs, marginals, and the order total; the
     # three consumers branch off the same shuffle (ReusedExchange).
     pairs = (
@@ -183,6 +191,15 @@ def _recommend_from_pairs(
                 F.col("p_brand").alias("brand"))
         .distinct()
     )
+    return _recommend_from_owned(owned, pairs)
+
+
+def _recommend_from_owned(
+    owned: DataFrame, pairs: DataFrame
+) -> DataFrame:
+    """Candidate join + exclusion + per-customer rank over any
+    (c_custkey, brand) ownership frame — shared by the full-corpus
+    recommender and the train-window eval (``rec_eval_ndcg``)."""
     sym = pairs.select(
         F.col("brand_a").alias("via_brand"),
         F.col("brand_b").alias("rec_brand"),
@@ -221,14 +238,152 @@ def _recommend_from_pairs(
     )
 
 
-# Shared CTE body: the full scored pair table (the SQL twin of
-# ``_pair_lift_scored``) — both oracles build on it verbatim.
-_SCORED_SQL = f"""
-baskets AS (
-  SELECT l_orderkey, p_brand
-  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-  GROUP BY 1, 2
-),
+import math as _math
+
+# NDCG@3 / MRR constants, rounded once in Python and embedded as the
+# SAME literals in the Spark plan and the oracle SQL — no cross-engine
+# log2 in the hot path at all.
+_GAIN = [1.0, round(1.0 / _math.log2(3), 6), 0.5]       # 1/log2(r+1)
+_IDCG = [
+    round(_GAIN[0], 6),
+    round(_GAIN[0] + _GAIN[1], 6),
+    round(_GAIN[0] + _GAIN[1] + _GAIN[2], 6),
+]
+_RECIP = [1.0, 0.5, round(1.0 / 3, 6)]                  # 1/r
+
+
+def rec_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@K / MRR / hit-rate for the brand recommender on held-out adoptions.
+
+    The recs tier's eval member, completing the pattern
+    ``ann_recall_eval`` set for ANN and ``dedup_recall_eval`` for
+    dedup: a tier isn't done until its quality is a queryable number.
+
+    Protocol: leave-last-ORDER-out per customer (the
+    ``sequence_split_leave_last`` discipline). The pair-lift model AND
+    the ownership frame are fit on every order EXCEPT each customer's
+    last; truth is the brands that last order ADDS (not owned in
+    train). Cold-start customers (no train history — single-order
+    customers) are excluded, the standard eval universe. A customer in
+    the universe whose owned brands produce no recommendations still
+    counts (dcg = mrr = 0) — silently dropping them would inflate
+    every metric.
+
+    Scale shape: the model fit is the shared ``_pair_lift_from_baskets``
+    (one basket shuffle), the serve tail the shared
+    ``_recommend_from_owned`` (one customer-keyed shuffle), the grade
+    one broadcast-able join of two customer-keyed frames; per-rank
+    gains and IDCG are compile-time literals, so the whole metric is
+    exact integer/6dp arithmetic — bit-comparable to the oracle."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    ranked = orders.withColumn("rn", F.row_number().over(w))
+    train_orders = ranked.where(F.col("rn") > 1).select(
+        "o_orderkey", "o_custkey"
+    )
+    test_orders = ranked.where(F.col("rn") == 1).select(
+        "o_orderkey", "o_custkey"
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand"
+    )
+    brands = li.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    ).select("l_orderkey", F.col("p_brand").alias("brand"))
+
+    train_brands = brands.join(
+        train_orders, F.col("l_orderkey") == F.col("o_orderkey")
+    ).select("l_orderkey", "o_custkey", "brand")
+    baskets_train = train_brands.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("brand")).alias("brands")
+    )
+    pairs = _pair_lift_from_baskets(baskets_train).select(
+        "brand_a", "brand_b", "lift"
+    )
+    owned_train = train_brands.select(
+        F.col("o_custkey").alias("c_custkey"), "brand"
+    ).distinct()
+    recs = _recommend_from_owned(owned_train, pairs)
+
+    test_brands = brands.join(
+        test_orders, F.col("l_orderkey") == F.col("o_orderkey")
+    ).select(F.col("o_custkey").alias("c_custkey"), "brand").distinct()
+    truth = test_brands.join(
+        owned_train, ["c_custkey", "brand"], "left_anti"
+    )
+    universe = (
+        truth.groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("n_truth"))
+        .join(owned_train.select("c_custkey").distinct(), "c_custkey")
+    )
+
+    gain = (
+        F.when(F.col("rank") == 1, F.lit(_GAIN[0]))
+        .when(F.col("rank") == 2, F.lit(_GAIN[1]))
+        .otherwise(F.lit(_GAIN[2]))
+    )
+    hit = F.coalesce(F.col("hit"), F.lit(0))
+    per_cust = (
+        recs.join(
+            truth.select(
+                "c_custkey",
+                F.col("brand").alias("rec_brand"),
+                F.lit(1).alias("hit"),
+            ),
+            ["c_custkey", "rec_brand"],
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(
+            F.round(F.sum(hit * gain), 6).alias("dcg"),
+            F.min(F.when(F.col("hit") == 1, F.col("rank"))).alias(
+                "first_hit"
+            ),
+        )
+    )
+    idcg = (
+        F.when(F.col("n_truth") >= 3, F.lit(_IDCG[2]))
+        .when(F.col("n_truth") == 2, F.lit(_IDCG[1]))
+        .otherwise(F.lit(_IDCG[0]))
+    )
+    mrr = (
+        F.when(F.col("first_hit") == 1, F.lit(_RECIP[0]))
+        .when(F.col("first_hit") == 2, F.lit(_RECIP[1]))
+        .when(F.col("first_hit") == 3, F.lit(_RECIP[2]))
+        .otherwise(F.lit(0.0))
+    )
+    graded = universe.join(per_cust, "c_custkey", "left").select(
+        F.round(
+            F.coalesce(F.col("dcg"), F.lit(0.0)) / idcg, 6
+        ).alias("ndcg"),
+        mrr.alias("mrr"),
+        (F.coalesce(F.col("first_hit"), F.lit(0)) > 0)
+        .cast("int")
+        .alias("any_hit"),
+    )
+    return graded.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.lit(TOP_RECS).cast("long").alias("k"),
+        F.round(F.avg("ndcg"), 6).alias("mean_ndcg"),
+        F.round(F.avg("mrr"), 6).alias("mean_mrr"),
+        F.round(F.avg("any_hit"), 6).alias("hit_rate"),
+    )
+
+
+# Shared CTE chain: the scored pair model over ANY ``baskets``
+# (l_orderkey, p_brand) CTE — the SQL twin of
+# ``_pair_lift_from_baskets``. The full-corpus oracles prepend the
+# whole-lineitem baskets; the eval oracle prepends train-window
+# baskets. One chain, two windows — like the Spark side.
+_SCORED_CHAIN_SQL = f"""
 pairs AS (
   SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
          CAST(count(*) AS BIGINT) AS n_co
@@ -253,6 +408,15 @@ scored AS (
   JOIN marginals mb ON mb.brand = p.brand_b
   CROSS JOIN tot t
 )
+"""
+
+_SCORED_SQL = f"""
+baskets AS (
+  SELECT l_orderkey, p_brand
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2
+),
+{_SCORED_CHAIN_SQL}
 """
 
 AFFINITY_ORACLE = f"""
@@ -299,6 +463,107 @@ SELECT c_custkey, rec_brand, via_brand, lift, rank FROM (
 WHERE rank <= {TOP_RECS}
 """
 
+REC_EVAL_ORACLE = f"""
+WITH ranked AS (
+  SELECT o_orderkey, o_custkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC,
+                                     o_orderkey DESC) AS rn
+  FROM orders
+),
+train_orders AS (SELECT o_orderkey, o_custkey FROM ranked WHERE rn > 1),
+test_orders AS (SELECT o_orderkey, o_custkey FROM ranked WHERE rn = 1),
+all_brands AS (
+  SELECT l.l_orderkey, p.p_brand
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2
+),
+baskets AS (
+  SELECT b.l_orderkey, b.p_brand
+  FROM all_brands b JOIN train_orders t ON t.o_orderkey = b.l_orderkey
+),
+{_SCORED_CHAIN_SQL},
+owned AS (
+  SELECT DISTINCT t.o_custkey AS c_custkey, b.p_brand AS brand
+  FROM all_brands b JOIN train_orders t ON t.o_orderkey = b.l_orderkey
+),
+sym AS (
+  SELECT brand_a AS via_brand, brand_b AS rec_brand, lift FROM scored
+  UNION ALL
+  SELECT brand_b AS via_brand, brand_a AS rec_brand, lift FROM scored
+),
+unowned AS (
+  SELECT ow.c_custkey, s.via_brand, s.rec_brand, s.lift
+  FROM owned ow JOIN sym s ON s.via_brand = ow.brand
+  WHERE NOT EXISTS (
+    SELECT 1 FROM owned o2
+    WHERE o2.c_custkey = ow.c_custkey AND o2.brand = s.rec_brand
+  )
+),
+best AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY c_custkey, rec_brand
+                                 ORDER BY lift DESC, via_brand) AS rn
+    FROM unowned)
+  WHERE rn = 1
+),
+recs AS (
+  SELECT c_custkey, rec_brand, rnk FROM (
+    SELECT c_custkey, rec_brand,
+           row_number() OVER (PARTITION BY c_custkey
+                              ORDER BY lift DESC, rec_brand) AS rnk
+    FROM best)
+  WHERE rnk <= {TOP_RECS}
+),
+test_brands AS (
+  SELECT DISTINCT t.o_custkey AS c_custkey, b.p_brand AS brand
+  FROM all_brands b JOIN test_orders t ON t.o_orderkey = b.l_orderkey
+),
+truth AS (
+  SELECT tb.c_custkey, tb.brand FROM test_brands tb
+  WHERE NOT EXISTS (
+    SELECT 1 FROM owned o
+    WHERE o.c_custkey = tb.c_custkey AND o.brand = tb.brand
+  )
+),
+universe AS (
+  SELECT t.c_custkey, count(*) AS n_truth FROM truth t
+  WHERE EXISTS (SELECT 1 FROM owned o WHERE o.c_custkey = t.c_custkey)
+  GROUP BY 1
+),
+per_cust AS (
+  SELECT r.c_custkey,
+         round(sum(CASE WHEN tr.brand IS NOT NULL THEN
+                     CASE r.rnk WHEN 1 THEN {_GAIN[0]!r}
+                                WHEN 2 THEN {_GAIN[1]!r}
+                                ELSE {_GAIN[2]!r} END
+                   ELSE 0.0 END), 6) AS dcg,
+         min(CASE WHEN tr.brand IS NOT NULL THEN r.rnk END)
+           AS first_hit
+  FROM recs r LEFT JOIN truth tr
+    ON tr.c_custkey = r.c_custkey AND tr.brand = r.rec_brand
+  GROUP BY 1
+),
+graded AS (
+  SELECT round(coalesce(p.dcg, 0.0)
+               / CASE WHEN u.n_truth >= 3 THEN {_IDCG[2]!r}
+                      WHEN u.n_truth = 2 THEN {_IDCG[1]!r}
+                      ELSE {_IDCG[0]!r} END, 6) AS ndcg,
+         CASE p.first_hit WHEN 1 THEN {_RECIP[0]!r}
+                          WHEN 2 THEN {_RECIP[1]!r}
+                          WHEN 3 THEN {_RECIP[2]!r}
+                          ELSE 0.0 END AS mrr,
+         CASE WHEN p.first_hit IS NOT NULL THEN 1 ELSE 0 END AS any_hit
+  FROM universe u LEFT JOIN per_cust p USING (c_custkey)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_customers,
+       CAST({TOP_RECS} AS BIGINT) AS k,
+       round(avg(ndcg), 6) AS mean_ndcg,
+       round(avg(mrr), 6) AS mean_mrr,
+       round(avg(any_hit), 6) AS hit_rate
+FROM graded
+"""
+
 # Staged permanently by design: the 100-entry registry ceiling
 # (50-row driver budget x 2-round proof cycle) binds, and these lost
 # the priority call (ROADMAP round-6 state); tests/test_affinity.py holds
@@ -307,6 +572,7 @@ QUERIES = {
     "basket_pair_lift": basket_pair_lift,
     "brand_recommendations": brand_recommendations,
     "brand_recommendations_stored": brand_recommendations_stored,
+    "rec_eval_ndcg": rec_eval_ndcg,
 }
 # The stored form computes the same relation as the inline form (only
 # the pair model's physical source differs), so it shares the oracle.
@@ -314,4 +580,5 @@ ORACLES = {
     "basket_pair_lift": AFFINITY_ORACLE,
     "brand_recommendations": RECS_ORACLE,
     "brand_recommendations_stored": RECS_ORACLE,
+    "rec_eval_ndcg": REC_EVAL_ORACLE,
 }

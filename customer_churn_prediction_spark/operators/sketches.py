@@ -564,18 +564,13 @@ def kmv_sketch(
     )
 
 
-def kmv_pair_report(
-    sketches: DataFrame, exact_sets: DataFrame
-) -> DataFrame:
-    """Month-over-month overlap report from a (grp=month, h) sketch
-    table plus the exact (month, key) sets for verification. For each
-    consecutive-month pair: the exact retained-buyer count next to the
-    KMV estimates (union, intersection) and their error-contract
-    verdicts. The sketch side never touches the raw sets — pairs are
-    composed from the <= K-row sketches alone, which is the point: at
-    100 TB you materialize one tiny sketch per segment and answer ALL
-    pairwise overlap questions from sketch x sketch, never
-    re-shuffling the data."""
+def kmv_pair_estimates(sketches: DataFrame) -> DataFrame:
+    """Consecutive-month union/intersection estimates composed from a
+    (grp=month-date, h) sketch table ALONE — no raw data, the
+    production overlap query (the maintained store serves exactly
+    this, ``streaming/kmv.py::overlap_report``). Columns: month_a,
+    k_eff, kth, rho, _est_union, _est_int (estimates unrounded; the
+    verification report rounds at its edge)."""
     from pyspark.sql import Window
 
     a = sketches.select(
@@ -616,11 +611,27 @@ def kmv_pair_report(
     est_union = F.when(
         F.col("k_eff") < F.lit(KMV_K), F.col("k_eff").cast("double")
     ).otherwise(F.lit(_KMV_NUM) / F.col("kth"))
-    pair = pair.withColumn("_est_union", est_union).withColumn(
+    return pair.withColumn("_est_union", est_union).withColumn(
         "_est_int",
         (F.col("rho").cast("double") * F.col("_est_union"))
         / F.col("k_eff"),
     )
+
+
+def kmv_pair_report(
+    sketches: DataFrame, exact_sets: DataFrame
+) -> DataFrame:
+    """Month-over-month overlap report from a (grp=month, h) sketch
+    table plus the exact (month, key) sets for verification. For each
+    consecutive-month pair: the exact retained-buyer count next to the
+    KMV estimates (union, intersection) and their error-contract
+    verdicts. The sketch side never touches the raw sets — pairs are
+    composed from the <= K-row sketches alone
+    (``kmv_pair_estimates``), which is the point: at 100 TB you
+    materialize one tiny sketch per segment and answer ALL pairwise
+    overlap questions from sketch x sketch, never re-shuffling the
+    data."""
+    pair = kmv_pair_estimates(sketches)
 
     exact_n = exact_sets.groupBy(F.col("grp").alias("month_a")).agg(
         F.count(F.lit(1)).alias("exact_a")

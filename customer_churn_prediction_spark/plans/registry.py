@@ -234,6 +234,7 @@ def staged_modules() -> tuple:
         sampling,
         sketches,
     )
+    from ..similarity import ann as sim_ann
     from ..similarity import recall
     from ..text import dedup as text_dedup
     from ..text import selection as text_selection
@@ -242,7 +243,7 @@ def staged_modules() -> tuple:
     return (
         survival, funnels, quality, sketches, affinity, attribution,
         anomaly, vocab, regression, drift_features, recall, encoding,
-        sampling, text_dedup, text_selection,
+        sampling, text_dedup, text_selection, sim_ann,
     )
 
 

@@ -34,6 +34,10 @@ _METHODS = {
     "ivf_pq": (pq.ann_ivf_pq, None),
     "lsh_bucketed": (ann.ann_lsh_bucketed, None),
     "pq_adc": (pq.ann_pq_adc, None),
+    # r9: JL random projection — fidelity is margin-dependent and this
+    # fixture's margins are chance-level (see the ann.py RP note), so
+    # its ~0.5 row IS the honest measurement the matrix exists to show
+    "rp_topk": (ann.ann_rp_topk, None),
 }
 
 
@@ -80,6 +84,7 @@ def _oracle() -> str:
         "ivf_pq": pq.IVF_PQ_ORACLE,
         "lsh_bucketed": ann.ORACLES["ann_lsh_bucketed"],
         "pq_adc": pq.ADC_ORACLE,
+        "rp_topk": ann.STAGED_ORACLES["ann_rp_topk"],
     }
     ctes = ",\n".join(
         f"m_{name} AS (\n{sql}\n)" for name, sql in method_sql.items()

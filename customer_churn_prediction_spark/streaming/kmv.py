@@ -85,6 +85,31 @@ def estimate_groups(spark: SparkSession, store_dir: str) -> DataFrame:
     return agg.select("grp", est.alias("est"))
 
 
+def overlap_report(spark: SparkSession, store_dir: str) -> DataFrame:
+    """The production overlap query served from the maintained store
+    alone: consecutive-period union/intersection estimates composed
+    sketch x sketch — no raw data is touched, which is the entire
+    point of maintaining the sketches. Requires date-like group
+    values (the ingest projection casts its period to an ISO date
+    string); groups that don't parse as dates drop out. Columns:
+    month_a, month_b, est_union, est_retained."""
+    from ..operators.sketches import kmv_pair_estimates
+
+    # try_cast: a non-date group must DROP (NULL), not raise — plain
+    # cast throws under Spark 4's default ANSI mode
+    sk = merged_sketch(spark, store_dir).select(
+        F.expr("try_cast(grp AS date)").alias("grp"), "h"
+    ).where(F.col("grp").isNotNull())
+    pair = kmv_pair_estimates(sk)
+    return pair.select(
+        F.col("month_a").cast("string").alias("month_a"),
+        F.add_months(F.col("month_a"), 1).cast("string")
+        .alias("month_b"),
+        F.round("_est_union", 6).alias("est_union"),
+        F.round("_est_int", 6).alias("est_retained"),
+    )
+
+
 def maintain_group_sketches(
     spark: SparkSession,
     keys_stream: DataFrame,

@@ -139,3 +139,30 @@ def test_stored_recommendations_equal_inline(spark, sf_dir):
     assert {"brand_a", "brand_b", "lift", "support", "n_co"} <= set(
         model.columns
     )
+
+
+def test_rec_eval_ndcg_oracle_parity(spark, sf_dir):
+    assert_matches_oracle(
+        affinity.rec_eval_ndcg(spark, sf_dir),
+        affinity.REC_EVAL_ORACLE,
+        sf_dir,
+    )
+
+
+def test_rec_eval_ndcg_invariants_and_signal(spark, sf_dir):
+    """Metric algebra that must hold for ANY recommender, plus the
+    model-has-signal check this eval exists to make visible.
+
+    Per customer: ndcg = dcg/idcg <= 1 and is 0 without a hit, so
+    mean_ndcg <= hit_rate; mrr <= 1 and is 0 without a hit, so
+    mean_mrr <= hit_rate. And the lift model must beat chance on the
+    held-out adoptions by a wide deterministic margin (measured 0.50
+    hit-rate at sf0.001 vs ~0.2 for 3 random unowned brands)."""
+    r = affinity.rec_eval_ndcg(spark, sf_dir).collect()[0]
+    assert r.n_customers > 0
+    assert r.k == affinity.TOP_RECS
+    for v in (r.mean_ndcg, r.mean_mrr, r.hit_rate):
+        assert 0.0 <= v <= 1.0
+    assert r.mean_ndcg <= r.hit_rate
+    assert r.mean_mrr <= r.hit_rate
+    assert r.hit_rate > 0.3

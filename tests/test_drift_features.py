@@ -104,3 +104,38 @@ def test_embedding_drift_detects_the_injected_reembedding(spark, sf_dir):
     n_vec = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
     assert sum(r.base_n for r in rep) == n_vec
     assert sum(r.curr_n for r in rep) == n_vec
+
+
+def test_text_drift_oracle_parity_sf001(spark, sf_dir):
+    assert_matches_oracle(
+        drift_features.text_drift_psi(spark, sf_dir),
+        drift_features.ORACLES["text_drift_psi"],
+        sf_dir,
+    )
+
+
+def test_text_drift_null_floor_is_exactly_zero(spark, sf_dir,
+                                               monkeypatch):
+    """With the cipher set to identity the two sides are the SAME
+    token stream, so every bucket's counts match and PSI is exactly
+    0 — the same-population design borrowed from embedding_drift."""
+    monkeypatch.setattr(drift_features, "_TD_TO", drift_features._TD_FROM)
+    rep = drift_features.text_drift_psi(spark, sf_dir).collect()
+    assert rep, "report must not be empty"
+    for r in rep:
+        assert r.base_n == r.curr_n
+        assert r.psi_total == 0.0
+
+
+def test_text_drift_detects_the_vocabulary_shift(spark, sf_dir):
+    """The vowel-rotation cipher renames most of the (vowel-bearing)
+    vocabulary, so the histogram moves decisively — far above the
+    classic 0.25 action band (measured ~9.0 at both fixture SFs);
+    totals replicate on every row and each side carries the full
+    token count."""
+    rep = drift_features.text_drift_psi(spark, sf_dir).collect()
+    assert len(rep) >= 2
+    total = rep[0].psi_total
+    assert all(r.psi_total == total for r in rep)
+    assert total > 1.0
+    assert sum(r.base_n for r in rep) == sum(r.curr_n for r in rep)

@@ -180,3 +180,51 @@ def test_maintained_estimates_equal_batch(spark, tmp_path):
 def test_empty_store_estimates_answer_empty(spark, tmp_path):
     out = skmv.estimate_groups(spark, str(tmp_path / "never")).collect()
     assert out == []
+    assert skmv.overlap_report(
+        spark, str(tmp_path / "never")
+    ).collect() == []
+
+
+def test_store_overlap_report_equals_batch_estimates(spark, tmp_path):
+    """The production query — overlap served from the maintained
+    store with NO raw data — must equal the batch report's estimate
+    columns over the same ingested rows."""
+    months = ["2024-01-01", "2024-02-01", "2024-03-01"]
+    rows = []
+    for mi, m in enumerate(months):
+        for k in range(mi * 120, mi * 120 + 400):  # 280-key overlaps
+            rows.append((m, str(k)))
+    data = spark.createDataFrame(rows, "grp string, key string")
+
+    stream_dir = str(tmp_path / "arrivals")
+    for i in range(3):  # epoch slicing unrelated to months
+        data.where(F.crc32(F.col("key")) % 3 == i).repartition(1)\
+            .write.mode("append").parquet(stream_dir)
+    store = str(tmp_path / "store")
+    stream = (
+        spark.readStream.schema("grp string, key string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    q = skmv.maintain_group_sketches(
+        spark, stream, store, checkpoint=str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+        assert q.exception() is None
+    finally:
+        q.stop()
+
+    got = sorted(map(tuple, skmv.overlap_report(spark, store).collect()))
+
+    batch_sets = data.select(
+        F.col("grp").cast("date").alias("grp"), "key"
+    )
+    want = sorted(
+        (r.month_a, r.month_b, r.est_union, r.est_retained)
+        for r in kmv_pair_report(
+            kmv_sketch(batch_sets), batch_sets
+        ).collect()
+    )
+    assert got == want
+    assert len(got) == 2  # jan->feb, feb->mar
