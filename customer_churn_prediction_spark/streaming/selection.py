@@ -51,6 +51,12 @@ def freeze_model(docs: DataFrame) -> dict:
         .collect()[0]
         .t
     )
+    if threshold is None:
+        # an empty fit corpus selects nothing — there is no model to
+        # freeze, and a silent +inf threshold would masquerade as one
+        raise ValueError(
+            "freeze_model: fit corpus is empty (no selected rows)"
+        )
     import math
 
     from ..text.selection import DSIR_B, bucket_model

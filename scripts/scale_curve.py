@@ -63,6 +63,8 @@ DOC_ONLY_QUERIES = [
     # scan for the bucket model, one for scoring; the final rank is
     # over doc-count rows)
     "corpus_select_dsir",
+    # r9 staged: hashed-vocabulary drift PSI (one scan, 64-row report)
+    "text_drift_psi",
 ]
 
 # ANN-tier 4th decade: scripts/make_embeddings_x10.py replicates the
@@ -86,6 +88,8 @@ EMB_ONLY_QUERIES = [
     "ann_bruteforce_int8",
     "ann_bruteforce_int8_stored",
     "dedup_semantic",
+    # r9 staged: JL sign-projection candidates + exact re-rank
+    "ann_rp_topk",
 ]
 
 # Events-tier 4th decade: scripts/make_events_x10.py replicates events
@@ -155,6 +159,9 @@ CURVE_QUERIES = [
     # shuffle + sketch-composed pair report; exact legs are the
     # verification harness)
     "segment_overlap_kmv",
+    # r9 staged: leave-last-out recommender eval (train-window model
+    # fit + serve tail + literal-gain NDCG/MRR grade)
+    "rec_eval_ndcg",
 ]
 
 

@@ -116,3 +116,11 @@ def test_novel_vocabulary_scores_with_smoothing_floor(spark, sf_smoke):
 
 def test_pre_first_epoch_read_answers_empty(spark, tmp_path):
     assert ssel.read_scored(spark, str(tmp_path / "never")).count() == 0
+
+
+def test_freeze_model_on_empty_corpus_raises_cleanly(spark):
+    import pytest as _pytest
+
+    empty = spark.createDataFrame([], _COLS)
+    with _pytest.raises(ValueError, match="empty"):
+        ssel.freeze_model(empty)
