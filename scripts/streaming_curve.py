@@ -205,6 +205,38 @@ def bench_kmv(spark, sf_dir, tag):
     return walls, f"{stored} stored rows, {merged} merged (<=K/grp)"
 
 
+def bench_selection(spark, sf_dir, tag):
+    """DSIR-on-ingest: model FROZEN from the fixture corpus (untimed
+    — the once-per-refresh fit), then each epoch scores only its own
+    drop against the broadcast model."""
+    from customer_churn_prediction_spark.catalog import load_table
+    from customer_churn_prediction_spark.streaming import (
+        selection as ssel,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    model = ssel.freeze_model(docs)  # untimed: offline refresh
+    work = tempfile.mkdtemp(prefix=f"dsir_{tag}_")
+    waves = _stage_waves(docs, "doc_id", os.path.join(work, "wave"))
+    drop_dir = os.path.join(work, "drops")
+    os.makedirs(drop_dir)
+    store = os.path.join(work, "store")
+    stream = spark.readStream.schema(
+        "doc_id bigint, lang string, text string"
+    ).parquet(drop_dir)
+    q = ssel.select_ingest_stream(
+        spark, stream, model, store,
+        checkpoint=os.path.join(work, "ckpt"),
+    )
+    walls = _run_epochs(q, waves, drop_dir)
+    scored = ssel.read_scored(spark, store)
+    n, n_sel = scored.count(), scored.where("selected").count()
+    shutil.rmtree(work, ignore_errors=True)
+    return walls, f"{n} scored, {n_sel} selected; model {len(model['deltas'])} rows"
+
+
 def bench_quantiles(spark, sf_dir, tag):
     from customer_churn_prediction_spark.catalog import load_table
     from customer_churn_prediction_spark.streaming import (
@@ -368,6 +400,8 @@ def main() -> None:
         ("maintain_membership", bench_bloom, SF01, X10_EVENTS),
         ("maintain_quantiles", bench_quantiles, SF01, X10_EVENTS),
         ("maintain_group_sketches", bench_kmv, SF01, X10_EVENTS),
+        ("select_ingest_stream", bench_selection, SF01,
+         os.path.join(REPO, ".scale", "sf1docs")),
         ("fragment_ingest", bench_fragment_ingest, SF01,
          os.path.join(REPO, ".scale", "sf1docs")),
     ]
