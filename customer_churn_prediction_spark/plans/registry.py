@@ -236,6 +236,7 @@ def staged_modules() -> tuple:
     )
     from ..similarity import ann as sim_ann
     from ..similarity import recall
+    from ..text import analysis as text_analysis
     from ..text import dedup as text_dedup
     from ..text import selection as text_selection
     from ..text import vocab
@@ -243,7 +244,7 @@ def staged_modules() -> tuple:
     return (
         survival, funnels, quality, sketches, affinity, attribution,
         anomaly, vocab, regression, drift_features, recall, encoding,
-        sampling, text_dedup, text_selection, sim_ann,
+        sampling, text_dedup, text_selection, sim_ann, text_analysis,
     )
 
 

@@ -1079,3 +1079,92 @@ FROM flags
 
 
 ORACLES["corpus_keep_decision"] = _keep_decision_oracle()
+
+
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-distribution entropy + type-token ratio — the quality signal repetition rules can't see.
+
+    Shannon entropy of the doc's own token distribution
+    (-sum p log2 p, p = tf/n) is the classic gibberish/boilerplate
+    axis: near-zero for a page that repeats one token (however the
+    repeats are arranged — ``text_repetition``'s positional n-gram
+    rules miss shuffled repetition), maximal for all-distinct text;
+    the type-token ratio (distinct/total) is its bounded companion.
+    Both feed keep/thin/drop curation next to the quality score and
+    ``text_logprob`` (which scores against the CORPUS model — entropy
+    is corpus-free, so the two disagree exactly on documents that are
+    internally diverse but globally atypical, which is why both
+    exist).
+
+    Plan shape: explode tokens → ONE (doc, token) hash aggregate →
+    one per-doc aggregate. Per-token entropy terms are 6dp-rounded
+    before the per-doc sum (the ``text_logprob`` float discipline:
+    order-stable folds across engines)."""
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    toks = d.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    from pyspark.sql import Window
+
+    wd = Window.partitionBy("doc_id")
+    per_tok = tf.withColumn("n", F.sum("tf").over(wd)).select(
+        "doc_id",
+        "n",
+        F.round(
+            -(F.col("tf") / F.col("n"))
+            * F.log2(F.col("tf") / F.col("n")),
+            6,
+        ).alias("term"),
+    )
+    return per_tok.groupBy("doc_id").agg(
+        F.max("n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("distinct_tokens"),
+        F.round(
+            F.count(F.lit(1)) / F.max("n").cast("double"), 6
+        ).alias("ttr"),
+        # abs: a single-distinct-token doc's one term is IEEE -0.0,
+        # whose %.9g canonical form ('-0') differs from '0' — entropy
+        # is >= 0 by definition, so normalize the sign in BOTH engines
+        F.abs(F.round(F.sum("term"), 6)).alias("entropy_bits"),
+    )
+
+
+ENTROPY_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2
+),
+per_tok AS (
+  SELECT doc_id, sum(tf) OVER (PARTITION BY doc_id) AS n, tf
+  FROM tf
+),
+terms AS (
+  SELECT doc_id, n,
+         round(-(tf / CAST(n AS DOUBLE))
+               * log2(tf / CAST(n AS DOUBLE)), 6) AS term
+  FROM per_tok
+)
+SELECT doc_id,
+       CAST(max(n) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS distinct_tokens,
+       round(count(*) / CAST(max(n) AS DOUBLE), 6) AS ttr,
+       abs(round(sum(term), 6)) AS entropy_bits
+FROM terms GROUP BY doc_id
+"""
+
+# Staged (r9): the analysis module's registered QUERIES sit inside
+# the 100-entry registry ceiling, so additions land in the staged
+# split (the vocab/dedup/sketches precedent).
+STAGED_QUERIES = {
+    "text_entropy": text_entropy,
+}
+STAGED_ORACLES = {
+    "text_entropy": ENTROPY_ORACLE,
+}

@@ -65,6 +65,8 @@ DOC_ONLY_QUERIES = [
     "corpus_select_dsir",
     # r9 staged: hashed-vocabulary drift PSI (one scan, 64-row report)
     "text_drift_psi",
+    # r9 staged: token-distribution entropy + TTR (two hash aggregates)
+    "text_entropy",
 ]
 
 # ANN-tier 4th decade: scripts/make_embeddings_x10.py replicates the

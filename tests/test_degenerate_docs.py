@@ -146,3 +146,33 @@ def test_degenerate_docs_staged_clean_spans(spark, degenerate_dir):
     assert out[12].n_removed == out[12].n_tokens
     assert out[3].text_clean == "hello"
     assert out[3].n_removed == 0
+
+
+def test_degenerate_docs_staged_text_entropy(spark, degenerate_dir):
+    """Entropy edge cases: a zero-char doc is one ''-token (entropy
+    exactly 0 — the -0.0 sign is normalized, which this corpus is the
+    regression test for); the repeated cat-sat docs agree with a hand
+    computation; and parity holds against the committed oracle on the
+    whole degenerate corpus."""
+    from customer_churn_prediction_spark.text import analysis
+
+    assert_matches_oracle(
+        analysis.text_entropy(spark, degenerate_dir),
+        analysis.STAGED_ORACLES["text_entropy"],
+        degenerate_dir,
+    )
+    out = {
+        r.doc_id: r
+        for r in analysis.text_entropy(spark, degenerate_dir).collect()
+    }
+    empty = out[1]
+    assert (empty.n_tokens, empty.distinct_tokens) == (1, 1)
+    assert empty.entropy_bits == 0.0 and empty.ttr == 1.0
+    import math
+
+    # "the cat sat on the mat and the dog sat too": 11 tokens,
+    # the x3, sat x2, six singletons
+    probs = [3 / 11, 2 / 11] + [1 / 11] * 6
+    want = round(-sum(p * math.log2(p) for p in probs), 2)
+    assert abs(out[12].entropy_bits - want) < 0.02
+    assert out[12].n_tokens == 11 and out[12].distinct_tokens == 8
