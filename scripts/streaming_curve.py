@@ -348,6 +348,34 @@ def bench_vector_drift(spark, sf_dir, tag):
     return walls, f"{rep_rows} report rows/epoch"
 
 
+def bench_text_drift(spark, sf_dir, tag):
+    from customer_churn_prediction_spark.catalog import load_table
+    from customer_churn_prediction_spark.streaming import (
+        text_drift as td,
+    )
+    from customer_churn_prediction_spark.streaming import windows as sw
+    from customer_churn_prediction_spark.streaming.drift import (
+        read_report,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    work = tempfile.mkdtemp(prefix=f"tdrift_{tag}_")
+    waves = _stage_waves(docs, "doc_id", os.path.join(work, "wave"))
+    drop_dir = os.path.join(work, "drops")
+    os.makedirs(drop_dir)
+    report = os.path.join(work, "report")
+    q = td.maintain_text_drift(
+        spark, sf_dir, sw.as_stream(spark, drop_dir, docs.schema),
+        report, checkpoint=os.path.join(work, "ckpt"),
+    )
+    walls = _run_epochs(q, waves, drop_dir)
+    rep_rows = read_report(spark, report).count()
+    shutil.rmtree(work, ignore_errors=True)
+    return walls, f"{rep_rows} report rows/epoch (<= TEXT_DRIFT_B)"
+
+
 def bench_fragment_ingest(spark, sf_dir, tag):
     from pyspark.sql import functions as F
 
@@ -401,6 +429,8 @@ def main() -> None:
         ("maintain_quantiles", bench_quantiles, SF01, X10_EVENTS),
         ("maintain_group_sketches", bench_kmv, SF01, X10_EVENTS),
         ("select_ingest_stream", bench_selection, SF01,
+         os.path.join(REPO, ".scale", "sf1docs")),
+        ("maintain_text_drift", bench_text_drift, SF01,
          os.path.join(REPO, ".scale", "sf1docs")),
         ("fragment_ingest", bench_fragment_ingest, SF01,
          os.path.join(REPO, ".scale", "sf1docs")),
