@@ -77,11 +77,9 @@ BENCH_QUERIES = [
     "ann_ivf_materialized",
     "ann_ivf_kmeans",
     "ml_feature_vectors",
-    # r4 additions, first benched in r5 (VERDICT r4 item 3). The
-    # float/int8 brute-force pair is deliberately adjacent: same plan
-    # shape, different element width — their delta is the measured
-    # cost/benefit of serving from the quantized store.
-    "ann_bruteforce_topk",
+    # r4 additions, first benched in r5 (VERDICT r4 item 3).
+    # (ann_bruteforce_topk retired from the registry in r10; its work
+    # is still benched inside ann_recall_matrix below.)
     "ann_bruteforce_int8",
     "ann_bruteforce_int8_stored",
     "embedding_quantize",
@@ -107,8 +105,8 @@ BENCH_QUERIES = [
     # removal + its actuation, the leak-proof split, calibration
     # reports, and sessionization.
     "embedding_pq",
-    "ann_pq_adc",
-    "ann_ivf_pq",
+    # (ann_pq_adc / ann_ivf_pq retired from the registry in r10; both
+    # still execute inside ann_recall_matrix below.)
     "ann_ivf_pq_stored",
     "text_dup_spans",
     "corpus_clean_spans",
@@ -128,6 +126,13 @@ BENCH_QUERIES = [
     # staged tier — the frequency member of the mergeable-sketch
     # matrix (bounded d*w-cell state, probes broadcast).
     "heavy_hitters_cms",
+    # r10 graduations: asymmetric containment dedup (exact prefix
+    # filter), the held-out recs eval, and the full ANN recall matrix
+    # (which runs the three r10-retired baselines as components — the
+    # bruteforce / pq_adc / ivf_pq cost stays measured, aggregated).
+    "dedup_containment",
+    "rec_eval_ndcg",
+    "ann_recall_matrix",
 ]
 
 

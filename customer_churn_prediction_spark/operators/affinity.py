@@ -564,21 +564,31 @@ SELECT CAST(count(*) AS BIGINT) AS n_customers,
 FROM graded
 """
 
+# r10 graduation: rec_eval_ndcg enters the registry (slot freed by
+# retiring ann_ivf_pq — registry.RETIRED); the module is now
+# registered+staged (the vocab split pattern). The held-out
+# hit-rate/NDCG report is the tier's quality evidence, and model/
+# serve/eval share one core so the staged serving forms cannot drift
+# from the driver-proven eval.
+QUERIES = {
+    "rec_eval_ndcg": rec_eval_ndcg,
+}
+ORACLES = {
+    "rec_eval_ndcg": REC_EVAL_ORACLE,
+}
 # Staged permanently by design: the 100-entry registry ceiling
 # (50-row driver budget x 2-round proof cycle) binds, and these lost
 # the priority call (ROADMAP round-6 state); tests/test_affinity.py holds
-# them to driver rigor regardless.
-QUERIES = {
+# them to driver rigor regardless. The stored form computes the same
+# relation as the inline form (only the pair model's physical source
+# differs), so it shares the oracle.
+STAGED_QUERIES = {
     "basket_pair_lift": basket_pair_lift,
     "brand_recommendations": brand_recommendations,
     "brand_recommendations_stored": brand_recommendations_stored,
-    "rec_eval_ndcg": rec_eval_ndcg,
 }
-# The stored form computes the same relation as the inline form (only
-# the pair model's physical source differs), so it shares the oracle.
-ORACLES = {
+STAGED_ORACLES = {
     "basket_pair_lift": AFFINITY_ORACLE,
     "brand_recommendations": RECS_ORACLE,
     "brand_recommendations_stored": RECS_ORACLE,
-    "rec_eval_ndcg": REC_EVAL_ORACLE,
 }

@@ -25,6 +25,7 @@ def _modules():
         from ..functions import udtf as fn_udtf
         from ..ml import calibration as ml_calibration
         from ..operators import (
+            affinity,
             aggregates,
             asof,
             assembly,
@@ -44,6 +45,7 @@ def _modules():
         from ..ml import pipeline as ml_pipeline
         from ..similarity import ann
         from ..similarity import pq as sim_pq
+        from ..similarity import recall as sim_recall
         from ..sources import multimodal
         from ..text import analysis as text_analysis
         from ..text import dedup as text_dedup
@@ -52,12 +54,13 @@ def _modules():
         from ..text import vocab as text_vocab
 
         _MODULES = [rfm, assembly, labeling, relational, aggregates,
-                    windows, asof, sessions, sketches, scalars, fn_udtf,
+                    windows, asof, sessions, sketches, affinity,
+                    scalars, fn_udtf,
                     stream_windows, stream_stateful, stream_rollup,
                     text_analysis, text_dedup, text_spans, text_splits,
                     text_vocab,
-                    ann, sim_pq, ml_pipeline, ml_jobs, ml_monitoring,
-                    ml_calibration, multimodal]
+                    ann, sim_pq, sim_recall, ml_pipeline, ml_jobs,
+                    ml_monitoring, ml_calibration, multimodal]
     return _MODULES
 
 
@@ -96,6 +99,20 @@ RETIRED = {
     # permanent equality pytest tests/test_labeling.py). The freed slot
     # registers text_tokenize_bpe, completing the BPE train+encode pair.
     "label_churned_anti": "label_churn",
+    # r10 (VERDICT r9 item 2): three redundant registered BASELINES
+    # retire to open graduation slots for the staged tier. Unlike the
+    # equality-twin retirements above, these are deliberate non-scale
+    # baselines whose code STAYS DRIVER-EXERCISED: the newly registered
+    # ann_recall_matrix runs all three as components in both engines
+    # (Spark composes the module fns; the oracle nests their committed
+    # SQL as CTEs), so a regression in any of them breaks the matrix's
+    # hash row. Standalone driver-rigor oracle parity stays pinned in
+    # pytest: tests/test_similarity.py (bruteforce exact top-k),
+    # tests/test_pq.py (ADC parity; ann_ivf_pq ≡ ann_ivf_pq_stored
+    # equality + shared-oracle test).
+    "ann_bruteforce_topk": "ann_recall_matrix",
+    "ann_pq_adc": "ann_recall_matrix",
+    "ann_ivf_pq": "ann_ivf_pq_stored",
 }
 
 # Deliberate non-scale baselines kept registered for recall/correctness
@@ -105,10 +122,11 @@ RETIRED = {
 BASELINES = {
     "ann_ivf": "ann_ivf_materialized",          # inline re-assigns corpus/query
     "ann_bruteforce_int8": "ann_bruteforce_int8_stored",  # re-quantizes/query
-    "ann_bruteforce_topk": "ann_lsh_bucketed",  # exact all-pairs ground truth
     "dedup_ngram_jaccard": "dedup_lsh_verified",  # exact O(n²) Jaccard
-    "ann_pq_adc": "ann_ivf_pq_stored",          # full-corpus ADC, no pruning
-    "ann_ivf_pq": "ann_ivf_pq_stored",          # inline re-encode per query
+    # r10: ann_bruteforce_topk / ann_pq_adc / ann_ivf_pq retired from
+    # the registry (see RETIRED) — their baseline role is now carried
+    # inside the registered ann_recall_matrix, which grades every tier
+    # against the exact form each round.
 }
 
 
@@ -124,58 +142,58 @@ BASELINES = {
 # scripts/gen_priority.py's derivation from the committed
 # CORRECTNESS history — the rotation is generated, not hand-kept.
 PRIORITY = [
-    # latest green row is r7 — re-prove before the evidence goes stale
-    "distinct_pairs",
-    "salted_join_revenue",
-    "groupby_sum",
-    "user_event_sequences",
-    "range_join_events",
-    "date_functions",
-    "round_bround",
-    "md5_salted_key",
-    "string_functions",
-    "json_extract_events",
-    "text_sentences",
-    "stream_tumbling_counts",
-    "stream_sliding_counts",
-    "stream_session_windows",
-    "stream_dedup_events",
-    "stream_user_totals",
-    "rollup_daily_from_hourly",
-    "text_stats",
-    "text_lang_id",
-    "text_token_counts",
-    "text_fingerprint",
-    "corpus_curation",
-    "text_repetition",
-    "corpus_mix",
-    "text_logprob",
-    "corpus_keep_decision",
-    "dedup_exact",
-    "dedup_minhash_signatures",
-    "dedup_minhash_lsh_pairs",
-    "dedup_lsh_groups",
-    "corpus_dedup_keep",
-    "contamination_check",
-    "vocab_bpe_merges",
-    "ann_lsh_bucketed",
-    "ann_ivf_kmeans",
-    "embedding_quantize",
-    "ann_bruteforce_int8",
-    "ann_bruteforce_int8_stored",
-    "ann_recall_eval",
-    "ml_rf_churn",
-    "ml_gbt_churn",
-    "ml_lr_churn",
-    "ml_fm_churn",
-    "ml_feature_vectors",
-    "drift_psi",
-    "score_band_lift",
-    "eval_ks",
-    "multimodal_features",
-    "multimodal_frames",
-    # registered in r9 — first driver row this round
-    "heavy_hitters_cms",
+    # latest green row is r8 — re-prove before the evidence goes stale
+    "rfm_groupby",
+    "feature_assembly",
+    "label_churn",
+    "label_class_balance",
+    "scan_filter_project",
+    "having_repurchase",
+    "isin_filter",
+    "na_fill_left_join",
+    "topk_orders",
+    "set_ops_buyers",
+    "sampled_orders",
+    "groupby_count",
+    "avg_by_segment",
+    "approx_distinct_users",
+    "grouping_sets_revenue",
+    "pivot_status_priority",
+    "percentile_quantity",
+    "eval_confusion",
+    "latest_order_per_customer",
+    "purchase_gaps",
+    "running_spend",
+    "asof_join_clicks",
+    "event_sessions",
+    "text_tfidf_topk",
+    "corpus_sample_stratified",
+    "text_chunks",
+    "corpus_pack",
+    "text_redact",
+    "dedup_lsh_components",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_lsh_verified",
+    "dedup_incremental",
+    "dedup_incremental_materialized",
+    "dedup_cross_modal",
+    "text_dup_spans",
+    "corpus_clean_spans",
+    "corpus_split_leakproof",
+    "text_tokenize_bpe",
+    "ann_ivf",
+    "ann_ivf_materialized",
+    "dedup_semantic",
+    "embedding_pq",
+    "ann_ivf_pq_stored",
+    "feature_bucketize",
+    "model_calibration",
+    "feature_iv",
+    # registered in r10 — first driver row this round
+    "rec_eval_ndcg",
+    "dedup_containment",
+    "ann_recall_matrix",
 ]
 
 
@@ -235,15 +253,16 @@ def staged_modules() -> tuple:
         sketches,
     )
     from ..similarity import ann as sim_ann
-    from ..similarity import recall
     from ..text import analysis as text_analysis
     from ..text import dedup as text_dedup
     from ..text import selection as text_selection
     from ..text import vocab
 
+    # (similarity.recall graduated wholesale in r10 — ann_recall_matrix
+    # is registered, so the module left this tuple.)
     return (
         survival, funnels, quality, sketches, affinity, attribution,
-        anomaly, vocab, regression, drift_features, recall, encoding,
+        anomaly, vocab, regression, drift_features, encoding,
         sampling, text_dedup, text_selection, sim_ann, text_analysis,
     )
 

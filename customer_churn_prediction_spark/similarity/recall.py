@@ -120,9 +120,11 @@ ORDER BY m.method
 
 RECALL_MATRIX_ORACLE = _oracle()
 
-# Staged permanently by design: the 100-entry registry ceiling
-# (50-row driver budget x 2-round proof cycle) binds, and these lost
-# the priority call (ROADMAP round-6 state); tests/test_recall_matrix.py holds
-# them to driver rigor regardless.
+# r10 graduation: the matrix enters the registry (slot freed by
+# retiring ann_bruteforce_topk — registry.RETIRED). It RUNS the exact
+# bruteforce, pq_adc and ivf_pq forms as components in both engines,
+# so the retirees' code stays driver-exercised every round through the
+# matrix's hash compare; tests/test_recall_matrix.py keeps the
+# standalone driver-rigor parity.
 QUERIES = {"ann_recall_matrix": ann_recall_matrix}
 ORACLES = {"ann_recall_matrix": RECALL_MATRIX_ORACLE}

@@ -1613,3 +1613,11 @@ QUALIFY row_number() OVER (PARTITION BY doc_id
         ORDER BY containment DESC, dup_of) = 1
 """,
 }
+
+# r10 graduation: dedup_containment moves from the staged tier into the
+# registry (slot freed by retiring the ann_pq_adc baseline —
+# registry.RETIRED). The entries are moved here, below the staged
+# dicts, because the oracle literal needs CONTAINMENT_THRESHOLD /
+# _SHINGLES_SQL which are defined after the ORACLES block closes.
+QUERIES["dedup_containment"] = STAGED_QUERIES.pop("dedup_containment")
+ORACLES["dedup_containment"] = STAGED_ORACLES.pop("dedup_containment")

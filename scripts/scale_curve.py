@@ -187,6 +187,15 @@ def main() -> None:
     queries.setdefault(
         "feature_assembly_onepass", assembly.feature_assembly_onepass
     )
+    # r10-retired ANN baselines (registry.RETIRED): the module fns
+    # still ride the curve — their decade shape is the documentation
+    # of WHY they were retired as non-scale forms.
+    from customer_churn_prediction_spark.similarity import ann as _ann
+    from customer_churn_prediction_spark.similarity import pq as _pq
+
+    queries.setdefault("ann_bruteforce_topk", _ann.ann_bruteforce_topk)
+    queries.setdefault("ann_pq_adc", _pq.ann_pq_adc)
+    queries.setdefault("ann_ivf_pq", _pq.ann_ivf_pq)
     # Staged (pytest-only) events-tier ops ride the curve too.
     from customer_churn_prediction_spark.plans import registry
 

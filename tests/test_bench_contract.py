@@ -42,7 +42,8 @@ def test_bench_covers_recent_additions():
         "corpus_mix", "contamination_check", "text_logprob",
         "ann_recall_eval", "user_event_sequences",
         # r6 registrations must land bench rows in the same round
-        "embedding_pq", "ann_pq_adc", "ann_ivf_pq", "ann_ivf_pq_stored",
+        # (ann_pq_adc / ann_ivf_pq retired r10 — benched via the matrix)
+        "embedding_pq", "ann_ivf_pq_stored",
         "text_dup_spans", "corpus_clean_spans", "corpus_split_leakproof",
         "model_calibration", "feature_iv", "event_sessions",
         # r7 registration
@@ -51,6 +52,8 @@ def test_bench_covers_recent_additions():
         "text_tokenize_bpe",
         # r9 registration
         "heavy_hitters_cms",
+        # r10 registrations
+        "dedup_containment", "rec_eval_ndcg", "ann_recall_matrix",
     }
     assert tracked <= names, sorted(tracked - names)
 

@@ -22,7 +22,7 @@ from hypothesis import given, settings, strategies as st
 
 from customer_churn_prediction_spark.text.dedup import (
     CONTAINMENT_THRESHOLD,
-    STAGED_ORACLES,
+    ORACLES,
 )
 
 _WORDS = [f"w{i}" for i in range(12)]
@@ -96,7 +96,7 @@ def _oracle(docs: list[str]) -> set[tuple[int, int]]:
         {"doc_id": range(len(docs)), "text": docs}
     )
     con.register("documents", frame)
-    rows = con.execute(STAGED_ORACLES["dedup_containment"]).fetchall()
+    rows = con.execute(ORACLES["dedup_containment"]).fetchall()
     return {(int(r[0]), int(r[1])) for r in rows}
 
 

@@ -17,7 +17,7 @@ from .oracle_utils import assert_matches_oracle
 def test_containment_oracle_parity(spark, sf_dir):
     assert_matches_oracle(
         dedup.containment_pairs(spark, sf_dir),
-        dedup.STAGED_ORACLES["dedup_containment"],
+        dedup.ORACLES["dedup_containment"],
         sf_dir,
     )
 

@@ -14,7 +14,8 @@ from customer_churn_prediction_spark.plans import registry
 # HASH joins only. (dedup_ngram_jaccard was removed: it plans equi
 # joins only, so whitelisting it silently disabled the guard there.)
 ALLOWED_NESTED_LOOP = {
-    "ann_bruteforce_topk",     # 5-query broadcast side, non-equi on ids
+    # (ann_bruteforce_topk retired from the registry in r10; its
+    # 5-query broadcast NLJ now plans inside ann_recall_matrix below.)
     "ann_bruteforce_int8",     # same plan over the quantized store
     "ann_bruteforce_int8_stored",  # same plan, at-rest int8 scan side
     "ann_recall_eval",          # composes ann_bruteforce_topk (NLJ side)
@@ -25,6 +26,13 @@ ALLOWED_NESTED_LOOP = {
     # registered r9: the error-band report crossJoins the broadcast
     # 1-row N-total scalar (the calibration-tier report pattern)
     "heavy_hitters_cms",
+    # registered r10: composes the exact bruteforce + int8 legs (both
+    # non-equi broadcast NLJ by design) as the matrix's ground truth
+    "ann_recall_matrix",
+    # registered r10: the pair-lift model inside the eval crossJoins
+    # the broadcast 1-row n_orders scalar (affinity.py:106 — the
+    # calibration-tier report pattern, same as text_tfidf_topk)
+    "rec_eval_ndcg",
 }
 
 _PLANNABLE = [

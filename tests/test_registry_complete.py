@@ -33,6 +33,8 @@ EXPECTED = {
     "text_tfidf_topk",
     "corpus_curation", "corpus_sample_stratified", "corpus_dedup_keep",
     "text_chunks", "corpus_pack", "text_redact",
+    "dedup_containment",  # r10: graduated — asymmetric fragment dedup
+    "rec_eval_ndcg",  # r10: graduated — held-out recs hit-rate/NDCG
     "dedup_exact", "dedup_incremental", "dedup_incremental_materialized",
     "dedup_minhash_signatures",
     "dedup_minhash_lsh_pairs", "dedup_lsh_groups", "dedup_lsh_components",
@@ -47,12 +49,14 @@ EXPECTED = {
     # monitoring tier (review r6: was missing — subset assert would
     # not have caught its accidental deregistration)
     "drift_psi", "score_band_lift", "eval_ks",
-    # ANN
-    "ann_bruteforce_topk", "ann_lsh_bucketed",
+    # ANN (ann_bruteforce_topk / ann_pq_adc / ann_ivf_pq retired r10:
+    # all three run as components inside the registered
+    # ann_recall_matrix — see registry.RETIRED)
+    "ann_lsh_bucketed",
     "ann_ivf", "ann_ivf_materialized", "ann_ivf_kmeans",
     "embedding_quantize", "ann_bruteforce_int8",
     "ann_bruteforce_int8_stored",
-    "embedding_pq", "ann_pq_adc", "ann_ivf_pq", "ann_ivf_pq_stored",
+    "embedding_pq", "ann_ivf_pq_stored", "ann_recall_matrix",
     # ML / monitoring / behavioral
     "feature_bucketize", "ml_rf_churn", "ml_gbt_churn", "ml_lr_churn",
     "ml_fm_churn", "ml_feature_vectors",
