@@ -408,11 +408,16 @@ def text_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = toks.groupBy("tok").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
     )
-    from pyspark.sql import Window
-
-    totals = vocab.withColumn(
-        "n_corpus", F.sum("tf").over(Window.partitionBy())
-    ).withColumn("n_vocab", F.count(F.lit(1)).over(Window.partitionBy()))
+    # Corpus totals as a broadcast 1-row scalar (the calibration-tier
+    # report pattern), NOT an unpartitioned window: a global window
+    # moves the whole vocab table to ONE task — a straggler once the
+    # vocabulary is web-scale — while the aggregate is a map-side
+    # combine plus a 1-row broadcast.
+    tot = vocab.agg(
+        F.sum("tf").cast("long").alias("n_corpus"),
+        F.count(F.lit(1)).cast("long").alias("n_vocab"),
+    )
+    totals = vocab.crossJoin(F.broadcast(tot))
     # add-one smoothing: p(t) = (tf + 1) / (N + |V|)
     scored_vocab = totals.select(
         "tok",
@@ -461,8 +466,6 @@ def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     a keep/drop sampler cannot upsample — the repetition factor for
     true upsampling is ``target_share · N / n`` read off the ``rate``
     column where it saturates."""
-    from pyspark.sql import Window
-
     d = load_table(spark, sf_dir, "documents", spread=True).select(
         "lang",
         F.conv(
@@ -477,6 +480,14 @@ def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = d.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_total")
     )
+    # Global window over the ALREADY-AGGREGATED per-lang frame — at
+    # most a few hundred rows land in the single window task at any
+    # corpus size, so this is NOT the text_logprob hazard (there the
+    # window input was the vocab table). The broadcast-scalar form was
+    # tried in r10 and planned WORSE: the agg branch re-scanned
+    # documents without exchange reuse, tripling the heavy scan.
+    from pyspark.sql import Window
+
     stats = stats.withColumn(
         "corpus_n", F.sum("n_total").over(Window.partitionBy())
     )
@@ -967,19 +978,41 @@ GROUP BY doc_id
 # discriminates.
 NLL_MAX = 3.41
 
+# Recipe-pinned entropy-evenness floor for the composed keep decision
+# (r10, VERDICT r9 item 3): keep requires
+# entropy_bits >= ENTROPY_EVENNESS_MIN * log2(n_tokens) once a doc has
+# ENTROPY_MIN_TOKENS+ tokens. The floor is RELATIVE by necessity: the
+# Gopher token-fraction rules already imply an ABSOLUTE entropy floor
+# of ~(1.2 + 0.3*log2 n) bits for any doc they pass (dup-token <= 0.70
+# forces >= 0.3n distinct types; top-token <= 0.30 caps the mass of
+# each), so a fixed-bits gate would be dead weight. What they do NOT
+# bound is entropy relative to length: a doc of 3 stuffed keywords at
+# ~23% mass each padded with 30% singletons and SHUFFLED (to evade the
+# positional top-bigram rule) passes all three ratios with evenness
+# ~= 0.3 + 1.47/log2(n) — under 0.50 by n ~= 200 — while every
+# fixture doc sits above 0.60. 0.55 splits those populations; docs
+# shorter than ENTROPY_MIN_TOKENS pass trivially (entropy is not
+# meaningful there and the quality gate owns short-doc hygiene).
+# tests/test_keep_decision_gates.py constructs the adversarial doc and
+# pins that this gate — and none of the other four — rejects it.
+ENTROPY_EVENNESS_MIN = 0.55
+ENTROPY_MIN_TOKENS = 20
+
 
 def corpus_keep_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed per-document governance decision — the single
     boolean a training-data pipeline ultimately materializes: keep a
     TRAINING doc (benchmark-residue docs are the eval set, out of
-    scope) iff it passes the quality score, is not repetitive, scores
-    inside the LM band, and does not overlap the benchmark. Each gate
-    is the SAME expression/operator its standalone query uses, so this
-    also pins the governance tier's composability — and the oracle
-    nests the committed oracles of the parts as CTEs, so it cannot
-    drift from them.
+    scope) iff it passes the quality score, is not repetitive
+    (positionally OR distributionally — the entropy gate covers
+    shuffled repetition the n-gram rules can't see), scores inside
+    the LM band, and does not overlap the benchmark. Each gate is the
+    SAME expression/operator its standalone query uses, so this also
+    pins the governance tier's composability — and the oracle nests
+    the committed oracles of the parts as CTEs, so it cannot drift
+    from them.
 
-    Plan shape: three joins of one-row-per-doc frames on doc_id (the
+    Plan shape: four joins of one-row-per-doc frames on doc_id (the
     contamination side is an aggregated broadcast-sized drop set) —
     no new shuffle class beyond its parts."""
     from ..text import dedup as _dedup
@@ -1005,6 +1038,16 @@ def corpus_keep_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nll_ok"
         ),
     )
+    ent = text_entropy(spark, sf_dir).select(
+        "doc_id",
+        (
+            (F.col("n_tokens") < ENTROPY_MIN_TOKENS)
+            | (
+                F.col("entropy_bits")
+                >= ENTROPY_EVENNESS_MIN * F.log2("n_tokens")
+            )
+        ).alias("entropy_ok"),
+    )
     contam = (
         contamination_check_import(spark, sf_dir)
         .select("doc_id")
@@ -1014,19 +1057,24 @@ def corpus_keep_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         base.join(rep, "doc_id")
         .join(nll, "doc_id", "left")
+        # left + coalesce-to-True: a doc absent from the entropy frame
+        # has no tokens to assess (NULL text drops out of the explode
+        # in BOTH engines); token-free hygiene is the quality gate's.
+        .join(ent, "doc_id", "left")
         .join(F.broadcast(contam), "doc_id", "left")
         .select(
             "doc_id",
             "quality_ok",
             "repetition_ok",
             F.coalesce("nll_ok", F.lit(False)).alias("nll_ok"),
+            F.coalesce("entropy_ok", F.lit(True)).alias("entropy_ok"),
             (~F.coalesce("hit", F.lit(False))).alias("decontam_ok"),
         )
     )
     return out.withColumn(
         "keep",
         F.col("quality_ok") & F.col("repetition_ok") & F.col("nll_ok")
-        & F.col("decontam_ok"),
+        & F.col("entropy_ok") & F.col("decontam_ok"),
     )
 
 
@@ -1053,6 +1101,9 @@ WITH rep AS (
 nll AS (
   SELECT doc_id, mean_nll FROM ({ORACLES["text_logprob"]})
 ),
+ent AS (
+  SELECT doc_id, n_tokens, entropy_bits FROM ({ENTROPY_ORACLE})
+),
 contam AS (
   SELECT DISTINCT doc_id FROM ({_DEDUP_ORACLES["contamination_check"]})
 ),
@@ -1066,19 +1117,27 @@ flags AS (
          COALESCE(q.quality >= {QUALITY_THRESHOLD}, false) AS quality_ok,
          NOT r.repetitive AS repetition_ok,
          COALESCE(n.mean_nll <= {NLL_MAX}, false) AS nll_ok,
+         COALESCE(e.n_tokens < {ENTROPY_MIN_TOKENS}
+                  OR e.entropy_bits
+                     >= {ENTROPY_EVENNESS_MIN} * log2(e.n_tokens),
+                  true) AS entropy_ok,
          c.doc_id IS NULL AS decontam_ok
   FROM q
   JOIN rep r USING (doc_id)
   LEFT JOIN nll n USING (doc_id)
+  LEFT JOIN ent e USING (doc_id)
   LEFT JOIN contam c USING (doc_id)
 )
-SELECT doc_id, quality_ok, repetition_ok, nll_ok, decontam_ok,
-       (quality_ok AND repetition_ok AND nll_ok AND decontam_ok) AS keep
+SELECT doc_id, quality_ok, repetition_ok, nll_ok, entropy_ok,
+       decontam_ok,
+       (quality_ok AND repetition_ok AND nll_ok AND entropy_ok
+        AND decontam_ok) AS keep
 FROM flags
 """
 
 
-ORACLES["corpus_keep_decision"] = _keep_decision_oracle()
+# (ORACLES["corpus_keep_decision"] is assigned below ENTROPY_ORACLE —
+# the composed oracle nests the entropy part's committed SQL.)
 
 
 def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1158,6 +1217,8 @@ SELECT doc_id,
        abs(round(sum(term), 6)) AS entropy_bits
 FROM terms GROUP BY doc_id
 """
+
+ORACLES["corpus_keep_decision"] = _keep_decision_oracle()
 
 # Staged (r9): the analysis module's registered QUERIES sit inside
 # the 100-entry registry ceiling, so additions land in the staged

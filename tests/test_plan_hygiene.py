@@ -23,6 +23,11 @@ ALLOWED_NESTED_LOOP = {
     # module fn keeps the all-pairs plan for the recall/governance
     # tests but is no longer parametrized here.)
     "text_tfidf_topk",          # 1-row broadcast scalar (corpus size)
+    # r10: text_logprob's corpus-totals global window became the same
+    # 1-row broadcast scalar (a global window single-tasks the whole
+    # vocab table at scale); the keep decision composes it
+    "text_logprob",
+    "corpus_keep_decision",
     # registered r9: the error-band report crossJoins the broadcast
     # 1-row N-total scalar (the calibration-tier report pattern)
     "heavy_hitters_cms",
