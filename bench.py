@@ -136,6 +136,30 @@ BENCH_QUERIES = [
 ]
 
 
+def _elevated_queries(
+    loads: dict[str, list[float]], over: float = 4.0
+) -> tuple[float, list[str]]:
+    """Per-query external-contention signal (r10, VERDICT r9 item 4).
+
+    The bench itself drives the 1-min loadavg (local[32] saturates the
+    box), so "elevated" is judged against the run's OWN operating
+    level: the median across every (query, pass) sample. A query whose
+    max sample exceeds that baseline by `over` runnable threads saw an
+    external burst mid-measurement — its interleaved median is the row
+    to distrust first when triaging a delta. Returns (baseline,
+    [flagged names])."""
+    import statistics
+
+    allsamples = [x for v in loads.values() for x in v]
+    if not allsamples:
+        return 0.0, []
+    base = statistics.median(allsamples)
+    flagged = [
+        name for name, v in loads.items() if v and max(v) > base + over
+    ]
+    return round(base, 1), flagged
+
+
 def _load_prev_medians(out_path: str, sf: float) -> dict[str, float]:
     """Per-query medians from the previous bench_out.json, or {} when
     absent/unreadable/different-SF (deltas across SFs are meaningless)."""
@@ -210,6 +234,11 @@ def main() -> None:
     _FIT_MEMOS = {"vocab_bpe_merges": _vocab._MERGE_CACHE}
 
     samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
+    # Loadavg timeseries, one sample per (query, pass): the box-noise
+    # context for every timing (r9's driver bench was contended with
+    # load bursting 0->9 from nothing in the session — per-run flags
+    # could say THAT it happened but not WHICH rows it hit).
+    loads: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
     for _ in range(N_ITERS):
         for name in BENCH_QUERIES:
             fn = queries[name]
@@ -217,6 +246,7 @@ def main() -> None:
             t0 = time.perf_counter()
             force(fn(spark, SF_DIR))
             samples[name].append(time.perf_counter() - t0)
+            loads[name].append(round(os.getloadavg()[0], 2))
 
     import statistics
 
@@ -283,15 +313,35 @@ def main() -> None:
     # an interleave-context plateau can never be mistaken for a plan
     # regression again. Headline methodology (interleaved medians)
     # unchanged for cross-round comparability.
-    steady: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    def steady_triple(name: str) -> float:
         tri = []
         for _ in range(3):
             _FIT_MEMOS.get(name, {}).clear()
             t0 = time.perf_counter()
             force(queries[name](spark, SF_DIR))
             tri.append(time.perf_counter() - t0)
-        steady[name] = round(statistics.median(tri), 3)
+        return round(statistics.median(tri), 3)
+
+    steady: dict[str, float] = {
+        name: steady_triple(name) for name in BENCH_QUERIES
+    }
+
+    # Load-aware steady recheck (r10, VERDICT r9 item 4): a query whose
+    # interleaved median moved >20% vs the previous recorded run WHILE
+    # its own load samples were elevated gets one more consecutive
+    # triple, keeping the better steady median — so a contended run
+    # self-annotates which rows to distrust (steady_rechecked) and
+    # carries the least-contaminated steady estimate it could get.
+    load_base, load_elevated = _elevated_queries(loads)
+    steady_rechecked: list[str] = []
+    for name in BENCH_QUERIES:
+        moved = (
+            name in prev and prev[name] > 0
+            and abs(timings[name] / prev[name] - 1.0) > 0.20
+        )
+        if moved and name in load_elevated:
+            steady[name] = min(steady[name], steady_triple(name))
+            steady_rechecked.append(name)
 
     prev_delta = {
         name: (
@@ -328,6 +378,13 @@ def main() -> None:
         # sum of per-query steady-state (consecutive-triple) medians —
         # the dedicated-job cost, vs "value"'s interleaved-context cost
         "steady_total": round(sum(steady.values()), 3),
+        # per-query load context: the run's own operating loadavg
+        # (median over every sample) and the queries whose max sample
+        # burst >4 runnable threads above it — the rows to distrust
+        # first when triaging a delta (full timeseries in bench_out)
+        "load_median": load_base,
+        "load_elevated": load_elevated,
+        "steady_rechecked": steady_rechecked,
     }
     with open(out_path, "w") as fh:
         json.dump(
@@ -338,6 +395,9 @@ def main() -> None:
                 "rechecked": rechecked,
                 "wide_spread": wide,
                 "steady": steady,
+                # loadavg timeseries: one sample per (query, pass), in
+                # pass order — the contention forensics for any row
+                "load_series": loads,
             },
             fh,
             indent=1,

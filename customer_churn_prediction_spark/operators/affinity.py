@@ -240,16 +240,46 @@ def _recommend_from_owned(
 
 import math as _math
 
-# NDCG@3 / MRR constants, rounded once in Python and embedded as the
-# SAME literals in the Spark plan and the oracle SQL — no cross-engine
-# log2 in the hot path at all.
-_GAIN = [1.0, round(1.0 / _math.log2(3), 6), 0.5]       # 1/log2(r+1)
-_IDCG = [
-    round(_GAIN[0], 6),
-    round(_GAIN[0] + _GAIN[1], 6),
-    round(_GAIN[0] + _GAIN[1] + _GAIN[2], 6),
+# NDCG@K / MRR constants DERIVED from TOP_RECS (ADVICE r9: the 3-rank
+# literals were correct only because TOP_RECS == 3 — a future K change
+# would silently mis-gain ranks 4+ in both engines). Rounded once in
+# Python and embedded as the SAME literals in the Spark plan and the
+# oracle SQL — no cross-engine log2 in the hot path at all.
+_GAIN = [                                               # 1/log2(r+1)
+    1.0 if r == 1 else round(1.0 / _math.log2(r + 1), 6)
+    for r in range(1, TOP_RECS + 1)
 ]
-_RECIP = [1.0, 0.5, round(1.0 / 3, 6)]                  # 1/r
+_IDCG = [round(sum(_GAIN[: k + 1]), 6) for k in range(TOP_RECS)]
+_RECIP = [                                              # 1/r
+    1.0 if r == 1 else round(1.0 / r, 6)
+    for r in range(1, TOP_RECS + 1)
+]
+
+# Oracle CASE arms generated from the same lists, so the SQL can never
+# hold more or fewer rank arms than TOP_RECS.
+_GAIN_CASE = (
+    "CASE r.rnk "
+    + " ".join(
+        f"WHEN {r} THEN {_GAIN[r - 1]!r}" for r in range(1, TOP_RECS)
+    )
+    + f" ELSE {_GAIN[-1]!r} END"
+)
+_IDCG_CASE = (
+    f"CASE WHEN u.n_truth >= {TOP_RECS} THEN {_IDCG[-1]!r} "
+    + " ".join(
+        f"WHEN u.n_truth = {k} THEN {_IDCG[k - 1]!r}"
+        for k in range(TOP_RECS - 1, 1, -1)
+    )
+    + f" ELSE {_IDCG[0]!r} END"
+)
+_RECIP_CASE = (
+    "CASE p.first_hit "
+    + " ".join(
+        f"WHEN {r} THEN {_RECIP[r - 1]!r}"
+        for r in range(1, TOP_RECS + 1)
+    )
+    + " ELSE 0.0 END"
+)
 
 
 def rec_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -325,11 +355,10 @@ def rec_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(owned_train.select("c_custkey").distinct(), "c_custkey")
     )
 
-    gain = (
-        F.when(F.col("rank") == 1, F.lit(_GAIN[0]))
-        .when(F.col("rank") == 2, F.lit(_GAIN[1]))
-        .otherwise(F.lit(_GAIN[2]))
-    )
+    gain = F.when(F.col("rank") == 1, F.lit(_GAIN[0]))
+    for _r in range(2, TOP_RECS):
+        gain = gain.when(F.col("rank") == _r, F.lit(_GAIN[_r - 1]))
+    gain = gain.otherwise(F.lit(_GAIN[-1]))
     hit = F.coalesce(F.col("hit"), F.lit(0))
     per_cust = (
         recs.join(
@@ -349,17 +378,14 @@ def rec_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    idcg = (
-        F.when(F.col("n_truth") >= 3, F.lit(_IDCG[2]))
-        .when(F.col("n_truth") == 2, F.lit(_IDCG[1]))
-        .otherwise(F.lit(_IDCG[0]))
-    )
-    mrr = (
-        F.when(F.col("first_hit") == 1, F.lit(_RECIP[0]))
-        .when(F.col("first_hit") == 2, F.lit(_RECIP[1]))
-        .when(F.col("first_hit") == 3, F.lit(_RECIP[2]))
-        .otherwise(F.lit(0.0))
-    )
+    idcg = F.when(F.col("n_truth") >= TOP_RECS, F.lit(_IDCG[-1]))
+    for _k in range(TOP_RECS - 1, 1, -1):
+        idcg = idcg.when(F.col("n_truth") == _k, F.lit(_IDCG[_k - 1]))
+    idcg = idcg.otherwise(F.lit(_IDCG[0]))
+    mrr = F.when(F.col("first_hit") == 1, F.lit(_RECIP[0]))
+    for _r in range(2, TOP_RECS + 1):
+        mrr = mrr.when(F.col("first_hit") == _r, F.lit(_RECIP[_r - 1]))
+    mrr = mrr.otherwise(F.lit(0.0))
     graded = universe.join(per_cust, "c_custkey", "left").select(
         F.round(
             F.coalesce(F.col("dcg"), F.lit(0.0)) / idcg, 6
@@ -534,9 +560,7 @@ universe AS (
 per_cust AS (
   SELECT r.c_custkey,
          round(sum(CASE WHEN tr.brand IS NOT NULL THEN
-                     CASE r.rnk WHEN 1 THEN {_GAIN[0]!r}
-                                WHEN 2 THEN {_GAIN[1]!r}
-                                ELSE {_GAIN[2]!r} END
+                     {_GAIN_CASE}
                    ELSE 0.0 END), 6) AS dcg,
          min(CASE WHEN tr.brand IS NOT NULL THEN r.rnk END)
            AS first_hit
@@ -546,13 +570,8 @@ per_cust AS (
 ),
 graded AS (
   SELECT round(coalesce(p.dcg, 0.0)
-               / CASE WHEN u.n_truth >= 3 THEN {_IDCG[2]!r}
-                      WHEN u.n_truth = 2 THEN {_IDCG[1]!r}
-                      ELSE {_IDCG[0]!r} END, 6) AS ndcg,
-         CASE p.first_hit WHEN 1 THEN {_RECIP[0]!r}
-                          WHEN 2 THEN {_RECIP[1]!r}
-                          WHEN 3 THEN {_RECIP[2]!r}
-                          ELSE 0.0 END AS mrr,
+               / {_IDCG_CASE}, 6) AS ndcg,
+         {_RECIP_CASE} AS mrr,
          CASE WHEN p.first_hit IS NOT NULL THEN 1 ELSE 0 END AS any_hit
   FROM universe u LEFT JOIN per_cust p USING (c_custkey)
 )

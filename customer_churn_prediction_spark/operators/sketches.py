@@ -594,6 +594,20 @@ def kmv_pair_estimates(sketches: DataFrame) -> DataFrame:
     union_sk = merged.withColumn(
         "rn", F.row_number().over(wu)
     ).where(F.col("rn") <= KMV_K)
+    # A pair needs BOTH months PRESENT (the first month has no
+    # predecessor, the last no successor — their half-pairs drop).
+    # Presence is judged against the sketch table's own month set, NOT
+    # against per-side representation in the union top-K (ADVICE r9:
+    # the old sum(in_a)>0 AND sum(in_b)>0 filter conflated "month
+    # absent" with "month present but unrepresented" — a real pair
+    # with near-disjoint low hash ranges would silently vanish instead
+    # of reporting rho=0; astronomically unlikely at K=128, but the
+    # existence join is exact and the months frame is broadcast-tiny).
+    months = sketches.select("grp").distinct()
+    pairs_ok = months.join(
+        months.select(F.add_months(F.col("grp"), -1).alias("grp")),
+        "grp",
+    ).select(F.col("grp").alias("month_a"))
     pair = (
         union_sk.groupBy("month_a")
         .agg(
@@ -601,12 +615,8 @@ def kmv_pair_estimates(sketches: DataFrame) -> DataFrame:
             F.max("h").alias("kth"),
             F.sum(F.col("in_a") * F.col("in_b")).cast("bigint")
             .alias("rho"),
-            F.sum("in_a").alias("_seen_a"),
-            F.sum("in_b").alias("_seen_b"),
         )
-        # a pair needs BOTH months present (the first month has no
-        # predecessor, the last no successor — their half-pairs drop)
-        .where((F.col("_seen_a") > 0) & (F.col("_seen_b") > 0))
+        .join(F.broadcast(pairs_ok), "month_a")
     )
     est_union = F.when(
         F.col("k_eff") < F.lit(KMV_K), F.col("k_eff").cast("double")
@@ -709,15 +719,26 @@ def segment_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     advertised error bounds, and both engines compute them from the
     same bit-identical doubles."""
     orders = load_table(spark, sf_dir, "orders")
-    buyers = orders.select(
+    raw = orders.select(
         F.date_trunc("month", F.col("o_orderdate"))
         .cast("date")
         .alias("grp"),
         F.col("o_custkey").cast("string").alias("key"),
-    ).distinct()
-    # the distinct (month, buyer) set feeds the sketch build AND both
-    # exact verification legs — cache the set you'd materialize anyway
-    buyers = buyers.cache()
+    )
+    # ONE data shuffle, shared by every consumer (ADVICE r9: the old
+    # .cache() here pinned executor memory for the rest of the session
+    # — in the scale-curve loop the cached partitions accumulated, and
+    # a lazily-returned registry query has no post-materialize hook to
+    # unpersist). Group the raw rows by buyer once (collect_set also
+    # does the distinct), then re-explode: the sketch build, both
+    # exact per-month counts and the retained self-join all read this
+    # identical exchange subtree, which AQE dedupes via ReusedExchange
+    # — the orders scan and the buyer shuffle run once, nothing stays
+    # cached after the report materializes.
+    keyed = raw.groupBy("key").agg(F.collect_set("grp").alias("months"))
+    buyers = keyed.select(
+        "key", F.explode("months").alias("grp")
+    ).select("grp", "key")
     return kmv_pair_report(kmv_sketch(buyers), buyers)
 
 
@@ -761,11 +782,15 @@ u AS (
     FROM u1
   ) WHERE rn <= {KMV_K}
 ),
+months AS (SELECT DISTINCT grp FROM sk),
+pairs_ok AS (
+  SELECT m.grp AS month_a FROM months m
+  JOIN months n ON n.grp = CAST(m.grp + INTERVAL 1 MONTH AS DATE)
+),
 pair AS (
   SELECT month_a, count(*) AS k_eff, max(h) AS kth,
          CAST(sum(in_a * in_b) AS BIGINT) AS rho
-  FROM u GROUP BY 1
-  HAVING sum(in_a) > 0 AND sum(in_b) > 0
+  FROM u JOIN pairs_ok USING (month_a) GROUP BY 1
 ),
 est AS (
   SELECT month_a, k_eff, rho,

@@ -70,6 +70,13 @@ def test_bench_stdout_object_stays_compact():
         "queries": {name: 999.999 for name in bench.BENCH_QUERIES},
         "iters": 5,
         "sf": 0.1,
+        # r10 load context at worst case: every query flagged both ways
+        "load_at_start": 99.9,
+        "contended": True,
+        "steady_total": 9999.999,
+        "load_median": 99.9,
+        "load_elevated": list(bench.BENCH_QUERIES),
+        "steady_rechecked": list(bench.BENCH_QUERIES),
     }
     line = json.dumps(result, separators=(",", ":"))
     assert len(line) < 16384, len(line)
@@ -97,3 +104,23 @@ def test_prev_median_loader_guards(tmp_path):
     assert bench._load_prev_medians(str(out), 0.1) == {
         "q1": 1.5, "q2": 0.25
     }
+
+
+def test_elevated_queries_flags_only_external_bursts():
+    """The per-query load signal judges against the run's own median
+    (Spark itself saturates the box), flags only >4-thread bursts
+    above it, and degrades to no-signal on an empty sample set."""
+    bench = _load_bench()
+    loads = {
+        # steady at the bench's own operating load
+        "quiet": [30.0, 30.5, 31.0, 30.2, 30.8],
+        # one external burst mid-measurement
+        "bursty": [30.1, 30.4, 35.5, 30.3, 30.6],
+        # slightly above median but inside the 4-thread band
+        "warm": [31.0, 32.0, 33.0, 31.5, 32.5],
+    }
+    base, flagged = bench._elevated_queries(loads)
+    assert base == 30.8  # median over every sample
+    assert flagged == ["bursty"]
+    assert bench._elevated_queries({}) == (0.0, [])
+    assert bench._elevated_queries({"q": []}) == (0.0, [])

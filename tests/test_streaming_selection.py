@@ -57,12 +57,25 @@ def test_frozen_threshold_reproduces_batch_selection_on_fit_corpus(
     """Scoring the fit corpus itself with the frozen model must
     reproduce the batch report row-for-row — including selection,
     because the frozen threshold IS the batch selection's minimum
-    kept logweight (ties at the boundary select in both forms)."""
+    kept logweight. The two forms agree ONLY when no logweight tie
+    straddles the cut (the batch rank cuts mid-tie by doc_id; the
+    threshold form keeps all tied docs — ADVICE r9), so that
+    precondition is asserted explicitly: if a fixture change ever
+    introduces a boundary tie, this fails on the precondition line,
+    not as an inscrutable row diff."""
     docs = _docs(spark, sf_smoke)
     model = ssel.freeze_model(docs)
     batch = dsir_report(docs)
+    rows = _rows(batch)
+    kept = [lw for (_d, _n, lw, sel) in rows if sel]
+    dropped = [lw for (_d, _n, lw, sel) in rows if not sel]
+    assert kept and dropped, "fixture must exercise both outcomes"
+    assert min(kept) not in dropped, (
+        "fixture has a logweight tie at the selection boundary — the "
+        "batch and threshold forms legitimately diverge there"
+    )
     scored = ssel.score_docs(spark, docs, model)
-    assert _rows(scored) == _rows(batch)
+    assert _rows(scored) == rows
 
 
 def test_epoch_union_equals_batch_scoring_across_crash_replay(
