@@ -57,10 +57,8 @@ BENCH_QUERIES = [
     "stream_session_windows",
     "asof_join_clicks",
     "range_join_events",
-    "ann_ivf",
     "dedup_minhash_signatures",
     "dedup_minhash_lsh_pairs",
-    "dedup_ngram_jaccard",
     "dedup_lsh_verified",
     "dedup_incremental",
     "dedup_incremental_materialized",
@@ -78,9 +76,9 @@ BENCH_QUERIES = [
     "ann_ivf_kmeans",
     "ml_feature_vectors",
     # r4 additions, first benched in r5 (VERDICT r4 item 3).
-    # (ann_bruteforce_topk retired from the registry in r10; its work
-    # is still benched inside ann_recall_matrix below.)
-    "ann_bruteforce_int8",
+    # (ann_bruteforce_topk retired from the registry in r10, and
+    # ann_ivf / ann_bruteforce_int8 in the second r10 batch; their
+    # work is still benched inside ann_recall_matrix below.)
     "ann_bruteforce_int8_stored",
     "embedding_quantize",
     "text_redact",
@@ -133,6 +131,12 @@ BENCH_QUERIES = [
     "dedup_containment",
     "rec_eval_ndcg",
     "ann_recall_matrix",
+    # r10 graduations, second batch: the banded-LSH recall grader
+    # (whose oracle ground truth is the retired exact ngram-Jaccard —
+    # that O(n²) cost stays measured here, aggregated) and DSIR
+    # distributional selection.
+    "dedup_recall_eval",
+    "corpus_select_dsir",
 ]
 
 

@@ -49,6 +49,7 @@ def _modules():
         from ..sources import multimodal
         from ..text import analysis as text_analysis
         from ..text import dedup as text_dedup
+        from ..text import selection as text_selection
         from ..text import spans as text_spans
         from ..text import splits as text_splits
         from ..text import vocab as text_vocab
@@ -57,8 +58,8 @@ def _modules():
                     windows, asof, sessions, sketches, affinity,
                     scalars, fn_udtf,
                     stream_windows, stream_stateful, stream_rollup,
-                    text_analysis, text_dedup, text_spans, text_splits,
-                    text_vocab,
+                    text_analysis, text_dedup, text_selection,
+                    text_spans, text_splits, text_vocab,
                     ann, sim_pq, sim_recall, ml_pipeline, ml_jobs,
                     ml_monitoring, ml_calibration, multimodal]
     return _MODULES
@@ -113,29 +114,45 @@ RETIRED = {
     "ann_bruteforce_topk": "ann_recall_matrix",
     "ann_pq_adc": "ann_recall_matrix",
     "ann_ivf_pq": "ann_ivf_pq_stored",
+    # r10 (second batch): the last three BASELINES retire; the weak
+    # tier is now empty. Each keeps (a) a registered sibling that
+    # executes its work every round and (b) a standalone driver-rigor
+    # oracle-parity pytest:
+    #  - ann_ivf ≡ ann_ivf_materialized (same committed ORACLE;
+    #    equality pytest tests/test_similarity.py::
+    #    test_ivf_materialized_matches_inline + a parity test); it
+    #    also runs as the IVF tier inside ann_recall_matrix.
+    #  - ann_bruteforce_int8: the registered at-rest twin
+    #    ann_bruteforce_int8_stored serves the same plan from the
+    #    quantized store; the inline form runs as the int8 tier
+    #    inside ann_recall_matrix and keeps a parity pytest.
+    #  - dedup_ngram_jaccard: its SQL is the ground-truth CTE inside
+    #    the newly registered dedup_recall_eval (both engines), so a
+    #    regression breaks that hash row; parity pinned in
+    #    tests/test_dedup_recall.py.
+    "ann_ivf": "ann_ivf_materialized",
+    "ann_bruteforce_int8": "ann_bruteforce_int8_stored",
+    "dedup_ngram_jaccard": "dedup_recall_eval",
 }
 
 # Deliberate non-scale baselines kept registered for recall/correctness
-# grounding: each maps to the deployable twin a production pipeline
-# should run instead. The registry doubles as deployment guidance —
-# pick the value, not the key, at scale (VERDICT r5 item 8).
-BASELINES = {
-    "ann_ivf": "ann_ivf_materialized",          # inline re-assigns corpus/query
-    "ann_bruteforce_int8": "ann_bruteforce_int8_stored",  # re-quantizes/query
-    "dedup_ngram_jaccard": "dedup_lsh_verified",  # exact O(n²) Jaccard
-    # r10: ann_bruteforce_topk / ann_pq_adc / ann_ivf_pq retired from
-    # the registry (see RETIRED) — their baseline role is now carried
-    # inside the registered ann_recall_matrix, which grades every tier
-    # against the exact form each round.
-}
+# grounding (VERDICT r5 item 8). EMPTY since r10: every former baseline
+# is retired to a registered deployable sibling (see RETIRED) — the
+# exact/inline forms now run as graded components inside
+# ann_recall_matrix / dedup_recall_eval instead of holding their own
+# registry slots, so the registry no longer carries any query marked
+# weak by the scale rubric. QUERIES.md still prints the deploy-the-twin
+# guidance from the RETIRED mapping.
+BASELINES: dict[str, str] = {}
 
 
 # Driver-budget rotation (the driver checks ~50 entries per round):
-# round 9 front-loads the 49 entries whose most recent driver row is
-# round 7 (everything r8's PRIORITY did not cover), plus the newly
-# registered heavy_hitters_cms as the closer (a new entry has no
-# history, so it must be proven in its registration round). The r8
-# 50 — all green in CORRECTNESS_r08 — rotate into round 10.
+# round 10 front-loads the entries whose most recent driver row is
+# round 8 (everything r9's PRIORITY did not cover, minus the five
+# entries retired this round), closed by the five r10 graduations (a
+# new registration has no history, so it must be proven in its
+# registration round). The r9 50 — all green in CORRECTNESS_r09 —
+# rotate into round 11.
 # tests/test_registry_rotation.py asserts this list keeps every
 # entry's latest green row at most one round old, and
 # tests/test_gen_priority.py asserts the list equals
@@ -173,7 +190,6 @@ PRIORITY = [
     "text_redact",
     "dedup_lsh_components",
     "dedup_simhash",
-    "dedup_ngram_jaccard",
     "dedup_lsh_verified",
     "dedup_incremental",
     "dedup_incremental_materialized",
@@ -182,7 +198,6 @@ PRIORITY = [
     "corpus_clean_spans",
     "corpus_split_leakproof",
     "text_tokenize_bpe",
-    "ann_ivf",
     "ann_ivf_materialized",
     "dedup_semantic",
     "embedding_pq",
@@ -193,6 +208,8 @@ PRIORITY = [
     # registered in r10 — first driver row this round
     "rec_eval_ndcg",
     "dedup_containment",
+    "dedup_recall_eval",
+    "corpus_select_dsir",
     "ann_recall_matrix",
 ]
 
@@ -255,15 +272,15 @@ def staged_modules() -> tuple:
     from ..similarity import ann as sim_ann
     from ..text import analysis as text_analysis
     from ..text import dedup as text_dedup
-    from ..text import selection as text_selection
     from ..text import vocab
 
-    # (similarity.recall graduated wholesale in r10 — ann_recall_matrix
-    # is registered, so the module left this tuple.)
+    # (similarity.recall and text.selection graduated wholesale in r10
+    # — ann_recall_matrix / corpus_select_dsir are registered, so both
+    # modules left this tuple.)
     return (
         survival, funnels, quality, sketches, affinity, attribution,
         anomaly, vocab, regression, drift_features, encoding,
-        sampling, text_dedup, text_selection, sim_ann, text_analysis,
+        sampling, text_dedup, sim_ann, text_analysis,
     )
 
 

@@ -1621,3 +1621,11 @@ QUALIFY row_number() OVER (PARTITION BY doc_id
 # _SHINGLES_SQL which are defined after the ORACLES block closes.
 QUERIES["dedup_containment"] = STAGED_QUERIES.pop("dedup_containment")
 ORACLES["dedup_containment"] = STAGED_ORACLES.pop("dedup_containment")
+
+# r10 graduation (second batch): the banded-LSH recall grader moves
+# into the registry — the slot freed by retiring the exact O(n²)
+# dedup_ngram_jaccard baseline, whose SQL stays driver-exercised as
+# this oracle's ground-truth CTE (and whose standalone parity is
+# pinned in tests/test_dedup_recall.py).
+QUERIES["dedup_recall_eval"] = STAGED_QUERIES.pop("dedup_recall_eval")
+ORACLES["dedup_recall_eval"] = STAGED_ORACLES.pop("dedup_recall_eval")

@@ -223,9 +223,14 @@ SELECT doc_id, n_grams, logweight,
 FROM scored
 """
 
-STAGED_QUERIES = {
+# r10 graduation: the module's only query moved from the staged tier
+# into the registry wholesale (the similarity.recall precedent) — the
+# slot was freed by retiring the ann_ivf inline baseline
+# (registry.RETIRED). The streaming twin stays in
+# streaming/selection.py, pytest-covered.
+QUERIES = {
     "corpus_select_dsir": corpus_select_dsir,
 }
-STAGED_ORACLES = {
+ORACLES = {
     "corpus_select_dsir": DSIR_ORACLE,
 }

@@ -36,7 +36,8 @@ def test_bench_covers_recent_additions():
     names = set(bench.BENCH_QUERIES)
     # The operators added in r4/r5 the judge tracks for bench rows.
     tracked = {
-        "ann_bruteforce_int8", "ann_bruteforce_int8_stored",
+        # (ann_bruteforce_int8 retired r10 — benched via the matrix)
+        "ann_bruteforce_int8_stored",
         "embedding_quantize", "text_redact", "dedup_simhash",
         "dedup_cross_modal", "dedup_semantic", "text_repetition",
         "corpus_mix", "contamination_check", "text_logprob",
@@ -54,6 +55,7 @@ def test_bench_covers_recent_additions():
         "heavy_hitters_cms",
         # r10 registrations
         "dedup_containment", "rec_eval_ndcg", "ann_recall_matrix",
+        "dedup_recall_eval", "corpus_select_dsir",
     }
     assert tracked <= names, sorted(tracked - names)
 

@@ -1,7 +1,9 @@
-"""dedup_recall_eval (text/dedup.py staged split): the banding-quality
-report — oracle parity plus the structural invariants that make the
-numbers trustworthy (verified pairs are a subset of exact truth, so
-hits == verified; ratios live in (0, 1])."""
+"""dedup_recall_eval (text/dedup.py — registered since r10): the
+banding-quality report — oracle parity plus the structural invariants
+that make the numbers trustworthy (verified pairs are a subset of
+exact truth, so hits == verified; ratios live in (0, 1]). Also pins
+standalone parity for the r10-retired dedup_ngram_jaccard, whose SQL
+is this report's ground-truth CTE (registry.RETIRED)."""
 
 from __future__ import annotations
 
@@ -13,7 +15,7 @@ from .oracle_utils import assert_matches_oracle
 def test_recall_eval_oracle_parity(spark, sf_dir):
     assert_matches_oracle(
         dedup.dedup_recall_eval(spark, sf_dir),
-        dedup.STAGED_ORACLES["dedup_recall_eval"],
+        dedup.ORACLES["dedup_recall_eval"],
         sf_dir,
     )
 
@@ -30,3 +32,16 @@ def test_recall_eval_invariants(spark, sf_dir):
     # superset of what survives verification
     assert row.n_candidates >= row.n_verified
     assert 0.0 < row.candidate_precision <= 1.0
+
+
+def test_ngram_jaccard_oracle_parity(spark, sf_dir):
+    """Retired-baseline contract (registry.RETIRED, r10): the exact
+    O(n²) ngram-Jaccard pair query keeps driver-rigor oracle parity
+    here even though its registry row is gone — its SQL is the truth
+    CTE inside dedup_recall_eval's oracle, so both engines must agree
+    on it standalone too."""
+    assert_matches_oracle(
+        dedup.ngram_jaccard_pairs(spark, sf_dir),
+        dedup.ORACLES["dedup_ngram_jaccard"],
+        sf_dir,
+    )

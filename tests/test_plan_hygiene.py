@@ -38,6 +38,11 @@ ALLOWED_NESTED_LOOP = {
     # the broadcast 1-row n_orders scalar (affinity.py:106 — the
     # calibration-tier report pattern, same as text_tfidf_topk)
     "rec_eval_ndcg",
+    # registered r10 (second batch): the recall report composes FOUR
+    # 1-row count scalars (truth / candidates / verified / hits) via
+    # broadcast NLJ — the same fixed-width report pattern; the heavy
+    # legs underneath are equi-joins covered by their own guards
+    "dedup_recall_eval",
 }
 
 _PLANNABLE = [

@@ -39,7 +39,10 @@ EXPECTED = {
     "dedup_minhash_signatures",
     "dedup_minhash_lsh_pairs", "dedup_lsh_groups", "dedup_lsh_components",
     "dedup_simhash",
-    "dedup_ngram_jaccard", "dedup_lsh_verified", "dedup_cross_modal",
+    "dedup_lsh_verified", "dedup_cross_modal",
+    # (dedup_ngram_jaccard retired r10: its SQL is the ground-truth
+    # CTE inside the registered dedup_recall_eval)
+    "dedup_recall_eval",  # r10: graduated — banded-LSH recall grader
     "text_dup_spans", "corpus_clean_spans", "corpus_split_leakproof",
     "vocab_bpe_merges",  # r7: graduated from the staged tier
     "text_tokenize_bpe",  # r8: graduated — BPE train+encode pair complete
@@ -49,12 +52,13 @@ EXPECTED = {
     # monitoring tier (review r6: was missing — subset assert would
     # not have caught its accidental deregistration)
     "drift_psi", "score_band_lift", "eval_ks",
-    # ANN (ann_bruteforce_topk / ann_pq_adc / ann_ivf_pq retired r10:
-    # all three run as components inside the registered
-    # ann_recall_matrix — see registry.RETIRED)
+    "corpus_select_dsir",  # r10: graduated — DSIR importance selection
+    # ANN (ann_bruteforce_topk / ann_pq_adc / ann_ivf_pq / ann_ivf /
+    # ann_bruteforce_int8 retired r10: all run as graded components
+    # inside the registered ann_recall_matrix — see registry.RETIRED)
     "ann_lsh_bucketed",
-    "ann_ivf", "ann_ivf_materialized", "ann_ivf_kmeans",
-    "embedding_quantize", "ann_bruteforce_int8",
+    "ann_ivf_materialized", "ann_ivf_kmeans",
+    "embedding_quantize",
     "ann_bruteforce_int8_stored",
     "embedding_pq", "ann_ivf_pq_stored", "ann_recall_matrix",
     # ML / monitoring / behavioral

@@ -1,9 +1,9 @@
 """DSIR importance-resampling selection: the property the op exists
 for, on a corpus constructed so the right answer is known.
 
-Oracle parity for ``corpus_select_dsir`` (bit-exact md5 buckets) lives
-in STAGED_CORRECTNESS.json via scripts/staged_driver_sim.py; this file
-pins the selection semantics:
+Oracle parity for ``corpus_select_dsir`` (bit-exact md5 buckets) is
+the driver's job since its r10 graduation (CORRECTNESS rows); this
+file pins the selection semantics:
 
 - documents that LOOK like the target distribution outrank documents
   that don't, regardless of their own lang tag (the entire point of

@@ -137,3 +137,30 @@ def test_int8_search_recall_vs_float_baseline(spark, sf_dir):
     assert all(c == ann.TOP_K for c in per_q.values())
     recall = len(exact & got) / len(exact)
     assert recall >= 0.8, f"int8 recall too low: {recall}"
+
+
+def test_ann_ivf_oracle_parity(spark, sf_dir):
+    """Retired-baseline contract (registry.RETIRED, r10): the inline
+    IVF form keeps driver-rigor oracle parity standalone — it shares
+    the committed ORACLE with the registered ann_ivf_materialized and
+    runs as the IVF tier inside ann_recall_matrix."""
+    from .oracle_utils import assert_matches_oracle
+
+    assert_matches_oracle(
+        ann.ann_ivf(spark, sf_dir), ann.ORACLES["ann_ivf"], sf_dir
+    )
+
+
+def test_ann_bruteforce_int8_oracle_parity(spark, sf_dir):
+    """Retired-baseline contract (registry.RETIRED, r10): the inline
+    int8 quantize-and-search keeps driver-rigor oracle parity
+    standalone — the registered at-rest twin serves the same plan from
+    the quantized store, and the inline form is the int8 tier inside
+    ann_recall_matrix."""
+    from .oracle_utils import assert_matches_oracle
+
+    assert_matches_oracle(
+        ann.ann_bruteforce_int8(spark, sf_dir),
+        ann.ORACLES["ann_bruteforce_int8"],
+        sf_dir,
+    )
