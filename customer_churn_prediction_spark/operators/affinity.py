@@ -282,29 +282,14 @@ _RECIP_CASE = (
 )
 
 
-def rec_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NDCG@K / MRR / hit-rate for the brand recommender on held-out adoptions.
-
-    The recs tier's eval member, completing the pattern
-    ``ann_recall_eval`` set for ANN and ``dedup_recall_eval`` for
-    dedup: a tier isn't done until its quality is a queryable number.
-
-    Protocol: leave-last-ORDER-out per customer (the
-    ``sequence_split_leave_last`` discipline). The pair-lift model AND
-    the ownership frame are fit on every order EXCEPT each customer's
-    last; truth is the brands that last order ADDS (not owned in
-    train). Cold-start customers (no train history — single-order
-    customers) are excluded, the standard eval universe. A customer in
-    the universe whose owned brands produce no recommendations still
-    counts (dcg = mrr = 0) — silently dropping them would inflate
-    every metric.
-
-    Scale shape: the model fit is the shared ``_pair_lift_from_baskets``
-    (one basket shuffle), the serve tail the shared
-    ``_recommend_from_owned`` (one customer-keyed shuffle), the grade
-    one broadcast-able join of two customer-keyed frames; per-rank
-    gains and IDCG are compile-time literals, so the whole metric is
-    exact integer/6dp arithmetic — bit-comparable to the oracle."""
+def _eval_frames(spark: SparkSession, sf_dir: str) -> dict:
+    """The leave-last-out protocol's intermediate frames, exposed so
+    ``scripts/rec_eval_profile.py`` can time each phase of the EXACT
+    production plan (VERDICT r9 item 5 — no copied logic to drift):
+    split (the per-customer leave-last window), fit (the pair-lift
+    model on train baskets), serve (recommendations from train
+    ownership), and the grading inputs (truth / universe).
+    ``rec_eval_ndcg`` consumes these frames unchanged."""
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderdate"
     )
@@ -354,6 +339,43 @@ def rec_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_truth"))
         .join(owned_train.select("c_custkey").distinct(), "c_custkey")
     )
+    return {
+        "train_orders": train_orders,
+        "test_orders": test_orders,
+        "pairs": pairs,
+        "recs": recs,
+        "truth": truth,
+        "universe": universe,
+    }
+
+
+def rec_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@K / MRR / hit-rate for the brand recommender on held-out adoptions.
+
+    The recs tier's eval member, completing the pattern
+    ``ann_recall_eval`` set for ANN and ``dedup_recall_eval`` for
+    dedup: a tier isn't done until its quality is a queryable number.
+
+    Protocol: leave-last-ORDER-out per customer (the
+    ``sequence_split_leave_last`` discipline). The pair-lift model AND
+    the ownership frame are fit on every order EXCEPT each customer's
+    last; truth is the brands that last order ADDS (not owned in
+    train). Cold-start customers (no train history — single-order
+    customers) are excluded, the standard eval universe. A customer in
+    the universe whose owned brands produce no recommendations still
+    counts (dcg = mrr = 0) — silently dropping them would inflate
+    every metric.
+
+    Scale shape: the model fit is the shared ``_pair_lift_from_baskets``
+    (one basket shuffle), the serve tail the shared
+    ``_recommend_from_owned`` (one customer-keyed shuffle), the grade
+    one broadcast-able join of two customer-keyed frames; per-rank
+    gains and IDCG are compile-time literals, so the whole metric is
+    exact integer/6dp arithmetic — bit-comparable to the oracle."""
+    frames = _eval_frames(spark, sf_dir)
+    recs = frames["recs"]
+    truth = frames["truth"]
+    universe = frames["universe"]
 
     gain = F.when(F.col("rank") == 1, F.lit(_GAIN[0]))
     for _r in range(2, TOP_RECS):

@@ -203,6 +203,31 @@ WITH w0 AS MATERIALIZED (
 
 VOCAB_ORACLE = _vocab_oracle()
 
+def _encode_n_tok(merges):
+    """The fitted-merge encode fold — per word, build the spaced
+    symbol string, apply the K replaces in learned order, count
+    symbols. ONE core shared by ``tokenize_bpe`` and the fit-quality
+    eval (``vocab_eval_compression``), the _pair_lift_from_baskets
+    discipline: the meter can't drift from the production encode."""
+
+    def n_tok(w):
+        s = F.concat(
+            F.lit(" "),
+            F.regexp_replace(w, "(.)", "$1 "),
+            F.lit(EOW + " "),
+        )
+        for m in merges:
+            s = F.call_function(
+                "replace",
+                s,
+                F.lit(f" {m.left} {m.right} "),
+                F.lit(f" {m.merged} "),
+            )
+        return F.size(F.split(F.trim(s), " "))
+
+    return n_tok
+
+
 def tokenize_bpe(spark: SparkSession, sf_dir: str,
                  n_merges: int = N_MERGES) -> DataFrame:
     """The encode step: apply the learned merge table to every document
@@ -223,21 +248,7 @@ def tokenize_bpe(spark: SparkSession, sf_dir: str,
     merges = sorted(
         bpe_merges(spark, sf_dir, n_merges).collect(), key=lambda r: r.rnd
     )
-
-    def n_tok(w):
-        s = F.concat(
-            F.lit(" "),
-            F.regexp_replace(w, "(.)", "$1 "),
-            F.lit(EOW + " "),
-        )
-        for m in merges:
-            s = F.call_function(
-                "replace",
-                s,
-                F.lit(f" {m.left} {m.right} "),
-                F.lit(f" {m.merged} "),
-            )
-        return F.size(F.split(F.trim(s), " "))
+    n_tok = _encode_n_tok(merges)
 
     d = load_table(spark, sf_dir, "documents", spread=True)
     words = F.filter(
@@ -297,6 +308,149 @@ FROM documents d LEFT JOIN counts c USING (doc_id)
 
 TOKENIZE_ORACLE = _tokenize_oracle()
 
+
+def vocab_eval_compression(spark: SparkSession, sf_dir: str,
+                           n_merges: int = N_MERGES) -> DataFrame:
+    """Tokenizer-fit report per language: how well the learned merges
+    compress the corpus they will tokenize.
+
+    The vocab tier's EVAL member — the ``ann_recall_eval`` /
+    ``dedup_recall_eval`` / ``rec_eval_ndcg`` discipline applied to
+    the tokenizer: train+encode isn't done until fit quality is a
+    queryable number. Per ``lang``: word/char/BPE-token totals, then
+    the metrics a tokenizer team actually reads — tokens-per-word
+    (fertility), chars-per-token, compression ratio vs the unmerged
+    character baseline (chars + EOW per word), and the fraction of
+    word occurrences the vocabulary covers with a SINGLE token. A
+    merge table trained on one distribution shows its bias here:
+    languages the merges were not induced from compress worse, which
+    is exactly what the per-lang rows surface.
+
+    Scale shape: the encode fold is the shared ``_encode_n_tok`` pure
+    map (fitted merges are driver literals); per-doc totals are array
+    expressions over ONE bound ``toks`` array (multi-use non-cheap
+    projection — CollapseProject keeps it materialized, so the
+    replace chain runs once per word, SCALE §4.1); the report is one
+    5-group aggregate. Zero joins, zero Python, one corpus scan."""
+    merges = sorted(
+        bpe_merges(spark, sf_dir, n_merges).collect(), key=lambda r: r.rnd
+    )
+    n_tok = _encode_n_tok(merges)
+
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    # wordless docs (empty, whitespace-only or NULL text) form no
+    # per-lang rows in the oracle's unnest — drop them with the CHEAP
+    # scan-level equivalent (has a non-whitespace char ⟺ has a word)
+    # so the pushed-down predicate never re-evaluates the split
+    # pipeline (SCALE §4.1)
+    d = d.where(F.col("text").rlike(r"\S"))
+    words = F.filter(
+        F.split(F.col("text"), r"\s+"), lambda w: w != F.lit("")
+    )
+    bound = d.select("lang", words.alias("ws")).select(
+        "lang",
+        F.size("ws").alias("w"),
+        F.aggregate(
+            F.transform("ws", F.length), F.lit(0), lambda a, x: a + x
+        ).alias("c"),
+        F.transform("ws", n_tok).alias("toks"),
+    )
+    per_doc = bound.select(
+        "lang",
+        "w",
+        "c",
+        F.aggregate("toks", F.lit(0), lambda a, x: a + x).alias("t"),
+        F.size(F.filter("toks", lambda t: t == F.lit(1))).alias("s1"),
+    )
+    agg = per_doc.groupBy("lang").agg(
+        F.sum("w").cast("long").alias("n_words"),
+        F.sum("c").cast("long").alias("n_chars"),
+        F.sum("t").cast("long").alias("n_tokens_bpe"),
+        F.sum("s1").cast("long").alias("n_single_token_words"),
+    )
+    # denominators are structurally >= 1 (a group exists only via >= 1
+    # word, and every word encodes to >= 1 token) — plain division is
+    # ANSI-safe
+    return agg.select(
+        "lang",
+        "n_words",
+        "n_chars",
+        "n_tokens_bpe",
+        "n_single_token_words",
+        F.round(
+            F.col("n_tokens_bpe") / F.col("n_words"), 6
+        ).alias("tokens_per_word"),
+        F.round(
+            F.col("n_chars") / F.col("n_tokens_bpe"), 6
+        ).alias("chars_per_token"),
+        F.round(
+            (F.col("n_chars") + F.col("n_words"))
+            / F.col("n_tokens_bpe"),
+            6,
+        ).alias("compression_ratio"),
+        F.round(
+            F.col("n_single_token_words") / F.col("n_words"), 6
+        ).alias("single_token_frac"),
+    )
+
+
+def _vocab_eval_oracle(n_merges: int = N_MERGES) -> str:
+    # Same round CTEs and per-distinct-word encode as the tokenize
+    # oracle; the join back through doc→word unnest carries lang, and
+    # the report aggregates word OCCURRENCES (count(*) over docwords),
+    # matching the Spark per-doc array totals.
+    inner = f"' ' || regexp_replace(word, '(.)', '\\1 ', 'g') || '{EOW} '"
+    for r in range(1, n_merges + 1):
+        inner = (
+            f"replace({inner}, ' ' || (SELECT l FROM b{r}) || ' ' || "
+            f"(SELECT r FROM b{r}) || ' ', "
+            f"' ' || (SELECT merged FROM b{r}) || ' ')"
+        )
+    return f"""
+WITH w0 AS MATERIALIZED (
+  SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') || '{EOW} ' AS s,
+         count(*) AS freq
+  FROM (
+    SELECT unnest(string_split_regex(text, '\\s+')) AS word FROM documents
+  )
+  WHERE word <> ''
+  GROUP BY word
+),
+{_round_ctes(n_merges)},
+docwords AS MATERIALIZED (
+  SELECT lang, unnest(string_split_regex(text, '\\s+')) AS word
+  FROM documents
+),
+tok AS MATERIALIZED (
+  SELECT word, len(word) AS n_chars,
+         len(string_split(trim({inner}), ' ')) AS n_tok
+  FROM (SELECT DISTINCT word FROM docwords WHERE word <> '')
+),
+agg AS (
+  SELECT dw.lang,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(t.n_chars) AS BIGINT) AS n_chars,
+         CAST(sum(t.n_tok) AS BIGINT) AS n_tokens_bpe,
+         CAST(sum(CASE WHEN t.n_tok = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_single_token_words
+  FROM docwords dw JOIN tok t USING (word)
+  GROUP BY 1
+)
+SELECT lang, n_words, n_chars, n_tokens_bpe, n_single_token_words,
+       round(CAST(n_tokens_bpe AS DOUBLE) / n_words, 6)
+         AS tokens_per_word,
+       round(CAST(n_chars AS DOUBLE) / n_tokens_bpe, 6)
+         AS chars_per_token,
+       round(CAST(n_chars + n_words AS DOUBLE) / n_tokens_bpe, 6)
+         AS compression_ratio,
+       round(CAST(n_single_token_words AS DOUBLE) / n_words, 6)
+         AS single_token_frac
+FROM agg
+"""
+
+
+VOCAB_EVAL_ORACLE = _vocab_eval_oracle()
+
 # vocab_bpe_merges graduated to the registry in r7 (a slot opened when
 # feature_assembly_onepass retired to its verified-equal chain twin) —
 # it is the tier's headline: distributed BPE training 10.8x faster
@@ -314,5 +468,12 @@ ORACLES = {
     "vocab_bpe_merges": VOCAB_ORACLE,
     "text_tokenize_bpe": TOKENIZE_ORACLE,
 }
-STAGED_QUERIES: dict = {}
-STAGED_ORACLES: dict = {}
+# r10: the tier's eval member — staged (the registry's banked slot is
+# reserved for next round's graduation; driver-rigor parity lives in
+# tests/test_vocab.py + STAGED_CORRECTNESS.json meanwhile).
+STAGED_QUERIES: dict = {
+    "vocab_eval_compression": vocab_eval_compression,
+}
+STAGED_ORACLES: dict = {
+    "vocab_eval_compression": VOCAB_EVAL_ORACLE,
+}

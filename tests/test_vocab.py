@@ -171,3 +171,43 @@ def test_run_semantics_are_the_documented_variant(spark, sf_dir, tmp_path):
     # merged both in round 1)
     assert (rows[2].left, rows[2].right) == ("a", "b")
     assert rows[2].pair_count == 2
+
+
+def test_vocab_eval_oracle_parity_sf001(spark, sf_dir):
+    assert_matches_oracle(
+        vocab.vocab_eval_compression(spark, sf_dir),
+        vocab.STAGED_ORACLES["vocab_eval_compression"],
+        sf_dir,
+    )
+
+
+def test_vocab_eval_single_token_coverage(spark, sf_dir, tmp_path):
+    """A word the vocabulary fully merges must count as single-token
+    coverage: with one merge on ['a a a a', 'bc bc'] the winner is
+    (a, EOW) (freq 4), so every 'a' occurrence encodes to ONE token
+    while 'bc' stays 3 ('b c EOW') — frac 4/6. Full oracle parity on
+    the constructed corpus too (driver rigor)."""
+    src = _corpus(spark, sf_dir, tmp_path, ["a a a a", "bc bc"])
+    assert_matches_oracle(
+        vocab.vocab_eval_compression(spark, src, 1),
+        vocab._vocab_eval_oracle(1),
+        src,
+    )
+    row = vocab.vocab_eval_compression(spark, src, 1).collect()[0]
+    assert row.n_words == 6
+    assert row.n_single_token_words == 4
+    assert row.single_token_frac == 0.666667
+    assert row.n_tokens_bpe == 4 * 1 + 2 * 3
+
+
+def test_vocab_eval_encode_chain_materializes_once(spark, sf_dir):
+    """The toks array is a multi-use non-cheap projection (token sum +
+    single-token filter): CollapseProject must keep it materialized so
+    the K-replace encode chain runs ONCE per word (SCALE §4.1), and
+    the wordless-doc predicate must be the cheap scan-level rlike, not
+    a pushed-down copy of the split pipeline."""
+    df = vocab.vocab_eval_compression(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    # 6 literal replaces + the one regexp_replace symbol spacer
+    assert opt.count("replace(") == vocab.N_MERGES + 1, opt
+    assert "RLIKE" in opt
