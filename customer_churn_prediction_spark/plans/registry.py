@@ -262,6 +262,7 @@ def staged_modules() -> tuple:
     from ..operators import (
         affinity,
         anomaly,
+        asof,
         attribution,
         funnels,
         quality,
@@ -280,7 +281,7 @@ def staged_modules() -> tuple:
     return (
         survival, funnels, quality, sketches, affinity, attribution,
         anomaly, vocab, regression, drift_features, encoding,
-        sampling, text_dedup, sim_ann, text_analysis,
+        sampling, text_dedup, sim_ann, text_analysis, asof,
     )
 
 
