@@ -177,7 +177,16 @@ def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     above) and the grid explode is output-sized — no pair blowup, no
     per-gap self-join. At 100 TB the grid is the OUTPUT table and
     everything upstream is linear in events."""
-    e = load_table(spark, sf_dir, "events").select(
+    return resample_from_events(load_table(spark, sf_dir, "events"))
+
+
+def resample_from_events(events: DataFrame) -> DataFrame:
+    """The resample + ffill plan over ANY (user_id, ts, event_id,
+    value) events frame — one core shared by the registered-table form
+    above and the maintained-store serve path
+    (``streaming/resample.py::resample_report``), so the stream twin
+    cannot drift from the batch semantics."""
+    e = events.select(
         "user_id",
         "ts",
         "event_id",
@@ -197,8 +206,15 @@ def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    return resample_from_hourly(hourly)
+
+
+def resample_from_hourly(hourly: DataFrame) -> DataFrame:
+    """Grid + forward fill over a (user_id, h, n_events, v_last)
+    hourly rollup — the tail the maintained store serves directly
+    (its merged state IS this rollup)."""
     grid = (
-        e.groupBy("user_id")
+        hourly.groupBy("user_id")
         .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
         .select(
             "user_id",

@@ -1,9 +1,10 @@
 """ONE contract matrix for every maintained at-rest store family.
 
-Six store families share the ``streaming/maintenance.py`` discipline
+Seven store families share the ``streaming/maintenance.py`` discipline
 (exactly-once epochs, staged-swap compaction, governance semantics):
 CMS partials, HLL registers, Bloom bits, KMV sketches, GK quantile
-reports, and the streaming IVF lists. Their per-family test files
+reports, the streaming IVF lists, and the hourly resample rollup
+(r10). Their per-family test files
 (pre-matrix, the first five) each re-implemented
 the same contract cells, so a drift in a future sixth family — or a
 fix that lands in one family and not another — had nothing to catch
@@ -48,6 +49,7 @@ from customer_churn_prediction_spark.streaming import bloom as sbl
 from customer_churn_prediction_spark.streaming import hll as shll
 from customer_churn_prediction_spark.streaming import kmv as skmv
 from customer_churn_prediction_spark.streaming import quantiles as sq
+from customer_churn_prediction_spark.streaming import resample as srs
 from customer_churn_prediction_spark.streaming import sketch as ssk
 from customer_churn_prediction_spark.streaming.drift import read_report
 
@@ -377,6 +379,54 @@ class IVFFamily(Family):
         assert sai.read_erased_ids(spark, store).count() == 0
 
 
+class ResampleFamily(Family):
+    """The seventh family (r10): the hourly feature-grid rollup
+    maintained on event ingest — count + argmax-(ts, event_id) value
+    per (user, hour), the mergeable state behind
+    events_resample_ffill. Only this adapter was written; every
+    shared-contract cell came from the matrix."""
+
+    name = "resample"
+    live_subdir = srs.STATE_SUBDIR
+
+    def waves(self, spark, sf_smoke):
+        events = load_table(spark, sf_smoke, "events")
+        return [
+            events.where(F.col("event_id") % 3 == i) for i in range(3)
+        ]
+
+    def run(self, spark, sf_smoke, stream_dir, store, ckpt, fault=None):
+        events = load_table(spark, sf_smoke, "events")
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        return srs.maintain_resample(
+            spark, stream, store, checkpoint=ckpt, fault=fault
+        )
+
+    def state(self, spark, sf_smoke, store):
+        return _rows(srs.merged_hourly(spark, store))
+
+    def batch_state(self, spark, sf_smoke, input_df):
+        return _rows(srs.hourly_state(input_df))
+
+    def compact(self, spark, store):
+        srs.compact(spark, store, upto_epoch=10)
+
+    def scrub(self, input_df):
+        return input_df.where(F.col("user_id") != 7)
+
+    def rebuild(self, spark, store, clean_df):
+        srs.rebuild(spark, store, clean_df)
+        return True
+
+    def empty_read(self, spark, sf_smoke, store):
+        assert srs.resample_report(spark, store).collect() == []
+        assert srs.snapshot(spark, store).collect() == []
+
+
 class GKFamily(Family):
     """Complete-mode quantile reports: the GK buffers live behind the
     checkpoint, so the replay cell is a stop/restart (no sink-side
@@ -417,7 +467,7 @@ class GKFamily(Family):
 
 
 FAMILIES = [CMSFamily(), HLLFamily(), BloomFamily(), KMVFamily(),
-            IVFFamily(), GKFamily()]
+            IVFFamily(), ResampleFamily(), GKFamily()]
 _IDS = [f.name for f in FAMILIES]
 
 
