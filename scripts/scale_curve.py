@@ -67,6 +67,8 @@ DOC_ONLY_QUERIES = [
     "text_drift_psi",
     # r9 staged: token-distribution entropy + TTR (two hash aggregates)
     "text_entropy",
+    # r10 staged: tokenizer-fit eval (shared encode core, one scan)
+    "vocab_eval_compression",
 ]
 
 # ANN-tier 4th decade: scripts/make_embeddings_x10.py replicates the
@@ -128,6 +130,8 @@ EVENTS_ONLY_QUERIES = [
     "negative_sampling_weighted",
     "sequence_training_pairs",
     "sequence_split_leave_last",
+    # r10 staged: hourly resample + forward fill (grid is the output)
+    "events_resample_ffill",
 ]
 
 CURVE_QUERIES = [
@@ -196,6 +200,14 @@ def main() -> None:
     queries.setdefault("ann_bruteforce_topk", _ann.ann_bruteforce_topk)
     queries.setdefault("ann_pq_adc", _pq.ann_pq_adc)
     queries.setdefault("ann_ivf_pq", _pq.ann_ivf_pq)
+    # second r10 retirement batch — same rule
+    from customer_churn_prediction_spark.text import dedup as _dedup
+
+    queries.setdefault("ann_ivf", _ann.ann_ivf)
+    queries.setdefault("ann_bruteforce_int8", _ann.ann_bruteforce_int8)
+    queries.setdefault(
+        "dedup_ngram_jaccard", _dedup.ngram_jaccard_pairs
+    )
     # Staged (pytest-only) events-tier ops ride the curve too.
     from customer_churn_prediction_spark.plans import registry
 
