@@ -264,6 +264,7 @@ def staged_modules() -> tuple:
         anomaly,
         asof,
         attribution,
+        decay,
         funnels,
         quality,
         regression,
@@ -281,7 +282,7 @@ def staged_modules() -> tuple:
     return (
         survival, funnels, quality, sketches, affinity, attribution,
         anomaly, vocab, regression, drift_features, encoding,
-        sampling, text_dedup, sim_ann, text_analysis, asof,
+        sampling, text_dedup, sim_ann, text_analysis, asof, decay,
     )
 
 

@@ -410,6 +410,35 @@ def bench_fragment_ingest(spark, sf_dir, tag):
     return walls, f"{n_covered} covered of {n_new} drops"
 
 
+def bench_resample(spark, sf_dir, tag):
+    """Hourly feature-grid rollup on ingest (the matrix's seventh
+    family): each epoch lands its own (user, hour) partials — state
+    linear in the epoch's events, independent of history — and the
+    snapshot republishes one bounded row per user."""
+    from customer_churn_prediction_spark.catalog import load_table
+    from customer_churn_prediction_spark.streaming import (
+        resample as srs,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix=f"resample_{tag}_")
+    waves = _stage_waves(events, "event_id", os.path.join(work, "wave"))
+    drop_dir = os.path.join(work, "drops")
+    os.makedirs(drop_dir)
+    store = os.path.join(work, "store")
+    stream = spark.readStream.schema(events.schema).parquet(drop_dir)
+    q = srs.maintain_resample(
+        spark, stream, store, checkpoint=os.path.join(work, "ckpt")
+    )
+    walls = _run_epochs(q, waves, drop_dir)
+    stored = spark.read.parquet(
+        os.path.join(store, srs.STATE_SUBDIR)
+    ).count()
+    grid = srs.resample_report(spark, store).count()
+    shutil.rmtree(work, ignore_errors=True)
+    return walls, f"{stored} (user,hour) partials; served grid {grid} rows"
+
+
 def main() -> None:
     from customer_churn_prediction_spark.session import get_spark
 
@@ -428,6 +457,7 @@ def main() -> None:
         ("maintain_membership", bench_bloom, SF01, X10_EVENTS),
         ("maintain_quantiles", bench_quantiles, SF01, X10_EVENTS),
         ("maintain_group_sketches", bench_kmv, SF01, X10_EVENTS),
+        ("maintain_resample", bench_resample, SF01, X10_EVENTS),
         ("select_ingest_stream", bench_selection, SF01,
          os.path.join(REPO, ".scale", "sf1docs")),
         ("maintain_text_drift", bench_text_drift, SF01,
