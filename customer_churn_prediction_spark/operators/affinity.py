@@ -214,10 +214,25 @@ def _recommend_from_owned(
     cands = owned.join(
         F.broadcast(sym), owned.brand == sym.via_brand
     ).select("c_custkey", "via_brand", "rec_brand", "lift")
-    unowned = cands.join(
-        owned.select("c_custkey", F.col("brand").alias("rec_brand")),
-        ["c_custkey", "rec_brand"],
-        "left_anti",
+    # Ownership exclusion as a per-customer brand ARRAY (bounded by
+    # the brand universe, ~25) instead of an anti-join keyed on
+    # (c_custkey, rec_brand): the array join clusters the candidate
+    # flow by c_custkey ONCE, the exclusion becomes a map-side
+    # array_contains filter, and BOTH windows below are satisfied by
+    # that same clustering (hash(c_custkey) satisfies the
+    # (c_custkey, rec_brand) window's ClusteredDistribution, subset
+    # rule) — so the tail really is one customer-keyed shuffle end to
+    # end. The anti-join form shuffled the expanded candidates on
+    # (c_custkey, rec_brand) and then AGAIN on c_custkey for the
+    # final rank window (measured as the eval's dominant scale term,
+    # SCALE §10.9).
+    owned_arr = owned.groupBy("c_custkey").agg(
+        F.collect_set("brand").alias("owned_brands")
+    )
+    unowned = (
+        cands.join(owned_arr, "c_custkey")
+        .where(~F.array_contains("owned_brands", F.col("rec_brand")))
+        .drop("owned_brands")
     )
     # best via-path per (customer, candidate), then top-K per customer
     w_pair = Window.partitionBy("c_custkey", "rec_brand").orderBy(
