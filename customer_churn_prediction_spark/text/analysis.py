@@ -1223,9 +1223,95 @@ ORACLES["corpus_keep_decision"] = _keep_decision_oracle()
 # Staged (r9): the analysis module's registered QUERIES sit inside
 # the 100-entry registry ceiling, so additions land in the staged
 # split (the vocab/dedup/sketches precedent).
+
+MIX_TEMP_ALPHA = 0.3  # the mT5/XLM-R multilingual sampling exponent
+
+
+def corpus_mix_temperature(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-resampling mix plan — ``corpus_mix``'s data-derived
+    sibling: instead of hand-set target shares, the target IS the
+    observed distribution flattened by an exponent,
+    q_d ∝ p_d^α (α = 0.3, the mT5 / XLM-R recipe) — the standard way
+    multilingual pretraining keeps head domains from drowning tail
+    ones without inventing per-domain constants. Per domain: observed
+    share, temperature share, the resulting boost factor
+    (q_d / p_d — >1 means upsample, i.e. repeat epochs), and the
+    sampled row budget at constant corpus size.
+
+    Cross-engine float discipline: shares are exact integer ratios;
+    the only transcendental (p^α) is rounded to 6dp per domain BEFORE
+    normalizing (the text_logprob rule), and every published ratio is
+    6dp-rounded from identically-structured expressions in both
+    engines.
+
+    Scale shape: ONE column-pruned count aggregate (a handful of
+    rows), then window math over that tiny frame — the corpus_mix
+    global-window precedent; nothing data-sized shuffles."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents", spread=True).select(
+        "lang"
+    )
+    stats = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    w = Window.partitionBy()
+    t = stats.withColumn(
+        "corpus_n", F.sum("n_docs").over(w)
+    ).withColumn(
+        "sh", F.col("n_docs") / F.col("corpus_n")
+    ).withColumn(
+        "p6",
+        F.round(F.pow(F.col("sh"), F.lit(MIX_TEMP_ALPHA)), 6),
+    )
+    t = t.withColumn("tsum", F.sum("p6").over(w)).withColumn(
+        "ts_raw", F.col("p6") / F.col("tsum")
+    )
+    return t.select(
+        "lang",
+        "n_docs",
+        F.round("sh", 6).alias("share"),
+        F.round("ts_raw", 6).alias("temp_share"),
+        F.round(F.col("ts_raw") / F.col("sh"), 6).alias("boost"),
+        F.round(F.col("ts_raw") * F.col("corpus_n"), 0)
+        .cast("long")
+        .alias("n_sampled"),
+    )
+
+
+MIX_TEMP_ORACLE = f"""
+WITH s AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1
+),
+t AS (
+  SELECT lang, n_docs,
+         CAST(sum(n_docs) OVER () AS DOUBLE) AS corpus_n,
+         n_docs / CAST(sum(n_docs) OVER () AS DOUBLE) AS sh
+  FROM s
+),
+t2 AS (
+  SELECT *, round(pow(sh, {MIX_TEMP_ALPHA!r}), 6) AS p6 FROM t
+),
+t3 AS (
+  SELECT *, p6 / sum(p6) OVER () AS ts_raw FROM t2
+)
+SELECT lang, n_docs,
+       round(sh, 6) AS share,
+       round(ts_raw, 6) AS temp_share,
+       round(ts_raw / sh, 6) AS boost,
+       CAST(round(ts_raw * corpus_n, 0) AS BIGINT) AS n_sampled
+FROM t3
+"""
+
+
 STAGED_QUERIES = {
     "text_entropy": text_entropy,
+    "corpus_mix_temperature": corpus_mix_temperature,
 }
 STAGED_ORACLES = {
     "text_entropy": ENTROPY_ORACLE,
+    "corpus_mix_temperature": MIX_TEMP_ORACLE,
 }
