@@ -157,11 +157,12 @@ GROUP BY p.purchase_id, p.user_id, p.p_ts
 
 
 def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Regular hourly series per user from the irregular event stream:
-    resample + forward-fill — the point-in-time-correct "feature as of
-    hour H" table a feature store derives from raw events (pandas'
-    ``resample().ffill()``, Flink's interval fill), an operator Spark
-    has no native form for.
+    """Hourly resample + forward fill: the point-in-time feature grid.
+
+    Regular per-user hourly series from the irregular event stream —
+    the "feature as of hour H" table a feature store derives from raw
+    events (pandas' ``resample().ffill()``, Flink's interval fill),
+    an operator Spark has no native form for.
 
     Per user: an hourly grid from their first to last event hour
     (``sequence`` + explode); per grid hour the event count (0 on gap

@@ -33,8 +33,10 @@ _US_PER_DAY = 86_400_000_000.0
 
 
 def user_decay_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user decayed engagement: event count, age of the latest
-    event in days, half-life-decayed event count and value sum —
+    """Half-life-decayed engagement features per user (H = 7 days).
+
+    Event count, age of the latest event in days, decayed event count
+    and decayed value sum —
     anchored at the corpus' latest event timestamp so the feature is
     a deterministic function of the data (a wall-clock anchor would
     never reproduce)."""

@@ -1230,9 +1230,11 @@ MIX_TEMP_ALPHA = 0.3  # the mT5/XLM-R multilingual sampling exponent
 def corpus_mix_temperature(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Temperature-resampling mix plan — ``corpus_mix``'s data-derived
-    sibling: instead of hand-set target shares, the target IS the
-    observed distribution flattened by an exponent,
+    """Temperature-resampling mix plan (q_d ∝ p_d^α, the mT5/XLM-R recipe).
+
+    ``corpus_mix``'s data-derived sibling: instead of hand-set target
+    shares, the target IS the observed distribution flattened by an
+    exponent,
     q_d ∝ p_d^α (α = 0.3, the mT5 / XLM-R recipe) — the standard way
     multilingual pretraining keeps head domains from drowning tail
     ones without inventing per-domain constants. Per domain: observed

@@ -311,8 +311,10 @@ TOKENIZE_ORACLE = _tokenize_oracle()
 
 def vocab_eval_compression(spark: SparkSession, sf_dir: str,
                            n_merges: int = N_MERGES) -> DataFrame:
-    """Tokenizer-fit report per language: how well the learned merges
-    compress the corpus they will tokenize.
+    """Tokenizer-fit eval: per-language compression of the learned merges.
+
+    How well the fitted BPE vocabulary compresses the corpus it will
+    tokenize.
 
     The vocab tier's EVAL member — the ``ann_recall_eval`` /
     ``dedup_recall_eval`` / ``rec_eval_ndcg`` discipline applied to
