@@ -439,6 +439,30 @@ def bench_resample(spark, sf_dir, tag):
     return walls, f"{stored} (user,hour) partials; served grid {grid} rows"
 
 
+def bench_decay(spark, sf_dir, tag):
+    """Decayed counters on ingest (the matrix's eighth family): each
+    epoch rescales the previous per-user snapshot by one shared
+    factor and adds its own contribution — state is one row per user,
+    constant in history."""
+    from customer_churn_prediction_spark.catalog import load_table
+    from customer_churn_prediction_spark.streaming import decay as sdc
+
+    events = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix=f"decay_{tag}_")
+    waves = _stage_waves(events, "event_id", os.path.join(work, "wave"))
+    drop_dir = os.path.join(work, "drops")
+    os.makedirs(drop_dir)
+    store = os.path.join(work, "store")
+    stream = spark.readStream.schema(events.schema).parquet(drop_dir)
+    q = sdc.maintain_decay(
+        spark, stream, store, checkpoint=os.path.join(work, "ckpt")
+    )
+    walls = _run_epochs(q, waves, drop_dir)
+    n_users = sdc.latest_state(spark, store).count()
+    shutil.rmtree(work, ignore_errors=True)
+    return walls, f"{n_users} user rows/snapshot"
+
+
 def main() -> None:
     from customer_churn_prediction_spark.session import get_spark
 
@@ -458,6 +482,7 @@ def main() -> None:
         ("maintain_quantiles", bench_quantiles, SF01, X10_EVENTS),
         ("maintain_group_sketches", bench_kmv, SF01, X10_EVENTS),
         ("maintain_resample", bench_resample, SF01, X10_EVENTS),
+        ("maintain_decay", bench_decay, SF01, X10_EVENTS),
         ("select_ingest_stream", bench_selection, SF01,
          os.path.join(REPO, ".scale", "sf1docs")),
         ("maintain_text_drift", bench_text_drift, SF01,

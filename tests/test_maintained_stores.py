@@ -1,10 +1,10 @@
 """ONE contract matrix for every maintained at-rest store family.
 
-Seven store families share the ``streaming/maintenance.py`` discipline
+Eight store families share the ``streaming/maintenance.py`` discipline
 (exactly-once epochs, staged-swap compaction, governance semantics):
 CMS partials, HLL registers, Bloom bits, KMV sketches, GK quantile
-reports, the streaming IVF lists, and the hourly resample rollup
-(r10). Their per-family test files
+reports, the streaming IVF lists, and (r10) the hourly resample
+rollup and the decayed-counter snapshots. Their per-family test files
 (pre-matrix, the first five) each re-implemented
 the same contract cells, so a drift in a future sixth family — or a
 fix that lands in one family and not another — had nothing to catch
@@ -46,6 +46,7 @@ from customer_churn_prediction_spark.operators import sketches as sk
 from customer_churn_prediction_spark.similarity import ann
 from customer_churn_prediction_spark.streaming import ann_ingest as sai
 from customer_churn_prediction_spark.streaming import bloom as sbl
+from customer_churn_prediction_spark.streaming import decay as sdc
 from customer_churn_prediction_spark.streaming import hll as shll
 from customer_churn_prediction_spark.streaming import kmv as skmv
 from customer_churn_prediction_spark.streaming import quantiles as sq
@@ -427,6 +428,82 @@ class ResampleFamily(Family):
         assert srs.snapshot(spark, store).collect() == []
 
 
+class DecayFamily(Family):
+    """The eighth family (r10): half-life decayed counters maintained
+    with the rescale-and-add algebra. Equality vs the one-shot batch
+    op is a BAND, not bit equality (the GK precedent): the stream
+    rounds each event's weight at its epoch's anchor and rescales by
+    an exact factor, the batch rounds at the final anchor — they
+    differ by at most the carried 6dp per-event rounding. Integer
+    state (counts, timestamps) compares exact; replay-vs-clean-run
+    BIT equality is pinned in tests/test_streaming_decay.py."""
+
+    name = "decay"
+    live_subdir = sdc.STATE_SUBDIR
+
+    def waves(self, spark, sf_smoke):
+        events = load_table(spark, sf_smoke, "events")
+        return [
+            events.where(F.col("event_id") % 3 == i) for i in range(3)
+        ]
+
+    def run(self, spark, sf_smoke, stream_dir, store, ckpt, fault=None):
+        events = load_table(spark, sf_smoke, "events")
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        return sdc.maintain_decay(
+            spark, stream, store, checkpoint=ckpt, fault=fault
+        )
+
+    def state(self, spark, sf_smoke, store):
+        return _rows(sdc.latest_state(spark, store))
+
+    def batch_state(self, spark, sf_smoke, input_df):
+        anchor = input_df.agg(F.max("ts")).collect()[0][0]
+        return _rows(
+            sdc._epoch_contribution(
+                input_df.where(
+                    F.col("user_id").isNotNull()
+                    & F.col("ts").isNotNull()
+                ),
+                F.lit(anchor),
+            ).withColumn("anchor", F.lit(anchor))
+        )
+
+    def final_check(self, spark, sf_smoke, store, input_df):
+        got = self.state(spark, sf_smoke, store)
+        want = self.batch_state(spark, sf_smoke, input_df)
+        vmax = (
+            input_df.agg(F.max(F.abs(F.col("value")))).collect()[0][0]
+            or 0.0
+        )
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            # (user_id, n_events, last_ts, dc, dv, anchor)
+            assert g[0] == w[0] and g[1] == w[1] and g[2] == w[2]
+            assert g[5] == w[5], (g, w)  # anchor = corpus max ts
+            tol = 1e-6 * w[1] + 1e-9
+            assert abs(g[3] - w[3]) <= tol, (g, w)
+            assert abs(g[4] - w[4]) <= tol * (1.0 + vmax), (g, w)
+
+    def compact(self, spark, store):
+        sdc.compact(spark, store, upto_epoch=10)
+
+    def scrub(self, input_df):
+        return input_df.where(F.col("user_id") != 7)
+
+    def rebuild(self, spark, store, clean_df):
+        sdc.rebuild(spark, store, clean_df)
+        return True
+
+    def empty_read(self, spark, sf_smoke, store):
+        assert sdc.features(spark, store).collect() == []
+        assert sdc.latest_state(spark, store).collect() == []
+
+
 class GKFamily(Family):
     """Complete-mode quantile reports: the GK buffers live behind the
     checkpoint, so the replay cell is a stop/restart (no sink-side
@@ -467,7 +544,7 @@ class GKFamily(Family):
 
 
 FAMILIES = [CMSFamily(), HLLFamily(), BloomFamily(), KMVFamily(),
-            IVFFamily(), ResampleFamily(), GKFamily()]
+            IVFFamily(), ResampleFamily(), DecayFamily(), GKFamily()]
 _IDS = [f.name for f in FAMILIES]
 
 
