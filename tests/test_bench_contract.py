@@ -56,35 +56,42 @@ def test_bench_covers_recent_additions():
         # r10 registrations
         "dedup_containment", "rec_eval_ndcg", "ann_recall_matrix",
         "dedup_recall_eval", "corpus_select_dsir",
+        # r11 registration
+        "events_resample_ffill",
     }
     assert tracked <= names, sorted(tracked - names)
 
 
 def test_bench_stdout_object_stays_compact():
-    """The driver records a fixed-size tail of stdout; emulate the
-    result line at current query count with worst-case 7-char medians
-    and assert it stays far inside a conservative 16 KiB tail."""
+    """The driver records a fixed-size tail of stdout whose OBSERVED
+    window is ~2,000 chars (BENCH_r10 landed with "parsed": null when
+    the r10 line outgrew it; the old 16 KiB bound here was calibrated
+    to the wrong window). Emulate the slim r11 result line at current
+    query count with worst-case 7-char medians and assert it stays
+    under 1,900 chars — per-query annotation detail (load context,
+    movers, spreads, steady medians) must live in bench_out.json, not
+    stdout."""
     bench = _load_bench()
     result = {
         "metric": "headline_queries_total_runtime",
         "value": 9999.999,
         "unit": "sec",
         "queries": {name: 999.999 for name in bench.BENCH_QUERIES},
-        "iters": 5,
         "sf": 0.1,
-        # r10 load context at worst case: every query flagged both ways
-        "load_at_start": 99.9,
         "contended": True,
         "steady_total": 9999.999,
-        "load_median": 99.9,
-        "load_elevated": list(bench.BENCH_QUERIES),
-        "steady_rechecked": list(bench.BENCH_QUERIES),
+        "n_movers": 99,
     }
     line = json.dumps(result, separators=(",", ":"))
-    assert len(line) < 16384, len(line)
-    # And the full form (with spread) goes to the file, not stdout:
-    # keep the stdout schema free of the per-query spread lists.
-    assert "spread" not in result
+    assert len(line) < 1900, len(line)
+    # And the per-query annotation detail goes to the file, not
+    # stdout: the stdout schema must stay free of any field that
+    # scales with the query count beyond the medians dict itself.
+    for banned in (
+        "spread", "load_elevated", "steady_rechecked", "movers",
+        "steady", "load_series",
+    ):
+        assert banned not in result
 
 
 def test_prev_median_loader_guards(tmp_path):
