@@ -109,6 +109,7 @@ def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "asof_join_clicks": asof_join_clicks,
     "range_join_events": range_join_events,
+    # events_resample_ffill is appended below its def (r11 graduation).
 }
 
 ORACLES = {
@@ -187,7 +188,15 @@ def resample_from_events(events: DataFrame) -> DataFrame:
     above and the maintained-store serve path
     (``streaming/resample.py::resample_report``), so the stream twin
     cannot drift from the batch semantics."""
-    e = events.select(
+    # Null-key contract (ADVICE r10): rows with null user_id/ts are
+    # dropped HERE, in the shared core, so the batch form, its oracle,
+    # and the maintained stream twin (streaming/resample.py +
+    # streaming/decay.py, which filter identically in maintain_*)
+    # agree on sources that contain null keys — a null user has no
+    # grid and a null ts has no hour.
+    e = events.where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    ).select(
         "user_id",
         "ts",
         "event_id",
@@ -246,17 +255,16 @@ def resample_from_hourly(hourly: DataFrame) -> DataFrame:
     )
 
 
-# r10: staged (the registry's banked slot is reserved for graduation;
-# driver-rigor parity lives in tests/test_attribution.py-style module
-# tests + STAGED_CORRECTNESS.json meanwhile).
-STAGED_QUERIES = {
-    "events_resample_ffill": events_resample_ffill,
-}
-STAGED_ORACLES = {
-    "events_resample_ffill": """
+# r11: GRADUATED into the banked 100th registry slot (staged since
+# r10; driver-rigor parity held in tests/test_resample.py +
+# STAGED_CORRECTNESS.json through r10, now proven by the driver in its
+# registration round per the rotation contract).
+QUERIES["events_resample_ffill"] = events_resample_ffill
+ORACLES["events_resample_ffill"] = """
 WITH e AS (
   SELECT user_id, ts, event_id, value, date_trunc('hour', ts) AS h
   FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
 ),
 hourly AS (
   SELECT user_id, h, CAST(count(*) AS BIGINT) AS n_events,
@@ -281,5 +289,4 @@ filled AS (
 SELECT user_id, strftime(h, '%Y-%m-%d %H:00:00') AS grid_ts,
        n_events, last_value, n_events = 0 AS is_gap
 FROM filled
-""",
-}
+"""

@@ -40,7 +40,14 @@ def user_decay_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchored at the corpus' latest event timestamp so the feature is
     a deterministic function of the data (a wall-clock anchor would
     never reproduce)."""
-    e = load_table(spark, sf_dir, "events").select(
+    # Null-key contract (ADVICE r10): drop null user_id/ts here so
+    # the batch form matches the maintained stream twin
+    # (streaming/decay.py::maintain_decay filters identically) on
+    # sources containing null keys — the documented
+    # maintained-equals-batch band holds for any source.
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    ).select(
         "user_id", "ts", "value"
     )
     anchor = e.agg(F.max("ts").alias("anchor"))
@@ -84,7 +91,11 @@ def user_decay_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DECAY_ORACLE = f"""
-WITH a AS (SELECT max(ts) AS anchor FROM events),
+WITH e AS (
+  SELECT user_id, ts, value FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+a AS (SELECT max(ts) AS anchor FROM e),
 t AS (
   SELECT user_id,
          date_diff('microsecond', ts, a.anchor) AS dmic,
@@ -92,7 +103,7 @@ t AS (
                          / {_US_PER_DAY!r}) / {HALF_LIFE_DAYS!r}),
                6) AS w,
          value
-  FROM events, a
+  FROM e, a
 ),
 t2 AS (
   SELECT user_id, dmic, w, round(value * w, 6) AS wv FROM t

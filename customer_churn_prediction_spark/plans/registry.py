@@ -209,6 +209,8 @@ PRIORITY = [
     "eval_ks",
     "multimodal_features",
     "multimodal_frames",
+    # registered in r11 — first driver row this round
+    "events_resample_ffill",
 ]
 
 
@@ -260,7 +262,6 @@ def staged_modules() -> tuple:
     from ..operators import (
         affinity,
         anomaly,
-        asof,
         attribution,
         decay,
         funnels,
@@ -277,10 +278,12 @@ def staged_modules() -> tuple:
     # (similarity.recall and text.selection graduated wholesale in r10
     # — ann_recall_matrix / corpus_select_dsir are registered, so both
     # modules left this tuple.)
+    # (operators.asof left this tuple in r11: its one staged query
+    # events_resample_ffill graduated into the banked 100th slot.)
     return (
         survival, funnels, quality, sketches, affinity, attribution,
         anomaly, vocab, regression, drift_features, encoding,
-        sampling, text_dedup, sim_ann, text_analysis, asof, decay,
+        sampling, text_dedup, sim_ann, text_analysis, decay,
     )
 
 

@@ -1,4 +1,4 @@
-"""events_resample_ffill (operators/asof.py, staged r10): regular
+"""events_resample_ffill (operators/asof.py, registered r11; staged r10): regular
 hourly series + forward fill from the irregular event stream — oracle
 parity plus the semantics that make the fill trustworthy."""
 
@@ -14,7 +14,7 @@ from .oracle_utils import assert_matches_oracle
 def test_resample_oracle_parity(spark, sf_dir):
     assert_matches_oracle(
         asof.events_resample_ffill(spark, sf_dir),
-        asof.STAGED_ORACLES["events_resample_ffill"],
+        asof.ORACLES["events_resample_ffill"],
         sf_dir,
     )
 
