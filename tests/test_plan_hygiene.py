@@ -43,6 +43,9 @@ ALLOWED_NESTED_LOOP = {
     # broadcast NLJ — the same fixed-width report pattern; the heavy
     # legs underneath are equi-joins covered by their own guards
     "dedup_recall_eval",
+    # (corpus_select_dsir plans NO nested loop since r11: the band
+    # stats ride fitted literals — _band_stats — not a broadcast
+    # 1-row crossJoin.)
 }
 
 _PLANNABLE = [
