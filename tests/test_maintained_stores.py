@@ -474,7 +474,11 @@ class DecayFamily(Family):
         )
 
     def final_check(self, spark, sf_smoke, store, input_df):
-        got = self.state(spark, sf_smoke, store)
+        # state_at_anchor, not raw latest_state: r11 delta writes
+        # leave untouched users at their own anchors; the batch
+        # comparison view applies the exact lazy rescale to the
+        # global anchor first.
+        got = _rows(sdc.state_at_anchor(spark, store))
         want = self.batch_state(spark, sf_smoke, input_df)
         vmax = (
             input_df.agg(F.max(F.abs(F.col("value")))).collect()[0][0]

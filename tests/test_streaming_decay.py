@@ -178,8 +178,13 @@ def test_rescale_is_the_decay_identity(spark, sf_dir, tmp_path):
         assert q.exception() is None
     finally:
         q.stop()
+    # state_at_anchor, not raw latest_state: under r11 delta writes a
+    # user untouched by later epochs keeps an old row; the halving
+    # appears at read via the exact lazy rescale (after epoch 0 the
+    # factor is exactly 0.5^0 = 1, so `first` equals the raw rows).
     first = {
-        r.user_id: r for r in sdc.latest_state(spark, store).collect()
+        r.user_id: r
+        for r in sdc.state_at_anchor(spark, store).collect()
     }
 
     drop("1.parquet", [(3, 2, t0, 6.0)])
@@ -195,11 +200,21 @@ def test_rescale_is_the_decay_identity(spark, sf_dir, tmp_path):
     finally:
         q2.stop()
     final = {
-        r.user_id: r for r in sdc.latest_state(spark, store).collect()
+        r.user_id: r
+        for r in sdc.state_at_anchor(spark, store).collect()
     }
 
+    # user 1 had no epoch-1 events: their STORED row is untouched
+    # (delta-write contract), and the exactly-one-half-life rescale
+    # to the new global anchor happens lazily at read
     f0, f1 = first[1], final[1]
     assert f1.dc == f0.dc * 0.5 and f1.dv == f0.dv * 0.5
     assert f1.n_events == f0.n_events == 2
     assert final[2].n_events == 2
     assert final[2].anchor == t0
+    # and the delta-write claim itself: epoch 1 stored ONLY user 2
+    raw = {
+        r.user_id: r for r in sdc.latest_state(spark, store).collect()
+    }
+    assert raw[1].anchor == t0 - week  # never rewritten
+    assert raw[2].anchor == t0
