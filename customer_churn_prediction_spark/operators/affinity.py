@@ -54,7 +54,9 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pair_lift_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pair_lift_scored(
+    spark: SparkSession, sf_dir: str, min_support: int = MIN_SUPPORT
+) -> DataFrame:
     """The full scored pair table (min-support filtered, unranked) —
     shared by the report and the recommender."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -64,14 +66,19 @@ def _pair_lift_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
     )
-    return _pair_lift_from_baskets(baskets)
+    return _pair_lift_from_baskets(baskets, min_support=min_support)
 
 
-def _pair_lift_from_baskets(baskets: DataFrame) -> DataFrame:
+def _pair_lift_from_baskets(
+    baskets: DataFrame, min_support: int = MIN_SUPPORT
+) -> DataFrame:
     """The scored pair model over any (l_orderkey, brands) baskets
     frame — the single source of truth for the model math, shared by
     the full-corpus report and the train-window eval fit
-    (``rec_eval_ndcg``), so the two cannot drift."""
+    (``rec_eval_ndcg``), so the two cannot drift. ``min_support``
+    (default the module floor) is half of SCALE §10.9's named 100-TB
+    lever: a harder floor shrinks the pair model — and with it every
+    serve-side candidate fanout — before anything joins."""
     # One aggregation feeds pairs, marginals, and the order total; the
     # three consumers branch off the same shuffle (ReusedExchange).
     pairs = (
@@ -84,7 +91,7 @@ def _pair_lift_from_baskets(baskets: DataFrame) -> DataFrame:
         .groupBy(F.col("p.brand_a").alias("brand_a"),
                  F.col("p.brand_b").alias("brand_b"))
         .agg(F.count(F.lit(1)).alias("n_co"))
-        .where(F.col("n_co") >= MIN_SUPPORT)
+        .where(F.col("n_co") >= min_support)
     )
     marginals = (
         baskets.select(F.explode("brands").alias("brand"))
@@ -122,7 +129,13 @@ def _pair_lift_from_baskets(baskets: DataFrame) -> DataFrame:
 TOP_RECS = 3
 
 
-def brand_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+def brand_recommendations(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    owned_cap: int | None = None,
+    min_support: int | None = None,
+) -> DataFrame:
     """Next-best-offer from the affinity model: for each customer, the
     top unowned brands whose lift with an OWNED brand is highest —
     the retention-action companion to the churn scores (what to put in
@@ -134,11 +147,25 @@ def brand_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     owned ⋈ symmetric-pairs (broadcast), ownership exclusion a
     broadcast-able anti-join back onto owned, and both dedup/rank
     windows are keyed by customer — one customer-keyed shuffle end to
-    end, never a brands×customers blowup."""
-    pairs = _pair_lift_scored(spark, sf_dir).select(
-        "brand_a", "brand_b", "lift"
+    end, never a brands×customers blowup.
+
+    ``owned_cap`` / ``min_support`` (both opt-in, defaults = today's
+    exact behavior) are SCALE §10.9's named 100-TB serve levers:
+    ``owned_cap=N`` restricts each customer's candidate-GENERATING
+    via-set to their top-N owned brands by spend (exclusion still
+    judges the FULL owned set, so an owned brand is never
+    recommended), and a harder ``min_support`` prunes the pair model
+    itself. tests/test_affinity.py pins cap-inactive ≡ uncapped."""
+    pairs = _pair_lift_scored(
+        spark,
+        sf_dir,
+        min_support=(
+            MIN_SUPPORT if min_support is None else min_support
+        ),
+    ).select("brand_a", "brand_b", "lift")
+    return _recommend_from_pairs(
+        spark, sf_dir, pairs, owned_cap=owned_cap
     )
-    return _recommend_from_pairs(spark, sf_dir, pairs)
 
 
 def affinity_model_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -175,31 +202,73 @@ def brand_recommendations_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _recommend_from_pairs(
-    spark: SparkSession, sf_dir: str, pairs: DataFrame
+    spark: SparkSession,
+    sf_dir: str,
+    pairs: DataFrame,
+    owned_cap: int | None = None,
 ) -> DataFrame:
     """The shared serve tail: ownership, candidate join, exclusion,
-    per-customer rank — over any (brand_a, brand_b, lift) model."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    per-customer rank — over any (brand_a, brand_b, lift) model.
+    With ``owned_cap`` the ownership frame carries a spend weight
+    (sum of extended price per customer×brand) so the cap keeps each
+    customer's top-N owned brands by real value."""
+    cols = ["l_orderkey", "l_partkey"] + (
+        ["l_extendedprice"] if owned_cap is not None else []
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(*cols)
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey"
     )
-    owned = (
+    fact = (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .select(F.col("o_custkey").alias("c_custkey"),
-                F.col("p_brand").alias("brand"))
-        .distinct()
     )
-    return _recommend_from_owned(owned, pairs)
+    if owned_cap is None:
+        owned = fact.select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("p_brand").alias("brand"),
+        ).distinct()
+    else:
+        owned = (
+            fact.groupBy(
+                F.col("o_custkey").alias("c_custkey"),
+                F.col("p_brand").alias("brand"),
+            )
+            .agg(F.sum("l_extendedprice").alias("weight"))
+        )
+    return _recommend_from_owned(owned, pairs, owned_cap=owned_cap)
 
 
 def _recommend_from_owned(
-    owned: DataFrame, pairs: DataFrame
+    owned: DataFrame, pairs: DataFrame, owned_cap: int | None = None
 ) -> DataFrame:
     """Candidate join + exclusion + per-customer rank over any
     (c_custkey, brand) ownership frame — shared by the full-corpus
-    recommender and the train-window eval (``rec_eval_ndcg``)."""
+    recommender and the train-window eval (``rec_eval_ndcg``).
+
+    ``owned_cap=N`` (SCALE §10.9's serve lever) caps the
+    candidate-GENERATING via-set at each customer's top-N owned
+    brands by ``weight`` (which the caller must supply on ``owned``
+    when capping) — the candidate fanout becomes ≤ N × pair-degree
+    per customer instead of |owned| × pair-degree. The exclusion
+    array still judges the FULL owned set, so correctness of "never
+    recommend an owned brand" is cap-independent; what the cap can
+    change is only WHICH unowned brands win (low-spend via paths
+    drop). The cap window rides the same customer-keyed clustering
+    as the rest of the tail."""
+    if owned_cap is not None:
+        w_own = Window.partitionBy("c_custkey").orderBy(
+            F.col("weight").desc(), "brand"
+        )
+        via = (
+            owned.withColumn("_or", F.row_number().over(w_own))
+            .where(F.col("_or") <= owned_cap)
+            .select("c_custkey", "brand")
+        )
+    else:
+        via = owned
+    owned = owned.select("c_custkey", "brand")
     sym = pairs.select(
         F.col("brand_a").alias("via_brand"),
         F.col("brand_b").alias("rec_brand"),
@@ -211,8 +280,8 @@ def _recommend_from_owned(
             "lift",
         )
     )
-    cands = owned.join(
-        F.broadcast(sym), owned.brand == sym.via_brand
+    cands = via.join(
+        F.broadcast(sym), via.brand == sym.via_brand
     ).select("c_custkey", "via_brand", "rec_brand", "lift")
     # Ownership exclusion as a per-customer brand ARRAY (bounded by
     # the brand universe, ~25) instead of an anti-join keyed on

@@ -17,7 +17,7 @@ work and the DELTA between consecutive medians is that phase's
 marginal wall including its share of scan/shuffle — the number that
 says where the scale term lives.
 
-Usage: python scripts/rec_eval_profile.py [--iters N]
+Usage: python scripts/rec_eval_profile.py [--iters N] [--sf-dirs D ...]
 Prints one JSON object per sf plus a phase-delta summary.
 """
 
@@ -32,14 +32,22 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Default fixture ladder; overridable so the profile runs on any box
+# layout (ADVICE r10 — sibling scripts accept the corpus dir).
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
        "/root/testdata/sf0.1"]
 
 
 def main() -> None:
+    global SFS
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument(
+        "--sf-dirs", nargs="+", default=SFS,
+        help="parquet fixture dirs to profile, smallest first",
+    )
     args = ap.parse_args()
+    SFS = args.sf_dirs
 
     from customer_churn_prediction_spark.operators import affinity
     from customer_churn_prediction_spark.session import get_spark

@@ -166,3 +166,70 @@ def test_rec_eval_ndcg_invariants_and_signal(spark, sf_dir):
     assert r.mean_ndcg <= r.hit_rate
     assert r.mean_mrr <= r.hit_rate
     assert r.hit_rate > 0.3
+
+
+def test_owned_cap_inactive_equals_uncapped(spark, sf_dir):
+    """SCALE §10.9's opt-in serve lever at NEUTRAL settings must be a
+    no-op: a cap at least as large as any customer's owned set (the
+    brand universe bounds it) and the default min-support floor
+    reproduce the default recommendations row-for-row — so turning
+    the lever exists without changing the registered query's
+    semantics."""
+    from customer_churn_prediction_spark.catalog import load_table
+    from customer_churn_prediction_spark.operators.affinity import (
+        MIN_SUPPORT,
+        brand_recommendations,
+    )
+
+    n_brands = (
+        load_table(spark, sf_dir, "part")
+        .select("p_brand").distinct().count()
+    )
+    base = sorted(
+        map(tuple, brand_recommendations(spark, sf_dir).collect())
+    )
+    capped = sorted(
+        map(
+            tuple,
+            brand_recommendations(
+                spark,
+                sf_dir,
+                owned_cap=n_brands,
+                min_support=MIN_SUPPORT,
+            ).collect(),
+        )
+    )
+    assert base == capped and base
+
+
+def test_owned_cap_small_still_never_recommends_owned(spark, sf_dir):
+    """With an aggressive cap the exclusion contract must hold
+    against the FULL owned set (the cap only restricts which owned
+    brands GENERATE candidates, never which are excluded)."""
+    from customer_churn_prediction_spark.catalog import load_table
+    from customer_churn_prediction_spark.operators.affinity import (
+        brand_recommendations,
+    )
+
+    recs = brand_recommendations(spark, sf_dir, owned_cap=2)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    owned = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("p_brand").alias("rec_brand"),
+        )
+        .distinct()
+    )
+    bad = recs.join(owned, ["c_custkey", "rec_brand"]).count()
+    assert bad == 0
+    assert recs.count() > 0
