@@ -1309,11 +1309,103 @@ FROM t3
 """
 
 
+SAMPLE_W_K = 100       # sample size (K ≪ corpus by design)
+SAMPLE_W_SEED = "wsample|"
+_U_HEX = 13            # 16^13 < 2^63: the md5-prefix unit uniform
+
+
+def corpus_sample_weighted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (A-ES): top-K docs by ln(u)/w, w = doc length.
+
+    The Efraimidis–Spirakis one-pass reservoir recipe: draw a uniform
+    u per item, keep the K largest u^(1/w) — equivalently the K
+    largest ln(u)/w — and the sample is a weight-proportional
+    without-replacement draw. Weighting by ``n_chars`` makes doc
+    inclusion ∝ length, i.e. an approximation of TOKEN-uniform
+    sampling (the budget-fair way to subsample a corpus for eval or
+    distillation); any non-negative weight column drops in.
+
+    Determinism (the md5-prefix sampler discipline,
+    ``corpus_sample_stratified``): u is the seeded md5 prefix of
+    doc_id mapped into (0, 1] — reproducible across engines, retries
+    and repartitions, and the DuckDB oracle rebuilds the identical
+    draw. ln(u)/w is rounded to 12dp (coarser 6dp would tie most of
+    the corpus: |ln u|/w ~ 1e-4 at fixture lengths) with (logkey,
+    doc_id) as the total order, so the boundary is engine-stable.
+
+    Scale shape: pure map to compute the key, then ``orderBy.limit``
+    — Spark plans TakeOrderedAndProject: a per-partition K-heap and a
+    driver merge of P·K rows, NO global sort, no corpus-wide single
+    task. The final rank window runs over the K retained rows only
+    (bounded by construction). Empty-text docs draw with weight
+    ``greatest(n_chars, 1)`` (ANSI division guard)."""
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(SAMPLE_W_SEED),
+                    F.col("doc_id").cast("string"),
+                )
+            ),
+            1,
+            _U_HEX,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h + F.lit(1)).cast("double") / F.lit(
+        float(16 ** _U_HEX) + 1.0
+    )
+    w = F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    from pyspark.sql import Window
+
+    keyed = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.round(F.log(u) / w, 12).alias("logkey"),
+    )
+    top = keyed.orderBy(
+        F.col("logkey").desc(), F.col("doc_id").asc()
+    ).limit(SAMPLE_W_K)
+    w_rank = Window.orderBy(F.col("logkey").desc(), F.col("doc_id"))
+    return top.withColumn(
+        "rank", F.row_number().over(w_rank).cast("long")
+    )
+
+
+SAMPLE_W_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+         round(
+           ln((CAST(('0x' || substring(md5('{SAMPLE_W_SEED}' ||
+                     CAST(doc_id AS VARCHAR)), 1, {_U_HEX}))
+                AS BIGINT) + 1)
+              / (CAST(16 AS DOUBLE) ^ {_U_HEX} + 1))
+           / CAST(greatest(n_chars, 1) AS DOUBLE),
+           12) AS logkey
+  FROM documents
+)
+SELECT doc_id, lang, n_chars, logkey,
+       CAST(row_number() OVER (ORDER BY logkey DESC, doc_id)
+            AS BIGINT) AS rank
+FROM keyed
+ORDER BY logkey DESC, doc_id
+LIMIT {SAMPLE_W_K}
+"""
+
+
 STAGED_QUERIES = {
     "text_entropy": text_entropy,
     "corpus_mix_temperature": corpus_mix_temperature,
+    # r11: weighted without-replacement sampling (A-ES reservoir).
+    "corpus_sample_weighted": corpus_sample_weighted,
 }
 STAGED_ORACLES = {
     "text_entropy": ENTROPY_ORACLE,
     "corpus_mix_temperature": MIX_TEMP_ORACLE,
+    "corpus_sample_weighted": SAMPLE_W_ORACLE,
 }
