@@ -155,14 +155,23 @@ def maintain_resample(
     store_dir: str,
     checkpoint: str | None = None,
     fault=None,
+    snapshot_every: int | None = None,
 ):
     """Start the maintenance query over an events stream (append
     semantics; needs user_id, ts, event_id, value). ``fault`` is the
     sibling sinks' crash-injection hook — called after the
     store/report writes and before Spark commits the offset, the
-    worst-case window."""
+    worst-case window.
+
+    ``snapshot_every=N`` publishes the per-user snapshot report
+    every N epochs (None, the default, never auto-publishes — call
+    ``publish_snapshot`` on whatever cadence serving needs). r11
+    scale fix: the r10 sink recomputed and republished the FULL
+    per-user snapshot on EVERY epoch — a users-wide term per
+    micro-batch that no reader consumed; the epoch's own cost is now
+    only its (user, hour) partials, and snapshot cost is a deliberate
+    cadence decision."""
     state_path = os.path.join(store_dir, STATE_SUBDIR)
-    report_path = os.path.join(store_dir, REPORT_SUBDIR)
 
     def epoch(batch_df: DataFrame, epoch_id: int) -> None:
         batch = batch_df.where(
@@ -184,9 +193,8 @@ def maintain_resample(
             .partitionBy("epoch_id")
             .parquet(state_path)
         )
-        publish_epoch_report(
-            snapshot(spark, store_dir), report_path, epoch_id
-        )
+        if snapshot_every is not None and epoch_id % snapshot_every == 0:
+            publish_snapshot(spark, store_dir, epoch_id)
         if fault is not None:
             fault(epoch_id)
 
@@ -196,6 +204,21 @@ def maintain_resample(
         query_name="resample-maintenance",
         output_mode="append",
         checkpoint=checkpoint,
+    )
+
+
+def publish_snapshot(
+    spark: SparkSession, store_dir: str, epoch_id: int
+) -> None:
+    """Publish the per-user snapshot report atomically (the
+    ``publish_epoch_report`` discipline: write epoch dir, flip
+    ``_LATEST``). Split out of the epoch loop in r11 so snapshot
+    cost — a pass over the merged per-user state — is paid on a
+    chosen cadence, not per micro-batch."""
+    publish_epoch_report(
+        snapshot(spark, store_dir),
+        os.path.join(store_dir, REPORT_SUBDIR),
+        epoch_id,
     )
 
 
