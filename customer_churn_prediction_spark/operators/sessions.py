@@ -46,8 +46,13 @@ def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(e)
 
 
-def sessionize(e: DataFrame) -> DataFrame:
-    """Core plan over any (user_id, ts, event_id, value) frame."""
+def _session_numbered(e: DataFrame, carry: list[str]) -> DataFrame:
+    """The lag→flag→running-sum numbering over any (user_id, ts,
+    event_id, ...) frame — ONE definition of the session boundary
+    (the gap expression is bound here only, the decay-module
+    shared-factor rule), shared by the visit aggregate and the
+    transition model so the two cannot disagree on where a session
+    starts. Returns user_id/ts/event_id + ``carry`` + session_seq."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_flag = (
         F.when(
@@ -63,10 +68,15 @@ def sessionize(e: DataFrame) -> DataFrame:
     w_run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    numbered = e.select(
-        "user_id", "ts", "event_id", "value",
+    return e.select(
+        "user_id", "ts", "event_id", *carry,
         F.sum(gap_flag).over(w_run).cast("long").alias("session_seq"),
     )
+
+
+def sessionize(e: DataFrame) -> DataFrame:
+    """Core plan over any (user_id, ts, event_id, value) frame."""
+    numbered = _session_numbered(e, ["value"])
     return (
         numbered.groupBy("user_id", "session_seq")
         .agg(
@@ -110,3 +120,108 @@ GROUP BY user_id, session_seq
 
 QUERIES = {"event_sessions": event_sessions}
 ORACLES = {"event_sessions": SESSIONS_ORACLE}
+
+
+def session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session Markov model: P(next event_type | event_type) from within-visit bigrams.
+
+    The first-order behavioral transition matrix (the classic
+    clickstream model): within each gap-based visit, count adjacent
+    (from_type → to_type) pairs and normalize per from-state. The
+    feature tier's sequence ops (``user_event_sequences``,
+    ``sequence_training_pairs``) consume raw order; this is the
+    corpus-level MODEL over the same sessions — next-action
+    prediction baseline, anomaly scoring (low-probability
+    transitions), and funnel sanity checks from one small table.
+
+    Session boundaries come from the SAME ``_session_numbered`` core
+    as ``event_sessions`` (one definition of the gap rule), so the
+    model can never disagree with the visit table. Transitions cross
+    event boundaries only WITHIN a session — the last event of one
+    visit does not feed the first of the next.
+
+    Scale shape: one user-keyed window pass (the sessionization
+    bound), a per-(user, session) lag — same clustering, no extra
+    shuffle class — then a hash aggregate down to ≤ |event_type|²
+    rows; the per-from-state normalization windows over that tiny
+    frame. 6dp-rounded probabilities, (from, to) deterministic."""
+    e = load_table(spark, sf_dir, "events").where(
+        (F.col("ts") >= F.lit(EVENTS_START).cast("timestamp"))
+        & (F.col("ts") < F.lit(EVENTS_END_EXCL).cast("timestamp"))
+    )
+    return transitions_from_events(e)
+
+
+def transitions_from_events(e: DataFrame) -> DataFrame:
+    """The transition-model plan over any (user_id, ts, event_id,
+    event_type) frame."""
+    numbered = _session_numbered(e, ["event_type"])
+    w_s = Window.partitionBy("user_id", "session_seq").orderBy(
+        "ts", "event_id"
+    )
+    seq = numbered.select(
+        F.lag("event_type").over(w_s).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    )
+    counts = (
+        seq.where(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w_from = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.sum("n").over(w_from).cast("long").alias("n_from"),
+        F.round(
+            F.col("n") / F.sum("n").over(w_from), 6
+        ).alias("p"),
+    )
+
+
+TRANSITIONS_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type FROM events
+  WHERE ts >= TIMESTAMP '{EVENTS_START}'
+    AND ts <  TIMESTAMP '{EVENTS_END_EXCL}'
+),
+flagged AS (
+  SELECT *,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR date_diff('second', lag(ts) OVER w, ts) >= {SESSION_GAP_MIN * 60}
+         THEN 1 ELSE 0 END AS gap_flag
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts, event_id, event_type,
+    CAST(sum(gap_flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS session_seq
+  FROM flagged
+),
+pairs AS (
+  SELECT lag(event_type) OVER (
+           PARTITION BY user_id, session_seq ORDER BY ts, event_id
+         ) AS from_type,
+         event_type AS to_type
+  FROM numbered
+),
+counts AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM pairs WHERE from_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS n_from,
+       round(n / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE),
+             6) AS p
+FROM counts
+"""
+
+# r11: staged split (the vocab precedent — the module is registered
+# via event_sessions, additions land staged under the 100-slot
+# registry ceiling).
+STAGED_QUERIES = {"session_transitions": session_transitions}
+STAGED_ORACLES = {"session_transitions": TRANSITIONS_ORACLE}

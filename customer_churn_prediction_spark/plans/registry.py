@@ -268,6 +268,7 @@ def staged_modules() -> tuple:
         quality,
         regression,
         sampling,
+        sessions,
         sketches,
     )
     from ..similarity import ann as sim_ann
@@ -284,6 +285,7 @@ def staged_modules() -> tuple:
         survival, funnels, quality, sketches, affinity, attribution,
         anomaly, vocab, regression, drift_features, encoding,
         sampling, text_dedup, sim_ann, text_analysis, decay,
+        sessions,
     )
 
 
