@@ -68,7 +68,9 @@ DOC_ONLY_QUERIES = [
     # r9 staged: token-distribution entropy + TTR (two hash aggregates)
     "text_entropy",
     # r10 staged: tokenizer-fit eval (shared encode core, one scan)
-    "vocab_eval_compression",
+    "vocab_eval_compression",    # r11 staged: A-ES weighted without-replacement sampling (heap
+    # top-K — flat by construction; the curve is the evidence)
+    "corpus_sample_weighted",
 ]
 
 # ANN-tier 4th decade: scripts/make_embeddings_x10.py replicates the
@@ -130,8 +132,10 @@ EVENTS_ONLY_QUERIES = [
     "negative_sampling_weighted",
     "sequence_training_pairs",
     "sequence_split_leave_last",
-    # r10 staged: hourly resample + forward fill (grid is the output)
+    # r10 staged (graduated r11): hourly resample + forward fill
     "events_resample_ffill",
+    # r11 staged: within-visit Markov transition model
+    "session_transitions",
 ]
 
 CURVE_QUERIES = [
