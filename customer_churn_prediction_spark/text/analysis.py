@@ -1398,14 +1398,183 @@ LIMIT {SAMPLE_W_K}
 """
 
 
+BIGRAM_BACKOFF = 0.4   # stupid-backoff discount (Brants et al. 2007)
+
+
+def text_logprob_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM scoring with stupid backoff — the word-order-aware quality signal.
+
+    ``text_logprob`` scores docs under a unigram model (CCNet's
+    perplexity-bucket axis); this is its order-aware sibling, the
+    cheap count-based stand-in for a KenLM pass: each adjacent token
+    pair scores S(w|v) = count(vw)/count(v) when the bigram was seen,
+    else BACKOFF · p1(w) (stupid backoff, Brants et al. 2007), with
+    p1 the same add-one unigram model ``text_logprob`` uses.
+    Word-salad docs whose tokens are individually common but never
+    co-occur score high here while staying invisible to the unigram
+    signal — the second axis a perplexity-bucket keep/thin/drop rule
+    wants.
+
+    Spark shape: ONE tokenized scan feeds both models — the unigram
+    hash aggregate and the bigram hash aggregate (adjacent pairs via
+    a transform-over-slice expression, the DSIR ``_grams`` shape);
+    the scoring pass joins each doc pair LEFT to the bigram table
+    (miss → backoff) and to the unigram table on the current token.
+    Both build sides are dictionary-sized (at web scale the bigram
+    table takes a frequency cutoff — the text_logprob vocab rule).
+    Per-pair nll rounds to 6dp before the mean (order-stable fold);
+    p2 and p1 are exact integer ratios in both engines. Docs with
+    < 2 tokens have no word-order evidence: they keep n_pairs = 0
+    and a NULL mean via the doc-list left join (the unigram signal
+    covers them)."""
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    toks = d.select("doc_id", _tokens(F.col("text")).alias("t"))
+    uni = toks.select("doc_id", F.explode("t").alias("tok"))
+    vocab = uni.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    tot = vocab.agg(
+        F.sum("tf").cast("long").alias("n_corpus"),
+        F.count(F.lit(1)).cast("long").alias("n_vocab"),
+    )
+    p1 = vocab.crossJoin(F.broadcast(tot)).select(
+        F.col("tok").alias("w"),
+        (
+            (F.col("tf") + 1) / (F.col("n_corpus") + F.col("n_vocab"))
+        ).alias("p1"),
+    )
+    pairs = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(t, 1, greatest(size(t) - 1, 0)),"
+                " (x, i) -> named_struct("
+                "'v', x, 'w', element_at(t, i + 2)))"
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.v").alias("v"), F.col("p.w").alias("w"))
+    bigrams = pairs.groupBy("v", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vw")
+    )
+    model = bigrams.join(
+        vocab.select(F.col("tok").alias("v"), F.col("tf").alias("n_v")),
+        "v",
+    ).select("v", "w", (F.col("n_vw") / F.col("n_v")).alias("p2"))
+    scored = (
+        pairs.join(model, ["v", "w"], "left")
+        .join(p1, "w")
+        .select(
+            "doc_id",
+            F.round(
+                -F.log(
+                    F.coalesce(
+                        F.col("p2"),
+                        F.lit(BIGRAM_BACKOFF) * F.col("p1"),
+                    )
+                ),
+                6,
+            ).alias("nll"),
+        )
+    )
+    # round the SUM before dividing (not avg over raw items): the two
+    # engines fold the 6dp items in different orders, and sum/n lands
+    # systematically on 6dp half-boundaries (any n = 10·k doc), where
+    # a 1-ulp sum difference flips the rounded mean. Rounding the sum
+    # first snaps both engines to the same decimal — the division
+    # then runs on identical doubles and rounds identically.
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.sum("nll"), 6).alias("sum_nll"),
+    ).select(
+        "doc_id",
+        "n_pairs",
+        F.round(F.col("sum_nll") / F.col("n_pairs"), 6).alias(
+            "mean_nll"
+        ),
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias(
+                "n_pairs"
+            ),
+            "mean_nll",
+        )
+    )
+
+
+BIGRAM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+),
+uni AS (
+  SELECT doc_id, unnest(t) AS tok FROM toks
+),
+vocab AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS tf FROM uni GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(tf) AS BIGINT) AS n_corpus,
+         CAST(count(*) AS BIGINT) AS n_vocab
+  FROM vocab
+),
+p1 AS (
+  SELECT tok AS w, (tf + 1) / CAST(n_corpus + n_vocab AS DOUBLE) AS p1
+  FROM vocab, tot
+),
+pairs AS (
+  SELECT doc_id,
+         unnest(t[1:len(t) - 1]) AS v,
+         unnest(t[2:len(t)]) AS w
+  FROM toks
+),
+bigrams AS (
+  SELECT v, w, CAST(count(*) AS BIGINT) AS n_vw
+  FROM pairs GROUP BY 1, 2
+),
+model AS (
+  SELECT b.v, b.w, b.n_vw / CAST(u.tf AS DOUBLE) AS p2
+  FROM bigrams b JOIN vocab u ON b.v = u.tok
+),
+scored AS (
+  SELECT p.doc_id,
+         round(-ln(coalesce(m.p2, {BIGRAM_BACKOFF!r} * p1.p1)), 6)
+           AS nll
+  FROM pairs p
+  LEFT JOIN model m ON p.v = m.v AND p.w = m.w
+  JOIN p1 ON p.w = p1.w
+),
+per_doc0 AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+         round(sum(nll), 6) AS sum_nll
+  FROM scored GROUP BY 1
+),
+per_doc AS (
+  SELECT doc_id, n_pairs,
+         round(sum_nll / n_pairs, 6) AS mean_nll
+  FROM per_doc0
+)
+SELECT d.doc_id,
+       CAST(coalesce(pd.n_pairs, 0) AS BIGINT) AS n_pairs,
+       pd.mean_nll
+FROM documents d LEFT JOIN per_doc pd USING (doc_id)
+"""
+
+
 STAGED_QUERIES = {
     "text_entropy": text_entropy,
     "corpus_mix_temperature": corpus_mix_temperature,
     # r11: weighted without-replacement sampling (A-ES reservoir).
     "corpus_sample_weighted": corpus_sample_weighted,
+    # r11: order-aware LM quality signal (stupid-backoff bigrams).
+    "text_logprob_bigram": text_logprob_bigram,
 }
 STAGED_ORACLES = {
     "text_entropy": ENTROPY_ORACLE,
     "corpus_mix_temperature": MIX_TEMP_ORACLE,
     "corpus_sample_weighted": SAMPLE_W_ORACLE,
+    "text_logprob_bigram": BIGRAM_ORACLE,
 }
