@@ -274,6 +274,7 @@ def staged_modules() -> tuple:
     from ..similarity import ann as sim_ann
     from ..text import analysis as text_analysis
     from ..text import dedup as text_dedup
+    from ..text import selection as text_selection
     from ..text import vocab
 
     # (similarity.recall and text.selection graduated wholesale in r10
@@ -285,7 +286,7 @@ def staged_modules() -> tuple:
         survival, funnels, quality, sketches, affinity, attribution,
         anomaly, vocab, regression, drift_features, encoding,
         sampling, text_dedup, sim_ann, text_analysis, decay,
-        sessions,
+        sessions, text_selection,
     )
 
 

@@ -251,8 +251,18 @@ def dsir_report(
     scored = _dsir_scored(docs)
     if _stats is None:
         _stats = _band_stats(scored)
-    k, c_above, lo, hi = _stats
+    return _select_tail(scored, _stats)
 
+
+def _select_tail(
+    scored: DataFrame, stats: tuple[int, int, float, float]
+) -> DataFrame:
+    """The band-rank selection tail over any (doc_id, n_grams,
+    logweight) frame + fitted band stats — shared by the inline form
+    (``dsir_report``) and the at-rest form
+    (``corpus_select_dsir_stored``), so the two serve the identical
+    plan over different scored sources."""
+    k, c_above, lo, hi = stats
     in_band = (F.col("logweight") >= F.lit(lo)) & (
         F.col("logweight") <= F.lit(hi)
     )
@@ -278,6 +288,49 @@ def dsir_report(
             .alias("selected"),
         )
     )
+
+
+def dsir_scores_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The doc-level DSIR score table as an at-rest managed table —
+    the production fit path the band-fit docstring promises: the gram
+    pipeline (explode + model join + per-doc fold, the expensive
+    part) runs ONCE at ingest; the band fit and every subsequent
+    selection serve from the stored (doc_id, n_grams, logweight)
+    table. Same fit-once discipline as the corpus LSH bands / IVF
+    lists / PQ codes (``managed_ingest`` idempotency + erasure-ledger
+    re-scrub on rebuild)."""
+    from ..sources.writers import managed_ingest, sf_tag
+
+    table = f"dsir_scores_{sf_tag(sf_dir)}"
+
+    def _write(path: str) -> None:
+        (
+            _dsir_scored(
+                load_table(spark, sf_dir, "documents", spread=True)
+            )
+            .write.mode("overwrite")
+            .option("path", path)
+            .format("parquet")
+            .saveAsTable(table)
+        )
+
+    return managed_ingest(spark, table, _write)
+
+
+def corpus_select_dsir_stored(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``corpus_select_dsir`` in its production shape: scores come
+    from the at-rest table (``dsir_scores_ingest``) — same output
+    rows, same oracle; the gram pipeline drops out of both the band
+    fit and the serve (the ``brand_recommendations_stored`` /
+    ``ann_bruteforce_int8_stored`` at-rest-twin discipline). The fit
+    here is two aggregates over a 3-column doc-level scan."""
+    scored = dsir_scores_ingest(spark, sf_dir)
+    key = f"stored:{sf_dir}"
+    if key not in _BAND_CACHE:
+        _BAND_CACHE[key] = _band_stats(scored)
+    return _select_tail(scored, _BAND_CACHE[key])
 
 
 def dsir_report_exact(docs: DataFrame) -> DataFrame:
@@ -368,4 +421,13 @@ QUERIES = {
 }
 ORACLES = {
     "corpus_select_dsir": DSIR_ORACLE,
+}
+
+# r11: the at-rest production twin stays staged (registry ceiling);
+# identical output, same committed oracle.
+STAGED_QUERIES = {
+    "corpus_select_dsir_stored": corpus_select_dsir_stored,
+}
+STAGED_ORACLES = {
+    "corpus_select_dsir_stored": DSIR_ORACLE,
 }

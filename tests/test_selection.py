@@ -148,3 +148,19 @@ def test_band_rank_window_sees_only_band_rows(spark, sf_dir):
     # sf0.01: 500 docs, eps=2e-3 → a handful of band rows; assert the
     # structural claim loosely (well under half the corpus).
     assert band < 0.2 * n, (band, n)
+
+
+def test_stored_selection_equals_inline(spark, sf_dir):
+    """corpus_select_dsir_stored serves the identical selection from
+    the at-rest score table (the at-rest-twin discipline) — same rows
+    as the inline form, which the driver oracle-checks."""
+    from customer_churn_prediction_spark.text.selection import (
+        corpus_select_dsir,
+        corpus_select_dsir_stored,
+    )
+
+    a = sorted(map(tuple, corpus_select_dsir(spark, sf_dir).collect()))
+    b = sorted(
+        map(tuple, corpus_select_dsir_stored(spark, sf_dir).collect())
+    )
+    assert a == b and a
