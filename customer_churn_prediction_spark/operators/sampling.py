@@ -486,11 +486,81 @@ SELECT user_id, pos, target_item, context, ctx_len,
 FROM pairs
 """
 
+TRAIN_FRAC = 0.8       # share of the corpus TIME RANGE that trains
+EMBARGO_HOURS = 24     # purged gap between train end and test start
+
+
+def events_split_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/test split with an embargo gap — the forecasting-safe split.
+
+    ``sequence_split_leave_last`` splits per user (recommender
+    protocol); this is the TIME-based protocol every
+    forecasting/feature-store eval needs: train on everything before
+    the cutoff, hold out everything after the cutoff + an EMBARGO
+    window, and PURGE the events inside the gap (labels computed from
+    a horizon near the boundary would otherwise leak across it — the
+    purged/embargoed split of de Prado's "Advances in Financial
+    Machine Learning", the time-series CV standard).
+
+    The cutoff is range-based, not rank-based: T = min_ts +
+    TRAIN_FRAC·(max_ts − min_ts) on exact integer microseconds (a
+    count-based cutoff would need a global rank — the DSIR
+    scale-killer — while min/max are footer-stats aggregates, and
+    "train on the first 80% of the time range" is the production
+    phrasing anyway). floor() before the long cast in BOTH engines
+    (Spark's double→long cast truncates, DuckDB's rounds — the one
+    cross-engine cast trap this op has).
+
+    Scale shape: one 1-row min/max aggregate broadcast into a pure
+    map — no shuffle of the event stream at all; the assignment
+    column is computed at scan speed and the split is reproducible
+    from the data alone (no RNG, no wall clock)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    bounds = e.agg(
+        F.unix_micros(F.min("ts")).alias("t0"),
+        F.unix_micros(F.max("ts")).alias("t1"),
+    )
+    cut = F.col("t0") + F.floor(
+        F.lit(TRAIN_FRAC) * (F.col("t1") - F.col("t0"))
+    ).cast("long")
+    test_start = cut + F.lit(EMBARGO_HOURS * 3_600_000_000)
+    return e.crossJoin(F.broadcast(bounds)).select(
+        "event_id",
+        "user_id",
+        F.when(F.unix_micros("ts") < cut, F.lit("train"))
+        .when(F.unix_micros("ts") < test_start, F.lit("embargo"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+TEMPORAL_SPLIT_ORACLE = f"""
+WITH b AS (
+  SELECT epoch_us(min(ts)) AS t0, epoch_us(max(ts)) AS t1 FROM events
+),
+c AS (
+  SELECT t0, t1,
+         t0 + CAST(floor({TRAIN_FRAC!r} * (t1 - t0)) AS BIGINT) AS cut
+  FROM b
+)
+SELECT e.event_id, e.user_id,
+       CASE WHEN epoch_us(e.ts) < c.cut THEN 'train'
+            WHEN epoch_us(e.ts) < c.cut + {EMBARGO_HOURS * 3_600_000_000}
+              THEN 'embargo'
+            ELSE 'test' END AS split
+FROM events e, c
+"""
+
+
 QUERIES = {
     "negative_sampling": negative_sampling,
     "negative_sampling_weighted": negative_sampling_weighted,
     "sequence_training_pairs": sequence_training_pairs,
     "sequence_split_leave_last": sequence_split_leave_last,
+    # r11: purged temporal split (embargoed time-based protocol).
+    "events_split_temporal": events_split_temporal,
 }
 
 ORACLES = {
@@ -498,4 +568,5 @@ ORACLES = {
     "negative_sampling_weighted": WEIGHTED_SAMPLING_ORACLE,
     "sequence_training_pairs": SEQUENCE_PAIRS_ORACLE,
     "sequence_split_leave_last": SEQUENCE_SPLIT_ORACLE,
+    "events_split_temporal": TEMPORAL_SPLIT_ORACLE,
 }
