@@ -181,6 +181,41 @@ def _load_prev_medians(out_path: str, sf: float) -> dict[str, float]:
         return {}
 
 
+def stdout_result(
+    total: float,
+    timings: dict,
+    sf: float,
+    contended: bool,
+    steady_total: float,
+    n_movers: int,
+) -> dict:
+    """THE stdout schema — the one object the driver's fixed-size
+    tail capture must parse, factored out so
+    ``tests/test_bench_contract.py`` ratchets the REAL schema at
+    worst-case field widths (a hand-mirrored dict in the test could
+    drift and miss a re-added per-query field — the BENCH_r10
+    "parsed: null" class). Per-query annotation detail (load context,
+    spreads, steady medians, mover pairs) belongs in bench_out.json,
+    never here."""
+    return {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        # contended runs read high: compare against prev_delta before
+        # believing a regression (see bench --check)
+        "contended": contended,
+        # sum of per-query steady-state (consecutive-triple) medians —
+        # the dedicated-job cost, vs "value"'s interleaved-context cost
+        "steady_total": steady_total,
+        # how many queries moved >20% vs prev (each was steady-
+        # rechecked; the name -> [interleaved, steady] pairs are in
+        # bench_out.json "movers")
+        "n_movers": n_movers,
+    }
+
+
 def main() -> None:
     from customer_churn_prediction_spark.plans import get_queries
     from customer_churn_prediction_spark.session import get_spark
@@ -389,23 +424,10 @@ def main() -> None:
     # bench_out.json, which is committed alongside BENCH_r{N}.
     # tests/test_bench_contract.py ratchets this line < 1,900 chars
     # at worst-case field widths.
-    result = {
-        "metric": "headline_queries_total_runtime",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": float(sf),
-        # contended runs read high: compare against prev_delta before
-        # believing a regression (see bench --check)
-        "contended": contended,
-        # sum of per-query steady-state (consecutive-triple) medians —
-        # the dedicated-job cost, vs "value"'s interleaved-context cost
-        "steady_total": round(sum(steady.values()), 3),
-        # how many queries moved >20% vs prev (each was steady-
-        # rechecked; the name -> [interleaved, steady] pairs are in
-        # bench_out.json "movers")
-        "n_movers": len(movers),
-    }
+    result = stdout_result(
+        total, timings, float(sf), contended,
+        round(sum(steady.values()), 3), len(movers),
+    )
     with open(out_path, "w") as fh:
         json.dump(
             {

@@ -230,12 +230,18 @@ def _recommend_from_pairs(
             F.col("p_brand").alias("brand"),
         ).distinct()
     else:
+        # round the spend sum to cents BEFORE it becomes a ranking
+        # key: a raw double sum's partial-merge order varies run to
+        # run, so ulp-level near-ties could swap which brands survive
+        # the cap (the 6dp-logweight discipline, applied to prices)
         owned = (
             fact.groupBy(
                 F.col("o_custkey").alias("c_custkey"),
                 F.col("p_brand").alias("brand"),
             )
-            .agg(F.sum("l_extendedprice").alias("weight"))
+            .agg(
+                F.round(F.sum("l_extendedprice"), 2).alias("weight")
+            )
         )
     return _recommend_from_owned(owned, pairs, owned_cap=owned_cap)
 

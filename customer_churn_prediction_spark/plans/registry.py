@@ -250,9 +250,11 @@ def get_oracles() -> dict[str, str]:
 def staged_modules() -> tuple:
     """Operator modules whose staged queries stay pytest-only
     PERMANENTLY BY DESIGN: the driver's 50-row budget caps the registry
-    at 100 provable-every-other-round entries and it sits at 99. A
-    module normally stages its whole ``QUERIES`` dict; a module that is
-    ALSO registered (vocab since r7) splits the staged remainder into
+    at 100 provable-every-other-round entries and it is FULL since the
+    r11 graduation — a future graduation requires retiring a
+    verified-equal twin first. A module normally stages its whole
+    ``QUERIES`` dict; a module that is ALSO registered (vocab since
+    r7) splits the staged remainder into
     ``STAGED_QUERIES``/``STAGED_ORACLES``. Each staged query carries a
     same-named oracle and driver-rigor parity in its own test file
     (`tests/test_staged_surface.py` holds the contract); the
@@ -277,11 +279,12 @@ def staged_modules() -> tuple:
     from ..text import selection as text_selection
     from ..text import vocab
 
-    # (similarity.recall and text.selection graduated wholesale in r10
-    # — ann_recall_matrix / corpus_select_dsir are registered, so both
-    # modules left this tuple.)
-    # (operators.asof left this tuple in r11: its one staged query
-    # events_resample_ffill graduated into the banked 100th slot.)
+    # (similarity.recall graduated wholesale in r10; operators.asof
+    # left in r11 when events_resample_ffill took the banked 100th
+    # slot. text.selection ALSO graduated wholesale in r10 but
+    # RE-ENTERED in r11 with a registered+staged split: its
+    # corpus_select_dsir_stored at-rest twin is staged, its
+    # corpus_select_dsir stays registered — do not remove it again.)
     return (
         survival, funnels, quality, sketches, affinity, attribution,
         anomaly, vocab, regression, drift_features, encoding,

@@ -20,9 +20,13 @@ maintenance shape — the SEVENTH family on the maintained-store matrix:
     maintained answer equals the batch answer row-for-row by
     construction, and the equality is pinned across epoch slicings
     and an injected crash replay (tests/test_streaming_resample.py);
-  * every epoch republishes the compact per-user snapshot (last hour,
-    last value, total events — the "current feature" a serving tier
-    reads) through the shared atomic publish.
+  * the compact per-user snapshot (last hour, last value, total
+    events — the "current feature" a serving tier reads) publishes
+    through the shared atomic publish ON A CHOSEN CADENCE
+    (``publish_snapshot`` / ``snapshot_every``; r11) — by default the
+    epoch loop never pays the users-wide snapshot pass, and readers
+    that want the live view call ``snapshot``/``resample_report``
+    directly over the state.
 
 State: one row per TOUCHED (user, hour) per epoch — linear in the
 epoch's own events, independent of history size. ``compact`` folds
@@ -171,6 +175,14 @@ def maintain_resample(
     micro-batch that no reader consumed; the epoch's own cost is now
     only its (user, hour) partials, and snapshot cost is a deliberate
     cadence decision."""
+    if snapshot_every is not None and snapshot_every < 1:
+        # 0 is a plausible "never publish" sentinel, but it would hit
+        # a ZeroDivisionError inside the epoch loop and kill the
+        # stream with an opaque exception — fail loudly at start.
+        raise ValueError(
+            "snapshot_every must be >= 1, or None to never "
+            f"auto-publish; got {snapshot_every!r}"
+        )
     state_path = os.path.join(store_dir, STATE_SUBDIR)
 
     def epoch(batch_df: DataFrame, epoch_id: int) -> None:

@@ -131,10 +131,25 @@ def bucket_model(grams: DataFrame) -> DataFrame:
 
 
 # Band-stats fit memo, keyed by sf_dir (the ``similarity/ann.py``
-# ``_CENT_CACHE`` precedent: fit once, serve many). bench.py registers
-# this in _FIT_MEMOS and clears it per measured pass, so the benched
-# cost includes the two fit aggregates every iteration.
-_BAND_CACHE: dict[str, tuple[int, int, float, float]] = {}
+# ``_CENT_CACHE`` fit-once precedent), guarded by a corpus
+# fingerprint: unlike stale centroids (still self-consistent
+# approximate answers), stale band stats would make an EXACT-
+# semantics output wrong, so each serve rechecks the doc count (a
+# parquet metadata-only aggregate) and refits on mismatch. The cached
+# value is (n_docs, stats).
+_BAND_CACHE: dict[str, tuple[int, tuple[int, int, float, float]]] = {}
+
+
+def _band_stats_for(
+    key: str, scored_src: DataFrame, n_docs: int
+) -> tuple[int, int, float, float]:
+    """Fingerprinted memo fetch: refit when the corpus size at ``key``
+    changed since the cached fit (re-ingested corpus at the same
+    path)."""
+    hit = _BAND_CACHE.get(key)
+    if hit is None or hit[0] != n_docs:
+        _BAND_CACHE[key] = (n_docs, _band_stats(scored_src))
+    return _BAND_CACHE[key][1]
 
 
 def corpus_select_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -142,9 +157,9 @@ def corpus_select_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Columns: doc_id, n_grams, logweight, selected."""
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    if sf_dir not in _BAND_CACHE:
-        _BAND_CACHE[sf_dir] = _band_stats(_dsir_scored(docs))
-    return dsir_report(docs, _stats=_BAND_CACHE[sf_dir])
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    stats = _band_stats_for(sf_dir, _dsir_scored(docs), n_docs)
+    return dsir_report(docs, _stats=stats)
 
 
 # Percentile offset around (1 - KEEP_FRAC) that brackets the selection
@@ -327,10 +342,10 @@ def corpus_select_dsir_stored(
     ``ann_bruteforce_int8_stored`` at-rest-twin discipline). The fit
     here is two aggregates over a 3-column doc-level scan."""
     scored = dsir_scores_ingest(spark, sf_dir)
-    key = f"stored:{sf_dir}"
-    if key not in _BAND_CACHE:
-        _BAND_CACHE[key] = _band_stats(scored)
-    return _select_tail(scored, _BAND_CACHE[key])
+    stats = _band_stats_for(
+        f"stored:{sf_dir}", scored, scored.count()
+    )
+    return _select_tail(scored, stats)
 
 
 def dsir_report_exact(docs: DataFrame) -> DataFrame:

@@ -68,7 +68,8 @@ DOC_ONLY_QUERIES = [
     # r9 staged: token-distribution entropy + TTR (two hash aggregates)
     "text_entropy",
     # r10 staged: tokenizer-fit eval (shared encode core, one scan)
-    "vocab_eval_compression",    # r11 staged: A-ES weighted without-replacement sampling (heap
+    "vocab_eval_compression",
+    # r11 staged: A-ES weighted without-replacement sampling (heap
     # top-K — flat by construction; the curve is the evidence)
     "corpus_sample_weighted",
 ]

@@ -72,16 +72,17 @@ def test_bench_stdout_object_stays_compact():
     movers, spreads, steady medians) must live in bench_out.json, not
     stdout."""
     bench = _load_bench()
-    result = {
-        "metric": "headline_queries_total_runtime",
-        "value": 9999.999,
-        "unit": "sec",
-        "queries": {name: 999.999 for name in bench.BENCH_QUERIES},
-        "sf": 0.1,
-        "contended": True,
-        "steady_total": 9999.999,
-        "n_movers": 99,
-    }
+    # the REAL schema function at worst-case field widths — a
+    # hand-mirrored dict here would drift and miss a re-added
+    # per-query field (the BENCH_r10 regression class)
+    result = bench.stdout_result(
+        total=9999.999,
+        timings={name: 999.999 for name in bench.BENCH_QUERIES},
+        sf=0.1,
+        contended=True,
+        steady_total=9999.999,
+        n_movers=99,
+    )
     line = json.dumps(result, separators=(",", ":"))
     assert len(line) < 1900, len(line)
     # And the per-query annotation detail goes to the file, not
