@@ -1314,6 +1314,31 @@ SAMPLE_W_SEED = "wsample|"
 _U_HEX = 13            # 16^13 < 2^63: the md5-prefix unit uniform
 
 
+def aes_logkey(doc_id_col, n_chars_col):
+    """THE A-ES reservoir key, bound in one place: ln(u)/w with u the
+    seeded md5-prefix unit uniform of doc_id and w = greatest(length,
+    1), 12dp-rounded. Shared by the batch sampler below and the
+    maintained reservoir (``streaming/sample.py``) so the two draws
+    cannot drift — the key is a pure function of the row, which is
+    what makes the reservoir mergeable and replay-idempotent."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(SAMPLE_W_SEED), doc_id_col.cast("string")
+                )
+            ),
+            1,
+            _U_HEX,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h + F.lit(1)).cast("double") / F.lit(float(16 ** _U_HEX) + 1.0)
+    w = F.greatest(n_chars_col, F.lit(1)).cast("double")
+    return F.round(F.log(u) / w, 12)
+
+
 def corpus_sample_weighted(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1342,31 +1367,13 @@ def corpus_sample_weighted(
     (bounded by construction). Empty-text docs draw with weight
     ``greatest(n_chars, 1)`` (ANSI division guard)."""
     d = load_table(spark, sf_dir, "documents", spread=True)
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.lit(SAMPLE_W_SEED),
-                    F.col("doc_id").cast("string"),
-                )
-            ),
-            1,
-            _U_HEX,
-        ),
-        16,
-        10,
-    ).cast("bigint")
-    u = (h + F.lit(1)).cast("double") / F.lit(
-        float(16 ** _U_HEX) + 1.0
-    )
-    w = F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
     from pyspark.sql import Window
 
     keyed = d.select(
         "doc_id",
         "lang",
         "n_chars",
-        F.round(F.log(u) / w, 12).alias("logkey"),
+        aes_logkey(F.col("doc_id"), F.col("n_chars")).alias("logkey"),
     )
     top = keyed.orderBy(
         F.col("logkey").desc(), F.col("doc_id").asc()

@@ -1,10 +1,11 @@
 """ONE contract matrix for every maintained at-rest store family.
 
-Eight store families share the ``streaming/maintenance.py`` discipline
+Nine store families share the ``streaming/maintenance.py`` discipline
 (exactly-once epochs, staged-swap compaction, governance semantics):
 CMS partials, HLL registers, Bloom bits, KMV sketches, GK quantile
-reports, the streaming IVF lists, and (r10) the hourly resample
-rollup and the decayed-counter snapshots. Their per-family test files
+reports, the streaming IVF lists, (r10) the hourly resample
+rollup and the decayed-counter deltas, and (r11) the A-ES weighted
+reservoir sample. Their per-family test files
 (pre-matrix, the first five) each re-implemented
 the same contract cells, so a drift in a future sixth family — or a
 fix that lands in one family and not another — had nothing to catch
@@ -51,6 +52,7 @@ from customer_churn_prediction_spark.streaming import hll as shll
 from customer_churn_prediction_spark.streaming import kmv as skmv
 from customer_churn_prediction_spark.streaming import quantiles as sq
 from customer_churn_prediction_spark.streaming import resample as srs
+from customer_churn_prediction_spark.streaming import sample as ssam
 from customer_churn_prediction_spark.streaming import sketch as ssk
 from customer_churn_prediction_spark.streaming.drift import read_report
 
@@ -547,8 +549,62 @@ class GKFamily(Family):
         return input_df.where(F.col("event_type") != "click")
 
 
+class SampleFamily(Family):
+    """The ninth family (r11): the A-ES weighted reservoir. The key
+    is a pure per-row function (seeded md5), so the global top-K of a
+    union is the top-K of per-epoch top-Ks — merge/replay/compaction
+    are all the distinct-top-K and equality vs the one-shot batch
+    draw is BIT equality."""
+
+    name = "sample"
+    live_subdir = ssam.SAMPLE_SUBDIR
+
+    def waves(self, spark, sf_smoke):
+        docs = load_table(spark, sf_smoke, "documents").select(
+            "doc_id", "lang", "n_chars"
+        )
+        return [
+            docs.where(F.col("doc_id") % 3 == i) for i in range(3)
+        ]
+
+    def run(self, spark, sf_smoke, stream_dir, store, ckpt, fault=None):
+        stream = (
+            spark.readStream.schema(
+                "doc_id bigint, lang string, n_chars bigint"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        return ssam.maintain_sample(
+            spark, stream, store, checkpoint=ckpt, fault=fault
+        )
+
+    def state(self, spark, sf_smoke, store):
+        return _rows(ssam.current_sample(spark, store))
+
+    def batch_state(self, spark, sf_smoke, input_df):
+        return _rows(ssam._epoch_topk(input_df))
+
+    def compact(self, spark, store):
+        ssam.compact(spark, store, upto_epoch=10)
+
+    def scrub(self, input_df):
+        # erase a doc that IS a reservoir winner, so the rebuild must
+        # promote the next key — the non-trivial governance case
+        return input_df.where(F.col("doc_id") != 402)
+
+    def rebuild(self, spark, store, clean_df):
+        ssam.rebuild(spark, store, clean_df)
+        return True
+
+    def empty_read(self, spark, sf_smoke, store):
+        assert ssam.current_sample(spark, store).collect() == []
+        assert ssam.sample_report(spark, store).collect() == []
+
+
 FAMILIES = [CMSFamily(), HLLFamily(), BloomFamily(), KMVFamily(),
-            IVFFamily(), ResampleFamily(), DecayFamily(), GKFamily()]
+            IVFFamily(), ResampleFamily(), DecayFamily(), GKFamily(),
+            SampleFamily()]
 _IDS = [f.name for f in FAMILIES]
 
 
