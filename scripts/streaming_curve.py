@@ -463,6 +463,35 @@ def bench_decay(spark, sf_dir, tag):
     return walls, f"{n_users} user rows/snapshot"
 
 
+def bench_sample(spark, sf_dir, tag):
+    """A-ES weighted reservoir on ingest (the matrix's ninth family):
+    each epoch lands its own <= K keyed rows — state sketch-sized,
+    constant in corpus size."""
+    from customer_churn_prediction_spark.catalog import load_table
+    from customer_churn_prediction_spark.streaming import (
+        sample as ssam,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    work = tempfile.mkdtemp(prefix=f"sample_{tag}_")
+    waves = _stage_waves(docs, "doc_id", os.path.join(work, "wave"))
+    drop_dir = os.path.join(work, "drops")
+    os.makedirs(drop_dir)
+    store = os.path.join(work, "store")
+    stream = spark.readStream.schema(
+        "doc_id bigint, lang string, n_chars bigint"
+    ).parquet(drop_dir)
+    q = ssam.maintain_sample(
+        spark, stream, store, checkpoint=os.path.join(work, "ckpt")
+    )
+    walls = _run_epochs(q, waves, drop_dir)
+    n = ssam.current_sample(spark, store).count()
+    shutil.rmtree(work, ignore_errors=True)
+    return walls, f"{n}-row reservoir"
+
+
 def bench_decay_touched(spark, sf_dir, tag):
     """The r11 delta-write claim, isolated: epoch wall must track the
     epoch's TOUCHED users, not the store's population. The r10 curve
@@ -533,6 +562,8 @@ def main() -> None:
         ("maintain_decay", bench_decay, SF01, X10_EVENTS),
         ("maintain_decay_touched", bench_decay_touched, SF01,
          X10_EVENTS),
+        ("maintain_sample", bench_sample, SF01,
+         os.path.join(REPO, ".scale", "sf1docs")),
         ("select_ingest_stream", bench_selection, SF01,
          os.path.join(REPO, ".scale", "sf1docs")),
         ("maintain_text_drift", bench_text_drift, SF01,
