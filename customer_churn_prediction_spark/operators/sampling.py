@@ -15,8 +15,10 @@ sequence/retrieval pipeline bolts on.
 Algorithm (all relational, no RNG state):
 
 1. Positives = distinct (user, item) interactions.
-2. Item vocabulary gets a dense index 0..n-1 (global sort — the vocab
-   is model-sized, same class as the ANN codebooks/centroid collects).
+2. Item vocabulary gets a dense index 0..n-1 — the two-level bucketed
+   rank (``_dense_item_index``): no vocab-wide single-task sort, the
+   only serial term is the bucket-count offset window (r12; the exact
+   single-window form survives as the verified-equal twin).
 3. Each user gets ``OVERSAMPLE × K_NEG`` candidate slots; slot j maps
    to index ``md5(seed|user|j) % n`` — a seeded hash, not an RNG, so
    both engines and every re-run agree row-for-row.
@@ -44,6 +46,64 @@ SEED = "ns1"
 K_NEG = 4
 OVERSAMPLE = 3
 _N_SLOTS = K_NEG * OVERSAMPLE
+
+# Value-range width of one index bucket in the two-level rank/CDF
+# below: the serial ordered-window term shrinks from |vocab| rows to
+# |vocab|/width bucket rows (10⁸ items → ~24k bucket partials).
+_IDX_BUCKET_WIDTH = 4096
+
+
+def _dense_item_index(vocab: DataFrame) -> DataFrame:
+    """(item, idx): the dense 0..V-1 index by global item order — the
+    two-level bucketed rank (r12, VERDICT r11 item 4).
+
+    The r11 form ranked the whole vocabulary through ONE ordered
+    window task (``row_number().over(Window.orderBy("item"))``) —
+    fine for a retail catalog, a single-task wall at web-scale item
+    universes (10⁸+). Same remedy the repo used for DSIR and
+    topk/quantiles: (1) hash-aggregate per value-range bucket
+    ``item div W`` (distributed, order-aligned because the bucket id
+    is monotone in item); (2) ONE ordered window over the
+    BUCKET-count frame (V/W rows — the only serial term left)
+    computes per-bucket offsets; (3) rank WITHIN each bucket
+    (window partitioned by bucket — distributed) and add the offset.
+    Bit-identical to the exact twin ``_dense_item_index_exact``
+    (equality pytest tests/test_negative_sampling.py)."""
+    bk = F.expr(f"item div {_IDX_BUCKET_WIDTH}")
+    counts = vocab.groupBy(bk.alias("bk")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w_bk = Window.orderBy("bk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = counts.select(
+        "bk",
+        F.coalesce(F.sum("n").over(w_bk), F.lit(0)).alias("off"),
+    )
+    w_in = Window.partitionBy("bk").orderBy("item")
+    return (
+        vocab.withColumn("bk", bk)
+        .join(offs, "bk")
+        .select(
+            "item",
+            (F.col("off") + F.row_number().over(w_in) - 1).alias(
+                "idx"
+            ),
+        )
+    )
+
+
+def _dense_item_index_exact(vocab: DataFrame) -> DataFrame:
+    """The r11 single-window form — every vocab row through one
+    global ordered rank task. Verified-equal twin of
+    ``_dense_item_index`` (the form that pins the semantics; holds no
+    serving path)."""
+    return vocab.select(
+        "item",
+        (F.row_number().over(Window.orderBy("item")) - 1).alias(
+            "idx"
+        ),
+    )
 
 
 def project_purchases(events: DataFrame) -> DataFrame:
@@ -83,10 +143,7 @@ def negative_samples_frame(
     (user_id, neg_item, rank) with rank 1..k in draw order."""
     n_slots = k * oversample
     vocab = inter.select("item").distinct()
-    vocab_idx = vocab.select(
-        "item",
-        (F.row_number().over(Window.orderBy("item")) - 1).alias("idx"),
-    )
+    vocab_idx = _dense_item_index(vocab)
     n_items = vocab.agg(F.count(F.lit(1)).alias("n_items"))
 
     # Column-built (no string splicing): a seed is data, not SQL.
@@ -153,6 +210,55 @@ W_SEED = "nsw1"
 _CDF_BUCKETS = 1024
 
 
+def _item_cdf(freq: DataFrame) -> DataFrame:
+    """(item, lo, hi): the exact-integer cumulative weight interval of
+    each item by global item order — the two-level bucketed running
+    sum (r12, VERDICT r11 item 4; same shape as
+    ``_dense_item_index``): per-bucket weight sums (distributed hash
+    aggregate), ONE ordered window over the bucket-count frame for
+    the offsets, the within-bucket running sum partitioned by bucket.
+    All integer arithmetic — no float CDF drift, bit-identical to the
+    exact twin ``_item_cdf_exact``."""
+    bk = F.expr(f"item div {_IDX_BUCKET_WIDTH}")
+    per = freq.groupBy(bk.alias("bk")).agg(
+        F.sum("w").cast("long").alias("wsum")
+    )
+    w_bk = Window.orderBy("bk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = per.select(
+        "bk",
+        F.coalesce(F.sum("wsum").over(w_bk), F.lit(0)).alias("woff"),
+    )
+    w_in = Window.partitionBy("bk").orderBy("item").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        freq.withColumn("bk", bk)
+        .join(offs, "bk")
+        .select(
+            "item",
+            "w",
+            (F.col("woff") + F.sum("w").over(w_in)).alias("hi"),
+        )
+        .select("item", (F.col("hi") - F.col("w")).alias("lo"), "hi")
+    )
+
+
+def _item_cdf_exact(freq: DataFrame) -> DataFrame:
+    """The r11 single-window CDF — the whole vocabulary's running sum
+    through one global ordered task. Verified-equal twin of
+    ``_item_cdf``."""
+    cum = Window.orderBy("item").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return freq.select(
+        "item",
+        "w",
+        F.sum("w").over(cum).alias("hi"),
+    ).select("item", (F.col("hi") - F.col("w")).alias("lo"), "hi")
+
+
 def _hash_draw(seed: str, modulus) -> "F.Column":
     """Seeded 60-bit md5 draw on (user_id, slot), reduced mod
     ``modulus`` (a column). Column-built — the seed is data."""
@@ -205,14 +311,7 @@ def weighted_negative_samples_frame(
     first-k surviving slots) is the uniform sampler's pipeline."""
     n_slots = k * oversample
     freq = inter.groupBy("item").agg(F.count(F.lit(1)).alias("w"))
-    cum = Window.orderBy("item").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    cdf = freq.select(
-        "item",
-        "w",
-        F.sum("w").over(cum).alias("hi"),
-    ).select("item", (F.col("hi") - F.col("w")).alias("lo"), "hi")
+    cdf = _item_cdf(freq)
     total = freq.agg(F.sum("w").cast("bigint").alias("total_w"))
 
     # `div` (integer division), never `/`: bigint / bigint is DOUBLE
@@ -514,9 +613,17 @@ def events_split_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one 1-row min/max aggregate broadcast into a pure
     map — no shuffle of the event stream at all; the assignment
     column is computed at scan speed and the split is reproducible
-    from the data alone (no RNG, no wall clock)."""
-    e = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "ts"
+    from the data alone (no RNG, no wall clock).
+
+    Null-key contract (r12, ADVICE r11): rows with NULL ts or
+    user_id are dropped up front — a NULL ts compares false in both
+    ``when`` branches and would silently land in the 'test' bucket
+    (oracle-consistently, but semantically wrong for a purged split);
+    same discipline as the decay/resample cores (ADVICE r10)."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts")
+        .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
     )
     bounds = e.agg(
         F.unix_micros(F.min("ts")).alias("t0"),
@@ -537,8 +644,12 @@ def events_split_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TEMPORAL_SPLIT_ORACLE = f"""
-WITH b AS (
-  SELECT epoch_us(min(ts)) AS t0, epoch_us(max(ts)) AS t1 FROM events
+WITH src AS (
+  SELECT event_id, user_id, ts FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+b AS (
+  SELECT epoch_us(min(ts)) AS t0, epoch_us(max(ts)) AS t1 FROM src
 ),
 c AS (
   SELECT t0, t1,
@@ -550,7 +661,7 @@ SELECT e.event_id, e.user_id,
             WHEN epoch_us(e.ts) < c.cut + {EMBARGO_HOURS * 3_600_000_000}
               THEN 'embargo'
             ELSE 'test' END AS split
-FROM events e, c
+FROM src e, c
 """
 
 

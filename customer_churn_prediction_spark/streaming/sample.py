@@ -67,16 +67,34 @@ def _epoch_topk(docs: DataFrame) -> DataFrame:
 
 
 def _topk(rows: DataFrame) -> DataFrame:
-    """Distinct top-K merge over any keyed partial set."""
+    """Distinct-DOC top-K merge over any stored partial set (rows
+    carry the store's ``epoch_id`` partition column).
+
+    r12 (ADVICE r11): one row per doc_id — latest epoch wins — BEFORE
+    the K-rank. The old ``distinct()`` collapsed only bit-identical
+    rows, so a doc re-ingested across epochs with a changed
+    (lang, n_chars) carried two different logkeys and could occupy
+    two of the K slots. Both windows run over the sketch-sized
+    partial set (<= K·epochs rows), never the corpus.
+
+    Update semantics are best-effort latest-wins: a revision whose
+    new key falls OUT of its epoch's top-K leaves no stored row, so
+    a stale winner from an earlier epoch can persist — the store is
+    exact for append-only/immutable docs (the family contract) and
+    revisions that matter are a ``rebuild`` (same as erasure)."""
     from pyspark.sql import Window
 
+    w_doc = Window.partitionBy("doc_id").orderBy(
+        F.col("epoch_id").desc()
+    )
     w = Window.orderBy(F.col("logkey").desc(), F.col("doc_id"))
     return (
-        rows.select("doc_id", "lang", "n_chars", "logkey")
-        .distinct()
+        rows.select("doc_id", "lang", "n_chars", "logkey", "epoch_id")
+        .withColumn("v", F.row_number().over(w_doc))
+        .where(F.col("v") == 1)
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= SAMPLE_W_K)
-        .drop("rn")
+        .select("doc_id", "lang", "n_chars", "logkey")
     )
 
 

@@ -134,21 +134,45 @@ def bucket_model(grams: DataFrame) -> DataFrame:
 # ``_CENT_CACHE`` fit-once precedent), guarded by a corpus
 # fingerprint: unlike stale centroids (still self-consistent
 # approximate answers), stale band stats would make an EXACT-
-# semantics output wrong, so each serve rechecks the doc count (a
-# parquet metadata-only aggregate) and refits on mismatch. The cached
-# value is (n_docs, stats).
-_BAND_CACHE: dict[str, tuple[int, tuple[int, int, float, float]]] = {}
+# semantics output wrong. r12 (ADVICE r11): the fingerprint is a
+# CONTENT hash — (count, bit_xor of per-row xxhash64) over the frame
+# the fit reads — not the doc count alone, so a corpus re-ingested at
+# the same path with an equal row count but different content misses
+# the memo and refits. One linear scan, order-independent (bit_xor
+# commutes), no overflow (XOR, not SUM), never compared against the
+# oracle (driver-side refit decision only). The cached value is
+# (fingerprint, stats).
+_BAND_CACHE: dict[
+    str, tuple[tuple[int, int], tuple[int, int, float, float]]
+] = {}
+
+
+def _fingerprint(df: DataFrame, *cols: str) -> tuple[int, int]:
+    """(row count, bit_xor of xxhash64(cols)) — the cheap content
+    identity used to validate fit-once memos. XOR-fold of per-row
+    hashes: one scan + partial aggregation, stable under row order
+    and partitioning."""
+    row = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(
+            F.expr(
+                "bit_xor(xxhash64(" + ", ".join(cols) + "))"
+            ),
+            F.lit(0),
+        ).alias("h"),
+    ).first()
+    return int(row["n"]), int(row["h"])
 
 
 def _band_stats_for(
-    key: str, scored_src: DataFrame, n_docs: int
+    key: str, scored_src: DataFrame, fingerprint: tuple[int, int]
 ) -> tuple[int, int, float, float]:
-    """Fingerprinted memo fetch: refit when the corpus size at ``key``
-    changed since the cached fit (re-ingested corpus at the same
-    path)."""
+    """Fingerprinted memo fetch: refit when the corpus CONTENT at
+    ``key`` changed since the cached fit (re-ingested corpus at the
+    same path — equal count no longer enough to hit the memo)."""
     hit = _BAND_CACHE.get(key)
-    if hit is None or hit[0] != n_docs:
-        _BAND_CACHE[key] = (n_docs, _band_stats(scored_src))
+    if hit is None or hit[0] != fingerprint:
+        _BAND_CACHE[key] = (fingerprint, _band_stats(scored_src))
     return _BAND_CACHE[key][1]
 
 
@@ -157,8 +181,13 @@ def corpus_select_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Columns: doc_id, n_grams, logweight, selected."""
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    n_docs = load_table(spark, sf_dir, "documents").count()
-    stats = _band_stats_for(sf_dir, _dsir_scored(docs), n_docs)
+    fp = _fingerprint(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "lang",
+        "text",
+    )
+    stats = _band_stats_for(sf_dir, _dsir_scored(docs), fp)
     return dsir_report(docs, _stats=stats)
 
 
@@ -340,11 +369,19 @@ def corpus_select_dsir_stored(
     rows, same oracle; the gram pipeline drops out of both the band
     fit and the serve (the ``brand_recommendations_stored`` /
     ``ann_bruteforce_int8_stored`` at-rest-twin discipline). The fit
-    here is two aggregates over a 3-column doc-level scan."""
+    here is two aggregates over a 3-column doc-level scan.
+
+    Fingerprint (r12, ADVICE r11): the memo keys on the CONTENT of
+    the stored score table (count + bit_xor row hash), so the band
+    fit can never be inconsistent with the scores it serves — even
+    when the managed table is rebuilt to an equal row count. Score
+    freshness vs the SOURCE lake is ``managed_ingest``'s contract
+    (explicit rebuild + erasure re-scrub), not this memo's: the memo
+    guarantees fit ≡ stored scores, whichever ingest generation is
+    at rest."""
     scored = dsir_scores_ingest(spark, sf_dir)
-    stats = _band_stats_for(
-        f"stored:{sf_dir}", scored, scored.count()
-    )
+    fp = _fingerprint(scored, "doc_id", "n_grams", "logweight")
+    stats = _band_stats_for(f"stored:{sf_dir}", scored, fp)
     return _select_tail(scored, stats)
 
 

@@ -793,3 +793,40 @@ def test_rebuild_to_empty_resets_store(fam, spark, sf_smoke, tmp_path):
 
     assert fam.rebuild(spark, store, waves[0].limit(0))
     fam.empty_read(spark, sf_smoke, store)
+
+
+def test_reservoir_one_slot_per_doc_latest_epoch_wins(spark, tmp_path):
+    """ADVICE r11 #3: a doc re-ingested across epochs with a changed
+    (lang, n_chars) used to carry two different logkeys that
+    ``distinct()`` could not collapse — the same doc_id occupying two
+    of the K sample slots. The merge now dedupes per doc_id (latest
+    epoch wins) before the K-rank, so the maintained sample holds one
+    row per doc, the revised one."""
+    import os
+
+    store = str(tmp_path / "store")
+    path = os.path.join(store, ssam.SAMPLE_SUBDIR)
+    # two committed epoch partials: doc 1 wins in both, but its
+    # revision in epoch 1 changed n_chars (and thus its logkey)
+    parts = spark.createDataFrame(
+        [
+            (1, "en", 100, 9.0, 0),
+            (2, "en", 50, 5.0, 0),
+            (1, "en", 200, 8.5, 1),
+            (3, "de", 70, 6.0, 1),
+        ],
+        "doc_id bigint, lang string, n_chars bigint, "
+        "logkey double, epoch_id int",
+    )
+    parts.write.partitionBy("epoch_id").parquet(path)
+
+    cur = {r.doc_id: r for r in
+           ssam.current_sample(spark, store).collect()}
+    assert set(cur) == {1, 2, 3}          # one slot per doc, K=100
+    assert cur[1].n_chars == 200          # the epoch-1 revision
+    assert cur[1].logkey == 8.5
+
+    # the rank report inherits the dedupe (one ranked row per doc)
+    ranks = ssam.sample_report(spark, store).collect()
+    assert sorted(r.doc_id for r in ranks) == [1, 2, 3]
+    assert len({r.rank for r in ranks}) == 3

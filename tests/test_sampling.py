@@ -55,6 +55,70 @@ def test_deterministic_and_seed_scoped(spark, sf_smoke):
     assert c and c != a
 
 
+def _adversarial_vocab(spark):
+    """Item ids chosen to stress the bucketed rank: dense runs inside
+    one bucket, exact bucket-boundary values, a bucket with a single
+    item, wide empty-bucket gaps, and ids far past 2^32."""
+    w = sampling._IDX_BUCKET_WIDTH
+    items = (
+        list(range(7))                      # dense run, bucket 0
+        + [w - 1, w, w + 1]                 # boundary straddle
+        + [5 * w + 3]                       # singleton bucket
+        + [10**6, 10**6 + w]                # empty-gap neighbors
+        + [2**40, 2**40 + 1]                # huge ids
+    )
+    return spark.createDataFrame(
+        [(i,) for i in items], "item long"
+    )
+
+
+def test_bucketed_index_equals_exact_twin(spark, sf_dir):
+    """VERDICT r11 item 4: the two-level bucketed dense rank must be
+    bit-identical to the retired vocab-wide single-window form — on
+    the real interaction vocabulary AND an adversarial id layout."""
+    inter = sampling._interactions(spark, sf_dir)
+    vocab = inter.select("item").distinct()
+    got = sorted(map(tuple, sampling._dense_item_index(vocab).collect()))
+    want = sorted(
+        map(tuple, sampling._dense_item_index_exact(vocab).collect())
+    )
+    assert got == want and got
+
+    adv = _adversarial_vocab(spark)
+    got = sorted(map(tuple, sampling._dense_item_index(adv).collect()))
+    want = sorted(
+        map(tuple, sampling._dense_item_index_exact(adv).collect())
+    )
+    assert got == want
+    # dense 0..V-1, order-aligned with item value
+    idx_by_item = dict(got)
+    items = sorted(idx_by_item)
+    assert [idx_by_item[i] for i in items] == list(range(len(items)))
+
+
+def test_bucketed_cdf_equals_exact_twin(spark, sf_dir):
+    """Same claim for the weighted sampler's integer CDF."""
+    from pyspark.sql import functions as F
+
+    inter = sampling._interactions(spark, sf_dir)
+    freq = inter.groupBy("item").agg(F.count(F.lit(1)).alias("w"))
+    got = sorted(map(tuple, sampling._item_cdf(freq).collect()))
+    want = sorted(map(tuple, sampling._item_cdf_exact(freq).collect()))
+    assert got == want and got
+
+    adv = _adversarial_vocab(spark).withColumn(
+        "w", (F.col("item") % 7 + 1).cast("long")
+    )
+    got = sorted(map(tuple, sampling._item_cdf(adv).collect()))
+    want = sorted(map(tuple, sampling._item_cdf_exact(adv).collect()))
+    assert got == want
+    # contiguous intervals: lo of the next item == hi of the previous
+    seq = sorted(got, key=lambda t: t[1])
+    assert seq[0][1] == 0
+    for (_, _, hi_prev), (_, lo, _) in zip(seq, seq[1:]):
+        assert lo == hi_prev
+
+
 def test_weighted_oracle_parity(spark, sf_dir):
     assert_matches_oracle(
         sampling.negative_sampling_weighted(spark, sf_dir),

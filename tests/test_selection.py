@@ -150,6 +150,56 @@ def test_band_rank_window_sees_only_band_rows(spark, sf_dir):
     assert band < 0.2 * n, (band, n)
 
 
+def test_band_cache_refits_on_same_count_reingest(spark, tmp_path):
+    """The r11 latent seam (ADVICE r11 #1), closed in r12: the band
+    memo fingerprinted only the doc COUNT, so a corpus re-ingested at
+    the same path with an equal count but different content served
+    stale (k, c_above, lo, hi) literals — and stale band stats make
+    the EXACT-semantics ``selected`` flags wrong. The fingerprint is
+    now a content hash; this test re-ingests a same-count corpus whose
+    logweights sit far outside the first fit's band (text doubled →
+    ~2× logweight scale) and demands the fresh, correct selection."""
+    import math
+
+    from customer_churn_prediction_spark.catalog import load_table
+    from customer_churn_prediction_spark.text.selection import (
+        corpus_select_dsir,
+        dsir_report_exact,
+    )
+
+    path = str(tmp_path)
+    out_path = f"{path}/documents.parquet"
+
+    _corpus(spark).write.mode("overwrite").parquet(out_path)
+    first = corpus_select_dsir(spark, path).collect()
+    assert sum(r.selected for r in first) == math.ceil(
+        DSIR_KEEP_FRAC * len(first)
+    )
+
+    # Re-ingest at the SAME path: same 40 doc_ids, but the target
+    # vocabulary flips to the alien one and every text is doubled, so
+    # the new logweight scale lands outside the cached band bracket.
+    rows = []
+    for i in range(10):
+        rows.append((i, "en", (_ALIEN + f" a{i % 3} ") * 2))
+    for i in range(10, 25):
+        rows.append((i, "de", (_ALIEN + f" a{i % 3} ") * 2))
+    for i in range(25, 40):
+        rows.append((i, "de", (_TARGETY + f" t{i % 3} ") * 2))
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, text string"
+    ).write.mode("overwrite").parquet(out_path)
+
+    got = sorted(map(tuple, corpus_select_dsir(spark, path).collect()))
+    docs = load_table(spark, path, "documents", spread=True)
+    want = sorted(map(tuple, dsir_report_exact(docs).collect()))
+    assert got == want
+    sel = {t[0] for t in got if t[3]}
+    # top 25% of 40 docs = 10 slots, all from the (now alien-vocab)
+    # target-lookalike group — a stale band would select 15 or 0.
+    assert len(sel) == 10 and sel.issubset(set(range(25)))
+
+
 def test_stored_selection_equals_inline(spark, sf_dir):
     """corpus_select_dsir_stored serves the identical selection from
     the at-rest score table (the at-rest-twin discipline) — same rows

@@ -24,7 +24,11 @@ def test_split_is_total_purged_and_ordered(spark, sf_dir):
     """Every event gets exactly one label; max(train ts) + embargo <=
     min(test ts) — no test event inside the purged window — and the
     embargo bucket sits strictly between the two."""
-    e = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id")
+        .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+    )
     out = sampling.events_split_temporal(spark, sf_dir)
     assert out.count() == e.count()
     j = out.join(e, "event_id")
@@ -46,6 +50,49 @@ def test_split_is_total_purged_and_ordered(spark, sf_dir):
     if "embargo" in agg:
         assert agg["embargo"].lo > tr_hi
         assert agg["embargo"].hi < te_lo
+
+
+def test_null_keys_are_dropped_not_bucketed_as_test(spark, tmp_path):
+    """ADVICE r11 #2: a NULL ts compares false in both when()
+    branches, so before the null-key filter it silently landed in the
+    'test' bucket — semantically wrong for a purged split. Constructed
+    events with NULL ts / NULL user_id must be dropped in BOTH the
+    Spark plan and the oracle."""
+    import duckdb
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 10),
+        (2, "2024-01-05 00:00:00", 11),
+        (3, "2024-01-10 00:00:00", 12),
+        (4, None, 13),          # NULL ts: must not appear
+        (5, "2024-01-09 00:00:00", None),  # NULL user: must not appear
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long"
+    ).select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        F.lit("click").alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    path = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{path}/events.parquet")
+
+    out = sampling.events_split_temporal(spark, path).collect()
+    assert {r.event_id for r in out} == {1, 2, 3}
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS "
+        f"SELECT * FROM "
+        f"read_parquet('{path}/events.parquet/*.parquet')"
+    )
+    got = con.execute(
+        sampling.ORACLES["events_split_temporal"]
+    ).fetchall()
+    assert {r[0] for r in got} == {1, 2, 3}
 
 
 def test_split_is_deterministic_not_wall_clock(spark, sf_dir):
