@@ -59,9 +59,11 @@ BENCH_QUERIES = [
     "range_join_events",
     "dedup_minhash_signatures",
     "dedup_minhash_lsh_pairs",
-    "dedup_lsh_verified",
+    # (dedup_lsh_verified retired r12: its full pipeline stays benched
+    # inside dedup_recall_eval and dedup_cross_modal below)
     "dedup_incremental",
-    "dedup_incremental_materialized",
+    # (dedup_incremental_materialized retired r12 to its verified-equal
+    # inline twin above; the at-rest form stays equality+plan-pytested)
     "dedup_lsh_components",
     "text_tfidf_topk",
     "text_stats",
@@ -139,7 +141,22 @@ BENCH_QUERIES = [
     "corpus_select_dsir",
     # r11 graduation: the point-in-time feature grid (resample+ffill).
     "events_resample_ffill",
+    # r12 graduations: the BPE eval member (the registered triad's
+    # train/encode rows above get their compression-grade row) and
+    # the visit-level Markov transition model.
+    "vocab_eval_compression",
+    "session_transitions",
 ]
+
+# Solo-calibration probes (r12, VERDICT r11 item 7): r10→r11 totals
+# moved ±12% with zero code-attributable movers — pure box-speed
+# drift on a shared host. These three fixed, plan-diverse reference
+# queries run as consecutive triples BEFORE the interleaved passes
+# (coldest, least-contended point of the run); their medians ride
+# stdout as "cal":[...] in THIS order, so cross-round deltas can be
+# normalized machine-readably: if the calibration triple moved with
+# the headline total, the box moved, not the code.
+CALIBRATION = ["topk_orders", "text_stats", "dedup_simhash"]
 
 
 def _elevated_queries(
@@ -188,6 +205,7 @@ def stdout_result(
     contended: bool,
     steady_total: float,
     n_movers: int,
+    cal: list[float],
 ) -> dict:
     """THE stdout schema — the one object the driver's fixed-size
     tail capture must parse, factored out so
@@ -198,7 +216,11 @@ def stdout_result(
     spreads, steady medians, mover pairs) belongs in bench_out.json,
     never here."""
     return {
-        "metric": "headline_queries_total_runtime",
+        # r12: was "headline_queries_total_runtime" — shortened for
+        # stdout budget when the calibration triple landed (the
+        # cross-round series identity lives in the per-query medians
+        # and "value", which are unchanged)
+        "metric": "headline_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
@@ -213,6 +235,9 @@ def stdout_result(
         # rechecked; the name -> [interleaved, steady] pairs are in
         # bench_out.json "movers")
         "n_movers": n_movers,
+        # solo-calibration medians in CALIBRATION order, measured
+        # before the interleaved passes — the box-speed normalizer
+        "cal": cal,
     }
 
 
@@ -254,7 +279,6 @@ def main() -> None:
     # Bucketed-at-rest ingests are a once-per-dataset cost by design
     # (the shuffle is paid at rest, not per query): run them in
     # warm-up at the bench sf so the measured time is the query.
-    force(queries["dedup_incremental_materialized"](spark, SF_DIR))
     force(queries["ann_ivf_materialized"](spark, SF_DIR))
     force(queries["ann_bruteforce_int8_stored"](spark, SF_DIR))
     force(queries["ann_ivf_pq_stored"](spark, SF_DIR))
@@ -278,6 +302,27 @@ def main() -> None:
     # _CENT_CACHE, which bench likewise amortizes; the first pass
     # pays it cold and the median of 5 reports the serve cost.)
 
+    import statistics
+
+    def consec_median(name: str) -> float:
+        """Median of one consecutive triple of a single query — the
+        steady-state probe shared by the calibration pass and the
+        per-query steady tail."""
+        tri = []
+        for _ in range(3):
+            _FIT_MEMOS.get(name, {}).clear()
+            t0 = time.perf_counter()
+            force(queries[name](spark, SF_DIR))
+            tri.append(time.perf_counter() - t0)
+        return round(statistics.median(tri), 3)
+
+    # Solo-calibration pass (r12): the three CALIBRATION probes run
+    # consecutively, warmed, BEFORE the interleaved passes — their
+    # medians are the run's box-speed anchor ("cal" on stdout, in
+    # CALIBRATION order). A cross-round total delta that the anchor
+    # reproduces is host drift; one it does not is code.
+    cal = [consec_median(name) for name in CALIBRATION]
+
     samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
     # Loadavg timeseries, one sample per (query, pass): the box-noise
     # context for every timing (r9's driver bench was contended with
@@ -292,8 +337,6 @@ def main() -> None:
             force(fn(spark, SF_DIR))
             samples[name].append(time.perf_counter() - t0)
             loads[name].append(round(os.getloadavg()[0], 2))
-
-    import statistics
 
     timings = {
         name: round(statistics.median(v), 3) for name, v in samples.items()
@@ -358,14 +401,7 @@ def main() -> None:
     # an interleave-context plateau can never be mistaken for a plan
     # regression again. Headline methodology (interleaved medians)
     # unchanged for cross-round comparability.
-    def steady_triple(name: str) -> float:
-        tri = []
-        for _ in range(3):
-            _FIT_MEMOS.get(name, {}).clear()
-            t0 = time.perf_counter()
-            force(queries[name](spark, SF_DIR))
-            tri.append(time.perf_counter() - t0)
-        return round(statistics.median(tri), 3)
+    steady_triple = consec_median
 
     steady: dict[str, float] = {
         name: steady_triple(name) for name in BENCH_QUERIES
@@ -426,7 +462,7 @@ def main() -> None:
     # at worst-case field widths.
     result = stdout_result(
         total, timings, float(sf), contended,
-        round(sum(steady.values()), 3), len(movers),
+        round(sum(steady.values()), 3), len(movers), cal,
     )
     with open(out_path, "w") as fh:
         json.dump(
@@ -434,6 +470,8 @@ def main() -> None:
                 **result,
                 "iters": N_ITERS,
                 "load_at_start": load_at_start,
+                # name -> median mapping for the stdout "cal" array
+                "cal_queries": dict(zip(CALIBRATION, cal)),
                 "spread": spread,
                 "prev_delta": prev_delta,
                 "rechecked": rechecked,

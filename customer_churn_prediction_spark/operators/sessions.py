@@ -120,6 +120,10 @@ GROUP BY user_id, session_seq
 
 QUERIES = {"event_sessions": event_sessions}
 ORACLES = {"event_sessions": SESSIONS_ORACLE}
+# session_transitions joins them below after its definition (r12
+# graduation — the slot was freed by retiring dedup_lsh_verified to
+# dedup_recall_eval, which executes its full pipeline in both
+# engines).
 
 
 def session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -220,8 +224,9 @@ SELECT from_type, to_type, n,
 FROM counts
 """
 
-# r11: staged split (the vocab precedent — the module is registered
-# via event_sessions, additions land staged under the 100-slot
-# registry ceiling).
-STAGED_QUERIES = {"session_transitions": session_transitions}
-STAGED_ORACLES = {"session_transitions": TRANSITIONS_ORACLE}
+# r11: staged (the vocab precedent). r12: graduated — the visit-level
+# Markov model carries its own driver row; staged split now empty.
+QUERIES["session_transitions"] = session_transitions
+ORACLES["session_transitions"] = TRANSITIONS_ORACLE
+STAGED_QUERIES: dict = {}
+STAGED_ORACLES: dict = {}

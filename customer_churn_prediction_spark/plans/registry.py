@@ -133,6 +133,24 @@ RETIRED = {
     "ann_ivf": "ann_ivf_materialized",
     "ann_bruteforce_int8": "ann_bruteforce_int8_stored",
     "dedup_ngram_jaccard": "dedup_recall_eval",
+    # r12 (the ROADMAP r12 queue): ≡ dedup_incremental (same committed
+    # ORACLE; permanent equality pytest tests/test_dedup_materialized.py
+    # ::test_materialized_matches_inline + the zero-Exchange bucketed-
+    # scan plan test). The at-rest corpus-bands capability stays
+    # driver-exercised through the registered sibling's shared core;
+    # the freed slot graduates vocab_eval_compression, completing the
+    # registered BPE train/encode/eval triad.
+    "dedup_incremental_materialized": "dedup_incremental",
+    # r12 (second): ≡ the `found` tier of dedup_recall_eval — the
+    # registered grader executes the FULL lsh_verified_pairs pipeline
+    # in Spark (its `found` frame) and nests ORACLES["dedup_lsh_verified"]
+    # verbatim as the `found` CTE, so a regression breaks the recall
+    # row's hash in both engines (the dedup_ngram_jaccard precedent);
+    # dedup_cross_modal also runs it as its text side every round.
+    # Standalone driver-rigor oracle parity stays pinned in
+    # tests/test_dedup_recall.py. The freed slot graduates
+    # session_transitions (the visit-level Markov model).
+    "dedup_lsh_verified": "dedup_recall_eval",
 }
 
 # Deliberate non-scale baselines kept registered for recall/correctness
@@ -191,9 +209,7 @@ PRIORITY = [
     "text_redact",
     "dedup_lsh_components",
     "dedup_simhash",
-    "dedup_lsh_verified",
     "dedup_incremental",
-    "dedup_incremental_materialized",
     "dedup_cross_modal",
     "dedup_containment",
     "dedup_recall_eval",
@@ -210,6 +226,9 @@ PRIORITY = [
     "feature_bucketize",
     "model_calibration",
     "feature_iv",
+    # registered in r12 — first driver row this round
+    "session_transitions",
+    "vocab_eval_compression",
 ]
 
 

@@ -465,17 +465,17 @@ VOCAB_EVAL_ORACLE = _vocab_eval_oracle()
 QUERIES = {
     "vocab_bpe_merges": bpe_merges,
     "text_tokenize_bpe": tokenize_bpe,
+    # r12: the tier's eval member graduates (staged since r10, green
+    # in STAGED_CORRECTNESS throughout; the slot was freed by retiring
+    # dedup_incremental_materialized to its verified-equal inline
+    # twin) — the registered surface now carries the full BPE
+    # train/encode/eval triad.
+    "vocab_eval_compression": vocab_eval_compression,
 }
 ORACLES = {
     "vocab_bpe_merges": VOCAB_ORACLE,
     "text_tokenize_bpe": TOKENIZE_ORACLE,
-}
-# r10: the tier's eval member — staged (the registry's banked slot is
-# reserved for next round's graduation; driver-rigor parity lives in
-# tests/test_vocab.py + STAGED_CORRECTNESS.json meanwhile).
-STAGED_QUERIES: dict = {
-    "vocab_eval_compression": vocab_eval_compression,
-}
-STAGED_ORACLES: dict = {
     "vocab_eval_compression": VOCAB_EVAL_ORACLE,
 }
+STAGED_QUERIES: dict = {}
+STAGED_ORACLES: dict = {}

@@ -58,6 +58,8 @@ def test_bench_covers_recent_additions():
         "dedup_recall_eval", "corpus_select_dsir",
         # r11 registration
         "events_resample_ffill",
+        # r12 registrations
+        "vocab_eval_compression", "session_transitions",
     }
     assert tracked <= names, sorted(tracked - names)
 
@@ -82,6 +84,7 @@ def test_bench_stdout_object_stays_compact():
         contended=True,
         steady_total=9999.999,
         n_movers=99,
+        cal=[999.999 for _ in bench.CALIBRATION],
     )
     line = json.dumps(result, separators=(",", ":"))
     assert len(line) < 1900, len(line)

@@ -45,3 +45,17 @@ def test_ngram_jaccard_oracle_parity(spark, sf_dir):
         dedup.ORACLES["dedup_ngram_jaccard"],
         sf_dir,
     )
+
+
+def test_lsh_verified_oracle_parity(spark, sf_dir):
+    """Retired-twin contract (registry.RETIRED, r12): the banded-LSH
+    verified pipeline keeps driver-rigor oracle parity here even
+    though its registry row is gone — its Spark fn is the `found`
+    frame inside the registered dedup_recall_eval (and the text side
+    of dedup_cross_modal), and its SQL is that oracle's `found` CTE,
+    so both engines must agree on it standalone too."""
+    assert_matches_oracle(
+        dedup.lsh_verified_pairs(spark, sf_dir),
+        dedup.ORACLES["dedup_lsh_verified"],
+        sf_dir,
+    )

@@ -35,17 +35,24 @@ EXPECTED = {
     "text_chunks", "corpus_pack", "text_redact",
     "dedup_containment",  # r10: graduated — asymmetric fragment dedup
     "rec_eval_ndcg",  # r10: graduated — held-out recs hit-rate/NDCG
-    "dedup_exact", "dedup_incremental", "dedup_incremental_materialized",
+    "dedup_exact", "dedup_incremental",
+    # (dedup_incremental_materialized retired r12: verified-equal
+    # at-rest twin of dedup_incremental — equality + zero-Exchange
+    # plan pytests in tests/test_dedup_materialized.py)
     "dedup_minhash_signatures",
     "dedup_minhash_lsh_pairs", "dedup_lsh_groups", "dedup_lsh_components",
     "dedup_simhash",
-    "dedup_lsh_verified", "dedup_cross_modal",
+    "dedup_cross_modal",
+    # (dedup_lsh_verified retired r12: its full pipeline is the `found`
+    # tier inside the registered dedup_recall_eval in both engines;
+    # standalone parity pinned in tests/test_dedup_recall.py)
     # (dedup_ngram_jaccard retired r10: its SQL is the ground-truth
     # CTE inside the registered dedup_recall_eval)
     "dedup_recall_eval",  # r10: graduated — banded-LSH recall grader
     "text_dup_spans", "corpus_clean_spans", "corpus_split_leakproof",
     "vocab_bpe_merges",  # r7: graduated from the staged tier
     "text_tokenize_bpe",  # r8: graduated — BPE train+encode pair complete
+    "vocab_eval_compression",  # r12: graduated — BPE triad complete
     "dedup_semantic", "text_repetition", "corpus_mix",
     "contamination_check", "text_logprob", "ann_recall_eval",
     "user_event_sequences", "corpus_keep_decision",
@@ -65,6 +72,7 @@ EXPECTED = {
     "feature_bucketize", "ml_rf_churn", "ml_gbt_churn", "ml_lr_churn",
     "ml_fm_churn", "ml_feature_vectors",
     "model_calibration", "feature_iv", "event_sessions",
+    "session_transitions",  # r12: graduated — visit-level Markov model
     # multimodal
     "multimodal_features", "multimodal_frames",
 }

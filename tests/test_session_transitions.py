@@ -17,7 +17,7 @@ from .oracle_utils import assert_matches_oracle
 def test_transitions_oracle_parity(spark, sf_dir):
     assert_matches_oracle(
         sessions.session_transitions(spark, sf_dir),
-        sessions.STAGED_ORACLES["session_transitions"],
+        sessions.ORACLES["session_transitions"],
         sf_dir,
     )
 

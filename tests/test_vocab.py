@@ -176,7 +176,7 @@ def test_run_semantics_are_the_documented_variant(spark, sf_dir, tmp_path):
 def test_vocab_eval_oracle_parity_sf001(spark, sf_dir):
     assert_matches_oracle(
         vocab.vocab_eval_compression(spark, sf_dir),
-        vocab.STAGED_ORACLES["vocab_eval_compression"],
+        vocab.ORACLES["vocab_eval_compression"],
         sf_dir,
     )
 
