@@ -57,7 +57,6 @@ AFFECTED = [
     "text_token_counts",
     "corpus_curation",
     "corpus_sample_stratified",
-    "dedup_lsh_verified",
     "dedup_incremental",
     "dedup_lsh_groups",
     "dedup_lsh_components",
@@ -103,6 +102,22 @@ def test_degenerate_docs_match_oracle(name, spark, degenerate_dir):
     queries, oracles = get_queries(), get_oracles()
     assert_matches_oracle(
         queries[name](spark, degenerate_dir), oracles[name], degenerate_dir
+    )
+
+
+def test_degenerate_docs_lsh_verified_retired_twin(spark, degenerate_dir):
+    """dedup_lsh_verified retired to dedup_recall_eval in r12 (its
+    registry row is gone, so the parametrized fetch above can no
+    longer reach it) — the banded-but-gram-less candidate pair this
+    corpus manufactures (docs 11/3: >=5 chars so they band, <3 words
+    so the gram set is empty and Jaccard is 0/0) stays covered at the
+    module level, same committed oracle."""
+    from customer_churn_prediction_spark.text import dedup
+
+    assert_matches_oracle(
+        dedup.lsh_verified_pairs(spark, degenerate_dir),
+        dedup.ORACLES["dedup_lsh_verified"],
+        degenerate_dir,
     )
 
 

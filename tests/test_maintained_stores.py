@@ -54,6 +54,9 @@ from customer_churn_prediction_spark.streaming import quantiles as sq
 from customer_churn_prediction_spark.streaming import resample as srs
 from customer_churn_prediction_spark.streaming import sample as ssam
 from customer_churn_prediction_spark.streaming import sketch as ssk
+from customer_churn_prediction_spark.streaming import (
+    transitions as stt,
+)
 from customer_churn_prediction_spark.streaming.drift import read_report
 
 from .conftest import CrashOnce, drain_to_exception as _drain
@@ -602,9 +605,93 @@ class SampleFamily(Family):
         assert ssam.sample_report(spark, store).collect() == []
 
 
+class TransitionsFamily(Family):
+    """The tenth family (r12): the visit-level Markov model maintained
+    on event ingest — the first ORDER-SENSITIVE maintained quantity
+    (bigrams are adjacencies; no per-epoch count delta merges across
+    arbitrary slicings). Decomposability comes from sessions being
+    user-local: per epoch only the TOUCHED users' bigram tables are
+    recomputed from the accumulated log and their newest write
+    supersedes older partials; serve sums latest-per-user partials —
+    BIT equality vs the batch model over the union. The waves slice
+    by event_id % 3, which cuts straight through sessions, so the
+    matrix itself proves slicing-independence. Governance is in
+    place (user rows are self-contained)."""
+
+    name = "transitions"
+    live_subdir = stt.COUNTS_SUBDIR
+    governance = "in_place"
+
+    def waves(self, spark, sf_smoke):
+        events = load_table(spark, sf_smoke, "events")
+        return [
+            events.where(F.col("event_id") % 3 == i) for i in range(3)
+        ]
+
+    def run(self, spark, sf_smoke, stream_dir, store, ckpt, fault=None):
+        events = load_table(spark, sf_smoke, "events")
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        return stt.maintain_transitions(
+            spark, stream, store, checkpoint=ckpt, fault=fault
+        )
+
+    def state(self, spark, sf_smoke, store):
+        return _rows(stt.current_transitions(spark, store))
+
+    def batch_state(self, spark, sf_smoke, input_df):
+        from customer_churn_prediction_spark.operators.sessions import (
+            transitions_from_events,
+        )
+
+        e = input_df.select(
+            "user_id", "ts", "event_id", "event_type"
+        ).where(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        return _rows(transitions_from_events(e))
+
+    def compact(self, spark, store):
+        stt.compact(spark, store, upto_epoch=10)
+
+    def erase(self, spark, sf_smoke, store):
+        import os
+
+        log = spark.read.parquet(os.path.join(store, stt.LOG_SUBDIR))
+        victim = int(
+            log.select("user_id").orderBy("user_id").first().user_id
+        )
+        before = self.state(spark, sf_smoke, store)
+        stt.forget_users(spark, store, [victim])
+        log2 = spark.read.parquet(os.path.join(store, stt.LOG_SUBDIR))
+        assert log2.where(F.col("user_id") == victim).count() == 0
+        counts = spark.read.parquet(
+            os.path.join(store, stt.COUNTS_SUBDIR)
+        )
+        assert counts.where(F.col("user_id") == victim).count() == 0
+        # the model after erasure equals the batch model over the
+        # scrubbed union — user rows are self-contained, so in-place
+        # erasure is EXACT (unlike the sketch families)
+        clean = _union(self.waves(spark, sf_smoke)).where(
+            F.col("user_id") != victim
+        )
+        after = self.state(spark, sf_smoke, store)
+        assert after == self.batch_state(spark, sf_smoke, clean)
+        assert after != before
+
+    def empty_read(self, spark, sf_smoke, store):
+        assert stt.current_transitions(spark, store).collect() == []
+        assert stt.read_erased_users(spark, store).collect() == []
+
+
 FAMILIES = [CMSFamily(), HLLFamily(), BloomFamily(), KMVFamily(),
             IVFFamily(), ResampleFamily(), DecayFamily(), GKFamily(),
-            SampleFamily()]
+            SampleFamily(), TransitionsFamily()]
 _IDS = [f.name for f in FAMILIES]
 
 
