@@ -136,3 +136,19 @@ def test_mix_temperature_flattens_toward_uniform(spark, sf_dir):
     # ordering preserved: temperature flattens, it never reranks
     by_share = sorted(rows, key=lambda r: r.share)
     assert by_share == sorted(rows, key=lambda r: r.temp_share)
+
+
+def test_text_repetition_standalone_oracle_parity(spark, sf_dir):
+    """Driver-rigor oracle parity for text_repetition at the MODULE
+    level — the prerequisite for the queued r13 retirement (ROADMAP:
+    text_repetition -> corpus_keep_decision, whose Spark plan calls
+    this fn as its repetition gate and whose oracle nests this SQL as
+    a CTE; the lsh_verified r12 precedent keeps standalone parity
+    pinned here regardless of the registry row)."""
+    from .oracle_utils import assert_matches_oracle
+
+    assert_matches_oracle(
+        analysis.text_repetition(spark, sf_dir),
+        analysis.ORACLES["text_repetition"],
+        sf_dir,
+    )
