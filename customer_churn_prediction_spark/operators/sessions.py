@@ -228,5 +228,122 @@ FROM counts
 # Markov model carries its own driver row; staged split now empty.
 QUERIES["session_transitions"] = session_transitions
 ORACLES["session_transitions"] = TRANSITIONS_ORACLE
-STAGED_QUERIES: dict = {}
-STAGED_ORACLES: dict = {}
+
+
+def session_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-visit anomaly score under the session transition model: mean NLL of the visit's transitions.
+
+    The actuation of ``session_transitions`` (r12): score every visit
+    by how SURPRISING its behavior is under the corpus-level Markov
+    model — mean negative log-probability of its within-visit
+    transitions, the sequence analog of ``text_logprob``'s per-doc
+    perplexity proxy. High scores are visits made of low-probability
+    transitions (bot probing, broken funnels, fraud-shaped paths);
+    the score is the standard ranking axis for behavioral anomaly
+    review queues.
+
+    Session boundaries and the model come from the SAME
+    ``_session_numbered`` core and the SAME normalization expressions
+    as the registered ops (one gap rule, one model), so the three
+    views of a visit — its row in ``event_sessions``, its transitions
+    in the model, its score here — can never disagree.
+
+    Scale shape: the sessionization window (the tier's one shuffle
+    class) + a broadcast join against the ≤ |event_type|² model + a
+    per-visit hash aggregate. Float discipline (the bigram-LM
+    lesson): per-transition NLLs are 6dp-rounded, the per-visit SUM
+    is rounded BEFORE the mean divides it, and ``abs`` normalizes the
+    IEEE -0.0 a p=1.0-only visit would emit — both engines fold to
+    identical doubles. Visits with a single event have no transitions
+    and emit nothing (honest, asserted in tests).
+
+    Columns: user_id, session_seq, n_transitions, nll_sum, mean_nll."""
+    e = load_table(spark, sf_dir, "events").where(
+        (F.col("ts") >= F.lit(EVENTS_START).cast("timestamp"))
+        & (F.col("ts") < F.lit(EVENTS_END_EXCL).cast("timestamp"))
+    )
+    model = transitions_from_events(e).select(
+        "from_type", "to_type", "p"
+    )
+    numbered = _session_numbered(e, ["event_type"])
+    w_s = Window.partitionBy("user_id", "session_seq").orderBy(
+        "ts", "event_id"
+    )
+    pairs = numbered.select(
+        "user_id",
+        "session_seq",
+        F.lag("event_type").over(w_s).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).where(F.col("from_type").isNotNull())
+    # inner join is total: every observed pair exists in the model by
+    # construction (the model is fit on the same events)
+    scored = pairs.join(F.broadcast(model), ["from_type", "to_type"])
+    agg = scored.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions"),
+        F.abs(
+            F.round(F.sum(F.abs(F.round(-F.log("p"), 6))), 6)
+        ).alias("nll_sum"),
+    )
+    return agg.select(
+        "user_id",
+        "session_seq",
+        "n_transitions",
+        "nll_sum",
+        F.round(
+            F.col("nll_sum") / F.col("n_transitions"), 6
+        ).alias("mean_nll"),
+    )
+
+
+ANOMALY_ORACLE = f"""
+WITH model AS ({TRANSITIONS_ORACLE}),
+e AS (
+  SELECT user_id, ts, event_id, event_type FROM events
+  WHERE ts >= TIMESTAMP '{EVENTS_START}'
+    AND ts <  TIMESTAMP '{EVENTS_END_EXCL}'
+),
+flagged AS (
+  SELECT *,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR date_diff('second', lag(ts) OVER w, ts) >= {SESSION_GAP_MIN * 60}
+         THEN 1 ELSE 0 END AS gap_flag
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts, event_id, event_type,
+    CAST(sum(gap_flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS session_seq
+  FROM flagged
+),
+pairs AS (
+  SELECT user_id, session_seq,
+         lag(event_type) OVER (
+           PARTITION BY user_id, session_seq ORDER BY ts, event_id
+         ) AS from_type,
+         event_type AS to_type
+  FROM numbered
+),
+scored AS (
+  SELECT p.user_id, p.session_seq, abs(round(-ln(m.p), 6)) AS nll
+  FROM pairs p JOIN model m
+    ON m.from_type = p.from_type AND m.to_type = p.to_type
+  WHERE p.from_type IS NOT NULL
+),
+agg AS (
+  SELECT user_id, session_seq,
+         CAST(count(*) AS BIGINT) AS n_transitions,
+         abs(round(sum(nll), 6)) AS nll_sum
+  FROM scored GROUP BY 1, 2
+)
+SELECT user_id, session_seq, n_transitions, nll_sum,
+       round(nll_sum / CAST(n_transitions AS DOUBLE), 6) AS mean_nll
+FROM agg
+"""
+
+# r12 (second batch): the anomaly actuation stays staged under the
+# 100-slot registry ceiling — driver-rigor parity in
+# tests/test_session_anomaly.py + STAGED_CORRECTNESS.json.
+STAGED_QUERIES: dict = {"session_anomaly": session_anomaly}
+STAGED_ORACLES: dict = {"session_anomaly": ANOMALY_ORACLE}

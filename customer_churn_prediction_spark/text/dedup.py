@@ -1496,10 +1496,114 @@ def fragment_pairs_incremental(
 # Staged split (the vocab pattern): the module is REGISTERED, so the
 # staged remainder lives in STAGED_QUERIES/STAGED_ORACLES and is
 # proven through STAGED_CORRECTNESS.json instead of a driver row.
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty against the benchmark/reference slice: the memorization-risk complement of contamination.
+
+    ``contamination_check`` FLAGS training docs whose overlap with an
+    eval doc crosses a threshold; curation also wants the continuous
+    per-doc signal — what fraction of a doc's word-3-grams are NOVEL
+    (absent from the reference slice). Low novelty means the doc is
+    mostly restatements of reference material (memorization risk /
+    benchmark leakage below the flag threshold); the score is the
+    ranking axis for "distinct from eval" data selection, next to
+    DSIR's "similar to target" axis. The reference here is the same
+    deterministic ``doc_id % 10 == 7`` slice the contamination check
+    uses; a real deployment swaps in the benchmark text, plan
+    unchanged.
+
+    Spark shape (the contamination plan's shape): the reference gram
+    set is small by nature — distinct grams of the eval suite —
+    so it broadcasts; the corpus gram stream is scanned once, LEFT
+    joins the reference map-side, and aggregates per doc. No shuffle
+    of the corpus on text. The struct-carried explode keeps the md5
+    gram pipeline out of the scan stage (the
+    ``InferFiltersFromGenerate`` trap, see ``contamination_check``).
+    Docs with < 3 tokens have no grams and emit nothing — same
+    contract as the oracle's ``unnest`` of an empty list.
+
+    Columns: doc_id, n_grams, n_novel, novelty."""
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    grams = d.select(
+        "doc_id", F.expr(_word_shingles_spark()).alias("grams")
+    )
+    is_bench = (
+        F.col("doc_id") % CONTAM_BENCH_MOD == CONTAM_BENCH_RESIDUE
+    )
+    ref = (
+        grams.where(is_bench)
+        .select(
+            F.explode(
+                F.expr("transform(grams, x -> named_struct('shingle', x))")
+            ).alias("g")
+        )
+        .select("g.shingle")
+        .distinct()
+        .withColumn("known", F.lit(1))
+    )
+    corpus = (
+        grams.where(~is_bench)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr("transform(grams, x -> named_struct('shingle', x))")
+            ).alias("g"),
+        )
+        .select("doc_id", "g.shingle")
+    )
+    joined = corpus.join(F.broadcast(ref), "shingle", "left")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(
+                F.when(F.col("known").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.round(
+                F.col("n_novel") / F.col("n_grams"), 6
+            ).alias("novelty"),
+        )
+    )
+
+
+NOVELTY_ORACLE = f"""
+WITH grams AS (
+  SELECT doc_id, {_GRAMS_LIST_SQL} AS grams FROM documents
+),
+ref AS (
+  SELECT DISTINCT unnest(grams) AS shingle
+  FROM grams
+  WHERE doc_id % {CONTAM_BENCH_MOD} = {CONTAM_BENCH_RESIDUE}
+),
+cex AS (
+  SELECT doc_id, unnest(grams) AS shingle
+  FROM grams
+  WHERE doc_id % {CONTAM_BENCH_MOD} <> {CONTAM_BENCH_RESIDUE}
+),
+agg AS (
+  SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN r.shingle IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_novel
+  FROM cex c LEFT JOIN ref r USING (shingle)
+  GROUP BY 1
+)
+SELECT doc_id, n_grams, n_novel,
+       round(n_novel / CAST(n_grams AS DOUBLE), 6) AS novelty
+FROM agg
+"""
+
+
 STAGED_QUERIES = {
     "dedup_recall_eval": dedup_recall_eval,
     "dedup_containment": containment_pairs,
     "dedup_fragments_incremental": fragment_pairs_incremental,
+    # r12: the continuous memorization-risk score next to the
+    # threshold flag above.
+    "text_ngram_novelty": text_ngram_novelty,
 }
 STAGED_ORACLES = {
     "dedup_recall_eval": f"""
@@ -1612,6 +1716,7 @@ SELECT doc_id, dup_of, containment FROM scored
 QUALIFY row_number() OVER (PARTITION BY doc_id
         ORDER BY containment DESC, dup_of) = 1
 """,
+    "text_ngram_novelty": NOVELTY_ORACLE,
 }
 
 # r10 graduation: dedup_containment moves from the staged tier into the

@@ -72,6 +72,9 @@ DOC_ONLY_QUERIES = [
     # r11 staged: A-ES weighted without-replacement sampling (heap
     # top-K — flat by construction; the curve is the evidence)
     "corpus_sample_weighted",
+    # r12 staged: n-gram novelty vs the reference slice (the
+    # contamination plan's shape — broadcast reference, one scan)
+    "text_ngram_novelty",
 ]
 
 # ANN-tier 4th decade: scripts/make_embeddings_x10.py replicates the
@@ -135,8 +138,10 @@ EVENTS_ONLY_QUERIES = [
     "sequence_split_leave_last",
     # r10 staged (graduated r11): hourly resample + forward fill
     "events_resample_ffill",
-    # r11 staged: within-visit Markov transition model
+    # r11 staged (graduated r12): within-visit Markov transition model
     "session_transitions",
+    # r12 staged: per-visit mean-NLL anomaly score under that model
+    "session_anomaly",
 ]
 
 CURVE_QUERIES = [

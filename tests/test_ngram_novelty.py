@@ -1,0 +1,107 @@
+"""text_ngram_novelty (text/dedup.py, staged r12): the continuous
+memorization-risk score — oracle parity plus hand-checked novelty on
+a constructed corpus."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from customer_churn_prediction_spark.text import dedup
+
+from .oracle_utils import assert_matches_oracle
+
+
+def test_novelty_oracle_parity(spark, sf_dir):
+    assert_matches_oracle(
+        dedup.text_ngram_novelty(spark, sf_dir),
+        dedup.STAGED_ORACLES["text_ngram_novelty"],
+        sf_dir,
+    )
+
+
+def test_novelty_hand_check(spark, tmp_path):
+    """Constructed corpus: doc 17 (residue 7) is the reference; doc 1
+    copies it verbatim (novelty 0), doc 2 shares half its text, doc 3
+    is disjoint (novelty 1), doc 4 is too short to gram (absent)."""
+    ref = "the cat sat on the mat today"
+    rows = [
+        (17, ref),                                   # reference slice
+        (1, ref),                                    # verbatim copy
+        (2, "the cat sat under a very large tree"),  # partial overlap
+        (3, "completely different words about query engines here"),
+        (4, "hi you"),                               # < 3 tokens
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", f"s{i}", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    import os
+
+    from customer_churn_prediction_spark.catalog import TABLES
+
+    from .conftest import SF_SMOKE
+
+    path = str(tmp_path)
+    # the oracle harness registers every catalog table: symlink the
+    # smoke fixtures for the ones this op never reads
+    for t in TABLES:
+        src = os.path.join(SF_SMOKE, f"{t}.parquet")
+        if t != "documents" and os.path.exists(src):
+            os.symlink(src, os.path.join(path, f"{t}.parquet"))
+    # the oracle view needs a FILE, not Spark's part-file directory
+    import shutil
+
+    staging = f"{path}/_staging"
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    part = next(
+        f for f in os.listdir(staging)
+        if f.endswith(".parquet") and not f.startswith("_")
+    )
+    shutil.move(
+        os.path.join(staging, part), f"{path}/documents.parquet"
+    )
+    shutil.rmtree(staging)
+    out = {
+        r.doc_id: r
+        for r in dedup.text_ngram_novelty(spark, path).collect()
+    }
+    assert set(out) == {1, 2, 3}          # 17 is reference, 4 gramless
+    assert out[1].novelty == 0.0
+    assert out[3].novelty == 1.0
+    # doc 2: 6 grams, only "the cat sat" shared -> 5/6 novel
+    assert out[2].n_grams == 6 and out[2].n_novel == 5
+    assert out[2].novelty == round(5 / 6, 6)
+
+    # parity holds on the constructed corpus too (driver rigor)
+    assert_matches_oracle(
+        dedup.text_ngram_novelty(spark, path),
+        dedup.STAGED_ORACLES["text_ngram_novelty"],
+        path,
+    )
+
+
+def test_novelty_complements_contamination(spark, sf_dir):
+    """Every doc the threshold check flags must sit in the LOW-novelty
+    tail here (overlap >= threshold on some benchmark doc implies a
+    materially non-novel gram set) — the two views cannot disagree
+    about who overlaps."""
+    flagged = {
+        r.doc_id
+        for r in dedup.contamination_check(spark, sf_dir).collect()
+    }
+    if not flagged:
+        import pytest
+
+        pytest.skip("fixture has no contaminated docs at sf")
+    nov = {
+        r.doc_id: r.novelty
+        for r in dedup.text_ngram_novelty(spark, sf_dir).collect()
+    }
+    unflagged = [v for k, v in nov.items() if k not in flagged]
+    for d in flagged:
+        assert nov[d] < 1.0
+        # flagged docs are more reference-like than the typical doc
+        import statistics
+
+        assert nov[d] <= statistics.median(unflagged)

@@ -1,0 +1,100 @@
+"""session_anomaly (operators/sessions.py, staged r12): per-visit
+mean-NLL scoring under the session transition model — oracle parity
+plus the semantics the score exists for."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from customer_churn_prediction_spark.operators import sessions
+
+from .oracle_utils import assert_matches_oracle
+
+
+def test_anomaly_oracle_parity(spark, sf_dir):
+    assert_matches_oracle(
+        sessions.session_anomaly(spark, sf_dir),
+        sessions.STAGED_ORACLES["session_anomaly"],
+        sf_dir,
+    )
+
+
+def test_rare_transition_scores_above_common_one(spark, tmp_path):
+    """The point of the score: a visit made of a RARE transition must
+    outrank visits made of the dominant one. Constructed log: 9 users
+    do add->buy (p=0.9), one does add->refund (p=0.1); the refund
+    visit's mean_nll must be strictly higher, and single-event visits
+    emit nothing."""
+    rows = []
+    for u in range(9):
+        rows.append((u * 10 + 1, f"2024-01-01 0{u}:00:00", u, "add"))
+        rows.append((u * 10 + 2, f"2024-01-01 0{u}:00:10", u, "buy"))
+    rows.append((91, "2024-01-01 09:00:00", 9, "add"))
+    rows.append((92, "2024-01-01 09:00:10", 9, "refund"))
+    rows.append((100, "2024-01-01 10:00:00", 10, "add"))  # lone event
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type",
+        F.lit(1.0).alias("value"), F.lit("{}").alias("props"),
+    )
+    path = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{path}/events.parquet")
+
+    # widen the op's event window? No: the constructed ts are inside
+    # the fixture's 2024 range only if EVENTS_START allows; compute on
+    # frames directly via the module internals instead.
+    from customer_churn_prediction_spark.operators.sessions import (
+        _session_numbered,
+        transitions_from_events,
+    )
+    from pyspark.sql import Window
+
+    e = df.select("user_id", "ts", "event_id", "event_type")
+    model = transitions_from_events(e).select(
+        "from_type", "to_type", "p"
+    )
+    numbered = _session_numbered(e, ["event_type"])
+    w_s = Window.partitionBy("user_id", "session_seq").orderBy(
+        "ts", "event_id"
+    )
+    pairs = numbered.select(
+        "user_id", "session_seq",
+        F.lag("event_type").over(w_s).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).where(F.col("from_type").isNotNull())
+    scored = (
+        pairs.join(F.broadcast(model), ["from_type", "to_type"])
+        .groupBy("user_id", "session_seq")
+        .agg(F.round(F.avg(-F.log("p")), 6).alias("mean_nll"))
+    )
+    out = {r.user_id: r.mean_nll for r in scored.collect()}
+    assert 10 not in out                     # lone event: no score
+    assert out[9] > out[0]                   # rare beats common
+    assert all(out[u] == out[0] for u in range(1, 9))
+
+
+def test_every_scored_visit_is_a_session_with_transitions(spark, sf_dir):
+    """Row identity: scored visits = event_sessions rows with
+    n_events >= 2 (a visit with one event has no transitions), and
+    nll_sum/mean_nll are consistent."""
+    scores = sessions.session_anomaly(spark, sf_dir)
+    visits = sessions.event_sessions(spark, sf_dir)
+    v2 = visits.where(F.col("n_events") >= 2).select(
+        "user_id", "session_seq"
+    )
+    got = {
+        (r.user_id, r.session_seq) for r in scores.collect()
+    }
+    want = {(r.user_id, r.session_seq) for r in v2.collect()}
+    assert got == want and got
+    for r in scores.collect():
+        assert r.n_transitions >= 1
+        assert r.nll_sum >= 0.0
+        # Python's round() is banker's; Spark/DuckDB round half away
+        # from zero (a .xxxxxx5 quotient differs in the last digit) —
+        # compare within half an ulp of the 6dp grid instead.
+        assert abs(
+            r.mean_nll - r.nll_sum / r.n_transitions
+        ) <= 5e-7 + 1e-9
