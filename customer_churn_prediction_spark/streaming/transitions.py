@@ -41,11 +41,15 @@ that user's accumulated events. The family exploits that:
 Epoch cost is HONEST, not hidden: recomputing a touched user needs
 that user's full event history (adjacency is order-sensitive — there
 is no aggregatable shortcut), so an epoch pays
-O(sum over touched users of |their history|) plus one semi-join of
-the log against the touched set. At 100 TB the log lands BUCKETED by
-user_id (the ``corpus_bands`` at-rest discipline) so the fetch prunes
-to the touched buckets instead of scanning the lake; the epoch cost
-still tracks touched users only, never the user population.
+O(sum over touched users of |their history|) plus the touched-user
+fetch. The fetch is PRUNED, not a lake scan: the log is partitioned
+by (epoch_id, u_bucket = user_id mod ``N_USER_BUCKETS``), the
+touched buckets come from one bounded aggregate of the batch
+(≤ N_USER_BUCKETS values), and the static ``isin`` prunes the scan
+to those directories before the exact user semi-join — a small epoch
+reads only its users' bucket slices of the log, never the whole
+store (the partition-scoped discipline ``ann_ingest`` uses for
+erasure, applied to the read path).
 
 Governance is IN PLACE (the IVF-store class, not the sketch class): a
 user's log rows and count partials are self-contained, so erasure
@@ -68,6 +72,11 @@ from .windows import stream_to_batch_sink
 
 LOG_SUBDIR = "transition_log"
 COUNTS_SUBDIR = "transition_counts"
+
+# Second log-partition dimension: user_id mod this. Touched-user
+# fetches statically prune to the touched buckets' directories; a
+# production deployment sizes it so one bucket slice ≈ one task.
+N_USER_BUCKETS = 64
 
 _BASE_EPOCH = -1
 _MODEL_SCHEMA = (
@@ -159,20 +168,32 @@ def maintain_transitions(
         )
         if batch.isEmpty():
             return
-        # 1. land the event delta (replay rewrites its own partition
+        # 1. land the event delta (replay rewrites its own partitions
         #    with identical rows — bit-idempotent)
+        bucketed = batch.withColumn(
+            "u_bucket", F.pmod(F.col("user_id"), F.lit(N_USER_BUCKETS))
+        )
         (
-            batch.withColumn("epoch_id", F.lit(epoch_id))
+            bucketed.withColumn("epoch_id", F.lit(epoch_id))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("epoch_id")
+            .partitionBy("epoch_id", "u_bucket")
             .parquet(log_path)
         )
         # 2. recompute ONLY the touched users from the accumulated
-        #    log (semi-join fetch; includes this epoch's own rows)
+        #    log: static bucket pruning (one bounded <= N_USER_BUCKETS
+        #    collect) cuts the scan to the touched directories, the
+        #    semi-join is exact within them (includes this epoch's
+        #    own rows)
         touched = batch.select("user_id").distinct()
-        hist = spark.read.parquet(log_path).join(
-            touched, "user_id", "left_semi"
+        buckets = [
+            int(r.u_bucket)
+            for r in bucketed.select("u_bucket").distinct().collect()
+        ]
+        hist = (
+            spark.read.parquet(log_path)
+            .where(F.col("u_bucket").isin(buckets))
+            .join(touched, "user_id", "left_semi")
         )
         (
             _user_bigrams(hist)
@@ -216,9 +237,9 @@ def compact(
         keep = rows.where(F.col("epoch_id") > F.lit(upto_epoch))
         (
             folded.unionByName(keep)
-            .repartition("epoch_id")
+            .repartition("epoch_id", "u_bucket")
             .write.mode("overwrite")
-            .partitionBy("epoch_id")
+            .partitionBy("epoch_id", "u_bucket")
             .parquet(stage)
         )
 
@@ -254,50 +275,69 @@ def read_erased_users(spark: SparkSession, store_dir: str) -> DataFrame:
 
 
 def _erase_from(
-    spark: SparkSession, path: str, user_ids: list[int]
+    spark: SparkSession,
+    path: str,
+    user_ids: list[int],
+    part_cols: tuple[str, ...],
 ) -> None:
-    """Partition-scoped erase of a user's rows from one epoch-
-    partitioned sub-store (the ``ann_ingest.forget_from_store``
-    mechanics): only the epochs that CONTAIN one of the ids are
-    rewritten; survivors stage to a sibling dir (a path write cannot
-    read from itself), dynamic overwrite replaces exactly the touched
+    """Partition-scoped erase of a user's rows from one partitioned
+    sub-store (the ``ann_ingest.forget_from_store`` mechanics): only
+    the partitions that CONTAIN one of the ids are rewritten — found
+    with one pushdown-filtered scan, pruned coarsely by per-column
+    ``isin`` plus an exact broadcast semi-join on the partition tuple
+    — survivors stage to a sibling dir (a path write cannot read from
+    itself), dynamic overwrite replaces exactly the touched
     partitions, fully-emptied partitions are deleted directly."""
     if not os.path.isdir(path):
         return
     store = spark.read.parquet(path)
     hit = (
         store.where(F.col("user_id").isin(user_ids))
-        .select("epoch_id")
+        .select(*part_cols)
         .distinct()
         .collect()
     )
     if not hit:
         return
-    eps = sorted(int(r.epoch_id) for r in hit)
-    touched = store.where(F.col("epoch_id").isin(eps))
+    pairs = sorted(tuple(int(r[c]) for c in part_cols) for r in hit)
+    dtypes = dict(store.dtypes)
+    pairs_df = spark.createDataFrame(
+        pairs, ", ".join(f"{c} long" for c in part_cols)
+    ).select(*[F.col(c).cast(dtypes[c]) for c in part_cols])
+    coarse = store
+    for i, c in enumerate(part_cols):
+        coarse = coarse.where(
+            F.col(c).isin(sorted({p[i] for p in pairs}))
+        )
+    touched = coarse.join(
+        F.broadcast(pairs_df), list(part_cols), "left_semi"
+    )
     survivors = touched.where(~F.col("user_id").isin(user_ids))
     stage = path.rstrip("/") + "__forget_stage"
     shutil.rmtree(stage, ignore_errors=True)
     (
         survivors.write.mode("overwrite")
-        .partitionBy("epoch_id")
+        .partitionBy(*part_cols)
         .parquet(stage)
     )
     staged = spark.read.schema(store.schema).parquet(stage)
     live = {
-        int(r.epoch_id)
-        for r in staged.select("epoch_id").distinct().collect()
+        tuple(int(r[c]) for c in part_cols)
+        for r in staged.select(*part_cols).distinct().collect()
     }
     if live:
         (
             staged.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("epoch_id")
+            .partitionBy(*part_cols)
             .parquet(path)
         )
-    for e in set(eps) - live:
+    for p in set(pairs) - live:
         shutil.rmtree(
-            os.path.join(path, f"epoch_id={e}"), ignore_errors=True
+            os.path.join(
+                path, *[f"{c}={v}" for c, v in zip(part_cols, p)]
+            ),
+            ignore_errors=True,
         )
     shutil.rmtree(stage, ignore_errors=True)
 
@@ -322,8 +362,18 @@ def forget_users(
         ).repartition(1).write.mode("append").parquet(
             _ledger_path(store_dir)
         )
-    _erase_from(spark, os.path.join(store_dir, LOG_SUBDIR), ids)
-    _erase_from(spark, os.path.join(store_dir, COUNTS_SUBDIR), ids)
+    _erase_from(
+        spark,
+        os.path.join(store_dir, LOG_SUBDIR),
+        ids,
+        ("epoch_id", "u_bucket"),
+    )
+    _erase_from(
+        spark,
+        os.path.join(store_dir, COUNTS_SUBDIR),
+        ids,
+        ("epoch_id",),
+    )
 
 
 def scrub_store(spark: SparkSession, store_dir: str) -> None:

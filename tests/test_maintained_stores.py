@@ -917,3 +917,49 @@ def test_reservoir_one_slot_per_doc_latest_epoch_wins(spark, tmp_path):
     ranks = ssam.sample_report(spark, store).collect()
     assert sorted(r.doc_id for r in ranks) == [1, 2, 3]
     assert len({r.rank for r in ranks}) == 3
+
+
+def test_transitions_log_fetch_prunes_to_touched_buckets(
+    spark, sf_smoke, tmp_path
+):
+    """The family's fetch-term claim (SCALE §10.11): a small epoch's
+    history read must touch ONLY the touched users' bucket
+    directories, not the whole log. Ingest the corpus, then replay
+    the fetch a tiny batch would issue and assert every file the scan
+    actually reads (runtime input_file_name) lives under a touched
+    u_bucket."""
+    import os
+
+    stream_dir = str(tmp_path / "arrivals")
+    store = str(tmp_path / "store")
+    events = load_table(spark, sf_smoke, "events")
+    _stage([events], stream_dir)
+    q = TransitionsFamily().run(
+        spark, sf_smoke, stream_dir, store, str(tmp_path / "ckpt")
+    )
+    _drain_clean(q)
+
+    victims = [
+        int(r.user_id)
+        for r in events.select("user_id").distinct().limit(2).collect()
+    ]
+    buckets = {u % stt.N_USER_BUCKETS for u in victims}
+    log = spark.read.parquet(os.path.join(store, stt.LOG_SUBDIR))
+    fetched_files = {
+        r.f
+        for r in log.where(
+            F.col("u_bucket").isin(sorted(buckets))
+        )
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    }
+    assert fetched_files
+    for f in fetched_files:
+        assert any(f"u_bucket={b}/" in f for b in buckets), f
+    # and the full log holds more buckets than the fetch touched
+    all_buckets = {
+        int(r.u_bucket)
+        for r in log.select("u_bucket").distinct().collect()
+    }
+    assert len(all_buckets) > len(buckets)
