@@ -7,9 +7,9 @@ The family's honest cost model has two terms per epoch:
 
   1. recompute ∝ Σ over TOUCHED users of |their history| (adjacency
      is order-sensitive — no aggregatable shortcut);
-  2. the touched-user fetch: a semi-join against the accumulated log
-     (bucket-pruned when the log is bucketed by user at production
-     scale; a filtered scan here).
+  2. the touched-user fetch: statically pruned to the touched
+     (epoch, u_bucket) directories, then an exact user semi-join
+     within them.
 
 Waves are staged so both terms are visible:
 
