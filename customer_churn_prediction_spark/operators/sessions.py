@@ -265,6 +265,16 @@ def session_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = transitions_from_events(e).select(
         "from_type", "to_type", "p"
     )
+    return score_visits_against(e, model)
+
+
+def score_visits_against(e: DataFrame, model: DataFrame) -> DataFrame:
+    """The visit-scoring tail over any (user_id, ts, event_id,
+    event_type) frame and any (from_type, to_type, p) model — ONE
+    definition shared by the inline op (model refit per call) and the
+    maintained-store serve (``streaming/transitions.py``'s
+    ``visit_anomaly_report`` scores against ``current_transitions``),
+    so the two paths cannot drift."""
     numbered = _session_numbered(e, ["event_type"])
     w_s = Window.partitionBy("user_id", "session_seq").orderBy(
         "ts", "event_id"
@@ -275,8 +285,8 @@ def session_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("event_type").over(w_s).alias("from_type"),
         F.col("event_type").alias("to_type"),
     ).where(F.col("from_type").isNotNull())
-    # inner join is total: every observed pair exists in the model by
-    # construction (the model is fit on the same events)
+    # inner join is total whenever the model was fit on a superset of
+    # these events (the inline op fits on the SAME events)
     scored = pairs.join(F.broadcast(model), ["from_type", "to_type"])
     agg = scored.groupBy("user_id", "session_seq").agg(
         F.count(F.lit(1)).cast("long").alias("n_transitions"),

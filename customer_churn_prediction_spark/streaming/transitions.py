@@ -142,6 +142,27 @@ def current_transitions(
     )
 
 
+def visit_anomaly_report(
+    spark: SparkSession, store_dir: str, events: DataFrame
+) -> DataFrame:
+    """Score visits against the MAINTAINED model — the store's serve
+    payoff: ``session_anomaly`` without refitting the transition
+    matrix (the gram-pipeline-drops-out-of-serve discipline, DSIR's
+    at-rest precedent). Same scoring tail as the batch op
+    (``sessions.score_visits_against`` — one definition), the model
+    read is the ≤ |event_type|²-row ``current_transitions``. Events
+    whose transition never occurred in the ingested history score no
+    rows for that pair (inner join) — score against a store that has
+    ingested a superset of the scored events (the batch-equality
+    pytest ingests exactly them)."""
+    from ..operators.sessions import score_visits_against
+
+    model = current_transitions(spark, store_dir).select(
+        "from_type", "to_type", "p"
+    )
+    return score_visits_against(events, model)
+
+
 def maintain_transitions(
     spark: SparkSession,
     events_stream: DataFrame,

@@ -98,3 +98,51 @@ def test_every_scored_visit_is_a_session_with_transitions(spark, sf_dir):
         assert abs(
             r.mean_nll - r.nll_sum / r.n_transitions
         ) <= 5e-7 + 1e-9
+
+
+def test_store_served_scores_equal_inline(spark, sf_smoke, tmp_path):
+    """The maintained-store serve path: ingest the op's own event
+    window into the transitions store (sliced mid-session by
+    event_id % 3), then visit_anomaly_report against the maintained
+    model must equal the inline session_anomaly (which refits per
+    call) row-for-row."""
+    from customer_churn_prediction_spark.catalog import load_table
+    from customer_churn_prediction_spark.constants import (
+        EVENTS_END_EXCL,
+        EVENTS_START,
+    )
+    from customer_churn_prediction_spark.streaming import (
+        transitions as stt,
+    )
+
+    e = load_table(spark, sf_smoke, "events").where(
+        (F.col("ts") >= F.lit(EVENTS_START).cast("timestamp"))
+        & (F.col("ts") < F.lit(EVENTS_END_EXCL).cast("timestamp"))
+    )
+    stream_dir = str(tmp_path / "arrivals")
+    for i in range(3):
+        e.where(F.col("event_id") % 3 == i).repartition(1).write.mode(
+            "append"
+        ).parquet(stream_dir)
+    store = str(tmp_path / "store")
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    q = stt.maintain_transitions(
+        spark, stream, store, checkpoint=str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    served = sorted(
+        map(
+            tuple,
+            stt.visit_anomaly_report(spark, store, e).collect(),
+        )
+    )
+    inline = sorted(
+        map(tuple, sessions.session_anomaly(spark, sf_smoke).collect())
+    )
+    assert served == inline and served
