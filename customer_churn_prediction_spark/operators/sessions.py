@@ -36,6 +36,17 @@ from ..constants import EVENTS_END_EXCL, EVENTS_START
 
 SESSION_GAP_MIN = 30
 
+# Probability floor for NLL scoring (r13, ADVICE r12): the model's p
+# is 6dp-rounded, so a rare transition with n/n_from < 5e-7 rounds to
+# 0.0 — Spark's log(0) answers NULL (the transition silently dropped
+# from nll_sum while still counted in n_transitions) and DuckDB's
+# ln(0) raises OutOfRangeException. Flooring p at the 6dp grid's own
+# resolution (1e-6) before the log keeps both engines total and
+# identical; it is also the stupid-backoff score an UNSEEN transition
+# earns under the store-served model (greatest(NULL, floor) = floor
+# in BOTH engines — verified DuckDB semantics).
+P_FLOOR = 1e-6
+
 
 def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per (user, visit): bounds, event count, total value."""
@@ -254,10 +265,15 @@ def session_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     lesson): per-transition NLLs are 6dp-rounded, the per-visit SUM
     is rounded BEFORE the mean divides it, and ``abs`` normalizes the
     IEEE -0.0 a p=1.0-only visit would emit — both engines fold to
-    identical doubles. Visits with a single event have no transitions
-    and emit nothing (honest, asserted in tests).
+    identical doubles. Per-transition p is floored at ``P_FLOOR``
+    before the log (a 6dp-rounded p can be exactly 0.0 — see the
+    constant), so the score is total over any corpus skew. Visits
+    with a single event have no transitions and emit nothing (honest,
+    asserted in tests).
 
-    Columns: user_id, session_seq, n_transitions, nll_sum, mean_nll."""
+    Columns: user_id, session_seq, n_transitions, n_unseen, nll_sum,
+    mean_nll (``n_unseen`` is 0 here by construction — the model is
+    fit on the same events; it is live on the store-served path)."""
     e = load_table(spark, sf_dir, "events").where(
         (F.col("ts") >= F.lit(EVENTS_START).cast("timestamp"))
         & (F.col("ts") < F.lit(EVENTS_END_EXCL).cast("timestamp"))
@@ -274,7 +290,17 @@ def score_visits_against(e: DataFrame, model: DataFrame) -> DataFrame:
     definition shared by the inline op (model refit per call) and the
     maintained-store serve (``streaming/transitions.py``'s
     ``visit_anomaly_report`` scores against ``current_transitions``),
-    so the two paths cannot drift."""
+    so the two paths cannot drift.
+
+    r13 (VERDICT r12 #3): the model join is a LEFT join with a
+    stupid-backoff floor — a transition the model has never seen
+    scores ``-log(P_FLOOR)`` instead of silently vanishing from the
+    visit's sum (the old inner join shrank ``n_transitions`` and let
+    ``mean_nll`` read as if the visit were fully scored when the
+    store had ingested only a subset of the scored events). The
+    ``n_unseen`` column makes partial model coverage visible to
+    consumers; it is exactly 0 whenever the model covers the events
+    (the inline op always; the store after a superset ingest)."""
     numbered = _session_numbered(e, ["event_type"])
     w_s = Window.partitionBy("user_id", "session_seq").orderBy(
         "ts", "event_id"
@@ -285,19 +311,27 @@ def score_visits_against(e: DataFrame, model: DataFrame) -> DataFrame:
         F.lag("event_type").over(w_s).alias("from_type"),
         F.col("event_type").alias("to_type"),
     ).where(F.col("from_type").isNotNull())
-    # inner join is total whenever the model was fit on a superset of
-    # these events (the inline op fits on the SAME events)
-    scored = pairs.join(F.broadcast(model), ["from_type", "to_type"])
+    # LEFT join + floor: every transition scores (seen → -log(p),
+    # unseen or rounded-to-zero p → -log(P_FLOOR)); greatest() eats
+    # the NULL identically in Spark and DuckDB
+    scored = pairs.join(
+        F.broadcast(model), ["from_type", "to_type"], "left"
+    )
+    nll = F.abs(
+        F.round(-F.log(F.greatest(F.col("p"), F.lit(P_FLOOR))), 6)
+    )
     agg = scored.groupBy("user_id", "session_seq").agg(
         F.count(F.lit(1)).cast("long").alias("n_transitions"),
-        F.abs(
-            F.round(F.sum(F.abs(F.round(-F.log("p"), 6))), 6)
-        ).alias("nll_sum"),
+        F.sum(F.when(F.col("p").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_unseen"),
+        F.abs(F.round(F.sum(nll), 6)).alias("nll_sum"),
     )
     return agg.select(
         "user_id",
         "session_seq",
         "n_transitions",
+        "n_unseen",
         "nll_sum",
         F.round(
             F.col("nll_sum") / F.col("n_transitions"), 6
@@ -336,18 +370,21 @@ pairs AS (
   FROM numbered
 ),
 scored AS (
-  SELECT p.user_id, p.session_seq, abs(round(-ln(m.p), 6)) AS nll
-  FROM pairs p JOIN model m
+  SELECT p.user_id, p.session_seq,
+         abs(round(-ln(greatest(m.p, {P_FLOOR!r})), 6)) AS nll,
+         CASE WHEN m.p IS NULL THEN 1 ELSE 0 END AS unseen
+  FROM pairs p LEFT JOIN model m
     ON m.from_type = p.from_type AND m.to_type = p.to_type
   WHERE p.from_type IS NOT NULL
 ),
 agg AS (
   SELECT user_id, session_seq,
          CAST(count(*) AS BIGINT) AS n_transitions,
+         CAST(sum(unseen) AS BIGINT) AS n_unseen,
          abs(round(sum(nll), 6)) AS nll_sum
   FROM scored GROUP BY 1, 2
 )
-SELECT user_id, session_seq, n_transitions, nll_sum,
+SELECT user_id, session_seq, n_transitions, n_unseen, nll_sum,
        round(nll_sum / CAST(n_transitions AS DOUBLE), 6) AS mean_nll
 FROM agg
 """

@@ -61,6 +61,23 @@ def _epoch_topk(docs: DataFrame) -> DataFrame:
         "n_chars",
         aes_logkey(F.col("doc_id"), F.col("n_chars")).alias("logkey"),
     )
+    # r13 (ADVICE r12): one row per doc_id WITHIN the batch too — a
+    # doc re-ingested twice in one micro-batch with different
+    # (lang, n_chars) previously carried two keyed rows into the same
+    # epoch partition, where the merge's latest-epoch window broke
+    # the tie nondeterministically. Deterministic representative via
+    # a hash aggregate (map-side combine, no extra window shuffle):
+    # max (logkey, n_chars, lang) lexicographically.
+    keyed = (
+        keyed.groupBy("doc_id")
+        .agg(F.max(F.struct("logkey", "n_chars", "lang")).alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.lang").alias("lang"),
+            F.col("s.n_chars").alias("n_chars"),
+            F.col("s.logkey").alias("logkey"),
+        )
+    )
     return keyed.orderBy(
         F.col("logkey").desc(), F.col("doc_id").asc()
     ).limit(SAMPLE_W_K)
@@ -84,8 +101,14 @@ def _topk(rows: DataFrame) -> DataFrame:
     revisions that matter are a ``rebuild`` (same as erasure)."""
     from pyspark.sql import Window
 
+    # secondary keys (r13, ADVICE r12) make the latest-wins pick
+    # deterministic even over legacy stored state where one epoch
+    # partition holds two rows for a doc (pre-r13 epochs could)
     w_doc = Window.partitionBy("doc_id").orderBy(
-        F.col("epoch_id").desc()
+        F.col("epoch_id").desc(),
+        F.col("logkey").desc(),
+        F.col("n_chars").desc(),
+        F.col("lang"),
     )
     w = Window.orderBy(F.col("logkey").desc(), F.col("doc_id"))
     return (

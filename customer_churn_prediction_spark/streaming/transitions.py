@@ -150,11 +150,14 @@ def visit_anomaly_report(
     matrix (the gram-pipeline-drops-out-of-serve discipline, DSIR's
     at-rest precedent). Same scoring tail as the batch op
     (``sessions.score_visits_against`` — one definition), the model
-    read is the ≤ |event_type|²-row ``current_transitions``. Events
-    whose transition never occurred in the ingested history score no
-    rows for that pair (inner join) — score against a store that has
-    ingested a superset of the scored events (the batch-equality
-    pytest ingests exactly them)."""
+    read is the ≤ |event_type|²-row ``current_transitions``. r13: a
+    transition the ingested history never saw scores the stupid-
+    backoff floor ``-log(P_FLOOR)`` and increments the row's
+    ``n_unseen`` (left join — no silent subset mean when the store
+    holds only part of the scored events); scores equal the inline
+    ``session_anomaly`` bit-for-bit whenever the ingest is a superset
+    of the scored events (then every ``n_unseen`` is 0 — the
+    batch-equality pytest ingests exactly them)."""
     from ..operators.sessions import score_visits_against
 
     model = current_transitions(spark, store_dir).select(
@@ -361,6 +364,16 @@ def _erase_from(
             ignore_errors=True,
         )
     shutil.rmtree(stage, ignore_errors=True)
+    # r13 (ADVICE r12): if erasure emptied EVERY partition, drop the
+    # sub-store root too — a partitionless root passes readers'
+    # os.path.isdir guard but fails parquet schema inference (the
+    # same trap maintenance.rebuild_base documents); removing it
+    # routes readers to the typed-empty-frame answer.
+    if not any(
+        "=" in name and os.path.isdir(os.path.join(path, name))
+        for name in os.listdir(path)
+    ):
+        shutil.rmtree(path, ignore_errors=True)
 
 
 def forget_users(

@@ -146,3 +146,132 @@ def test_store_served_scores_equal_inline(spark, sf_smoke, tmp_path):
         map(tuple, sessions.session_anomaly(spark, sf_smoke).collect())
     )
     assert served == inline and served
+    # superset ingest: partial-coverage machinery must be inert
+    assert all(r[3] == 0 for r in served)  # n_unseen
+
+
+def _events_df(spark, rows):
+    from pyspark.sql import functions as F2
+
+    return spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).select(
+        "user_id",
+        F2.col("ts").cast("timestamp").alias("ts"),
+        "event_id",
+        "event_type",
+    )
+
+
+def test_unseen_transitions_score_backoff_not_silent_subset(
+    spark, tmp_path
+):
+    """r13 (VERDICT r12 #3): score events the store has NOT ingested.
+    The store learns only add->buy; a scored visit doing add->refund
+    must earn the explicit stupid-backoff floor (-log(P_FLOOR)) with
+    n_unseen=1 — NOT a silently shrunken n_transitions/mean over the
+    known subset."""
+    import math
+
+    from customer_churn_prediction_spark.operators.sessions import P_FLOOR
+    from customer_churn_prediction_spark.streaming import (
+        transitions as stt,
+    )
+
+    known = []
+    for u in range(9):
+        known.append((u * 10 + 1, f"2024-01-01 0{u}:00:00", u, "add"))
+        known.append((u * 10 + 2, f"2024-01-01 0{u}:00:10", u, "buy"))
+    novel = [
+        (91, "2024-01-01 09:00:00", 9, "add"),
+        (92, "2024-01-01 09:00:10", 9, "refund"),
+    ]
+    ingest = _events_df(spark, known)
+    stream_dir = str(tmp_path / "arrivals")
+    ingest.repartition(1).write.mode("append").parquet(stream_dir)
+    store = str(tmp_path / "store")
+    stream = spark.readStream.schema(ingest.schema).parquet(stream_dir)
+    q = stt.maintain_transitions(
+        spark, stream, store, checkpoint=str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    out = {
+        r.user_id: r
+        for r in stt.visit_anomaly_report(
+            spark, store, _events_df(spark, known + novel)
+        ).collect()
+    }
+    floor_nll = round(-math.log(P_FLOOR), 6)
+    r9 = out[9]
+    assert (r9.n_transitions, r9.n_unseen) == (1, 1)
+    assert r9.nll_sum == floor_nll and r9.mean_nll == floor_nll
+    for u in range(9):  # fully-covered visits: p=1.0, zero NLL
+        assert (out[u].n_transitions, out[u].n_unseen) == (1, 0)
+        assert out[u].mean_nll == 0.0
+
+
+def test_rounded_to_zero_p_floors_in_both_engines(spark, tmp_path):
+    """r13 (ADVICE r12, medium): a transition with n/n_from < 5e-7
+    rounds its 6dp model p to exactly 0.0. Pre-floor, Spark log(0)
+    answered NULL (silent drop from nll_sum) and DuckDB ln(0) raised
+    OutOfRangeException. With the P_FLOOR in both engines the scores
+    are total and identical. Corpus: one user, 2,000,000 a->a
+    transitions and ONE a->b, so n_from(a)=2,000,001 and
+    p(a->b)=1/2,000,001 -> 0.0 at 6dp."""
+    import math
+
+    import duckdb
+    from pyspark.sql import functions as F2
+
+    from customer_churn_prediction_spark.operators.sessions import (
+        ANOMALY_ORACLE,
+        P_FLOOR,
+        score_visits_against,
+        transitions_from_events,
+    )
+
+    n_aa = 2_000_000
+    e = (
+        spark.range(n_aa + 2)
+        .select(
+            F2.lit(1).cast("long").alias("user_id"),
+            F2.lit("2024-01-05 00:00:00")
+            .cast("timestamp")
+            .alias("ts"),
+            F2.col("id").alias("event_id"),
+            F2.when(F2.col("id") == n_aa + 1, F2.lit("b"))
+            .otherwise(F2.lit("a"))
+            .alias("event_type"),
+        )
+    )
+    model = transitions_from_events(e)
+    p_rare = model.where(F2.col("to_type") == "b").collect()[0].p
+    assert p_rare == 0.0  # the trap is actually constructed
+
+    got = score_visits_against(
+        e, model.select("from_type", "to_type", "p")
+    ).collect()
+    assert len(got) == 1
+    row = got[0]
+    floor_nll = round(-math.log(P_FLOOR), 6)
+    assert row.n_transitions == n_aa + 1
+    assert row.n_unseen == 0  # seen, just rounded to zero
+    assert row.nll_sum == floor_nll  # 2M p=1.0 zeros + one floor
+    assert row.mean_nll == round(floor_nll / (n_aa + 1), 6)
+
+    # the oracle on the same corpus must not raise and must agree
+    path = str(tmp_path / "events.parquet")
+    e.repartition(4).write.mode("overwrite").parquet(path)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    odf = con.execute(ANOMALY_ORACLE).df()
+    assert len(odf) == 1
+    orow = odf.iloc[0]
+    assert int(orow.n_transitions) == row.n_transitions
+    assert int(orow.n_unseen) == row.n_unseen
+    assert float(orow.nll_sum) == row.nll_sum
+    assert float(orow.mean_nll) == row.mean_nll
