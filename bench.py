@@ -88,10 +88,11 @@ BENCH_QUERIES = [
     "dedup_cross_modal",
     # r5 additions
     "dedup_semantic",
-    "text_repetition",
+    # (text_repetition and text_logprob retired r13 into the composed
+    # corpus_keep_decision below, which executes both gates every
+    # pass — their cost stays measured, aggregated)
     "corpus_mix",
     "contamination_check",
-    "text_logprob",
     "ann_recall_eval",
     "user_event_sequences",
     "corpus_keep_decision",
@@ -146,6 +147,11 @@ BENCH_QUERIES = [
     # the visit-level Markov transition model.
     "vocab_eval_compression",
     "session_transitions",
+    # r13 graduations: the order-aware stupid-backoff bigram LM scorer
+    # (supersedes the retired unigram text_logprob's standalone row)
+    # and A-ES weighted without-replacement sampling.
+    "text_logprob_bigram",
+    "corpus_sample_weighted",
 ]
 
 # Solo-calibration probes (r12, VERDICT r11 item 7): r10→r11 totals
@@ -198,6 +204,46 @@ def _load_prev_medians(out_path: str, sf: float) -> dict[str, float]:
         return {}
 
 
+def _load_prev_cal(out_path: str, sf: float) -> dict[str, float]:
+    """The previous run's solo-calibration medians ({name: sec} from
+    "cal_queries", first recorded r12), or {} when absent — same
+    guards as the median loader."""
+    try:
+        with open(out_path) as fh:
+            prev = json.load(fh)
+        if float(prev.get("sf", -1)) != sf:
+            return {}
+        return {
+            k: float(v) for k, v in prev.get("cal_queries", {}).items()
+        }
+    except (OSError, ValueError, KeyError, TypeError, AttributeError):
+        return {}
+
+
+def _cal_ratio(cal_now: dict[str, float], cal_prev: dict[str, float]):
+    """Box-speed ratio between this run and the previous one: the
+    median of per-probe ratios over the shared calibration queries
+    (median, not mean — one probe hit by a mid-triple burst must not
+    drag the anchor). None when no probe is shared or a prev median
+    is zero."""
+    import statistics
+
+    ratios = [
+        cal_now[k] / cal_prev[k]
+        for k in cal_now
+        if k in cal_prev and cal_prev[k] > 0
+    ]
+    return round(statistics.median(ratios), 3) if ratios else None
+
+
+def _sec(t: float) -> float:
+    """Stdout-width discipline for one seconds value: millisecond
+    precision below 100 s (every real median), centisecond at or
+    above — caps the worst-case line width the tail-capture ratchet
+    emulates without touching any realistic value's precision."""
+    return round(t, 2) if t >= 100 else round(t, 3)
+
+
 def stdout_result(
     total: float,
     timings: dict,
@@ -206,6 +252,7 @@ def stdout_result(
     steady_total: float,
     n_movers: int,
     cal: list[float],
+    dcal,
 ) -> dict:
     """THE stdout schema — the one object the driver's fixed-size
     tail capture must parse, factored out so
@@ -219,25 +266,32 @@ def stdout_result(
         # r12: was "headline_queries_total_runtime" — shortened for
         # stdout budget when the calibration triple landed (the
         # cross-round series identity lives in the per-query medians
-        # and "value", which are unchanged)
+        # and "value", which are unchanged; bench_out.json carries
+        # the old name in "metric_renamed_from" so tooling keyed on
+        # the r4-r11 string can rebind)
         "metric": "headline_total",
-        "value": total,
+        "value": _sec(total),
         "unit": "sec",
-        "queries": timings,
+        "queries": {k: _sec(v) for k, v in timings.items()},
         "sf": sf,
         # contended runs read high: compare against prev_delta before
         # believing a regression (see bench --check)
         "contended": contended,
         # sum of per-query steady-state (consecutive-triple) medians —
         # the dedicated-job cost, vs "value"'s interleaved-context cost
-        "steady_total": steady_total,
-        # how many queries moved >20% vs prev (each was steady-
-        # rechecked; the name -> [interleaved, steady] pairs are in
-        # bench_out.json "movers")
+        "steady_total": _sec(steady_total),
+        # how many queries moved >20% vs prev AFTER box-speed
+        # normalization (each was steady-rechecked; the name ->
+        # [interleaved, steady] pairs are in bench_out.json "movers")
         "n_movers": n_movers,
         # solo-calibration medians in CALIBRATION order, measured
         # before the interleaved passes — the box-speed normalizer
-        "cal": cal,
+        "cal": [_sec(c) for c in cal],
+        # box-adjusted cross-round code delta (r13, VERDICT r12 item
+        # 7): median per-query ratio vs the previous run divided by
+        # the calibration ratio — ~1.0 means the code didn't move
+        # even when the walls did; null on the first run at an SF
+        "dcal": dcal,
     }
 
 
@@ -350,6 +404,15 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "bench_out.json"
     )
     prev = _load_prev_medians(out_path, float(sf))
+    # Box-speed anchor vs the previous recorded run (r13, VERDICT r12
+    # item 7): every cross-round comparison below divides by this
+    # ratio, so movers are flagged against box-adjusted times — the
+    # r11→r12 lesson (a ~25-30% across-the-board "speedup" that was
+    # host drift, proven by the calibration triple after the fact).
+    cal_ratio = _cal_ratio(dict(zip(CALIBRATION, cal)), _load_prev_cal(
+        out_path, float(sf)
+    ))
+    norm = cal_ratio if cal_ratio else 1.0
 
     # Wide-spread contention signal — computed from the ORIGINAL
     # interleaved spreads, BEFORE --check replaces contaminated
@@ -371,7 +434,7 @@ def main() -> None:
             name
             for name, t in timings.items()
             if name in prev and prev[name] > 0
-            and abs(t / prev[name] - 1.0) > 0.20
+            and abs(t / (prev[name] * norm) - 1.0) > 0.20
         ]
         for name in moved:
             re_samples = []
@@ -421,7 +484,7 @@ def main() -> None:
     for name in BENCH_QUERIES:
         moved = (
             name in prev and prev[name] > 0
-            and abs(timings[name] / prev[name] - 1.0) > 0.20
+            and abs(timings[name] / (prev[name] * norm) - 1.0) > 0.20
         )
         if moved:
             steady[name] = min(steady[name], steady_triple(name))
@@ -436,6 +499,17 @@ def main() -> None:
         )
         for name, t in timings.items()
     }
+    # Box-adjusted per-query deltas, and their median as the one
+    # scalar that answers "did the CODE move since last round".
+    prev_delta_cal = {
+        name: (round(d / norm, 3) if d is not None else None)
+        for name, d in prev_delta.items()
+    }
+    common = sorted(d for d in prev_delta_cal.values() if d is not None)
+    dcal = (
+        round(statistics.median(common), 3)
+        if common and cal_ratio else None
+    )
 
     total = round(sum(timings.values()), 3)
     # Contended-run detection, tightened in r8: the r7 driver run
@@ -462,7 +536,7 @@ def main() -> None:
     # at worst-case field widths.
     result = stdout_result(
         total, timings, float(sf), contended,
-        round(sum(steady.values()), 3), len(movers), cal,
+        round(sum(steady.values()), 3), len(movers), cal, dcal,
     )
     with open(out_path, "w") as fh:
         json.dump(
@@ -470,8 +544,16 @@ def main() -> None:
                 **result,
                 "iters": N_ITERS,
                 "load_at_start": load_at_start,
+                # stdout "metric" was renamed in r12; tooling keyed on
+                # the r4-r11 string can rebind through this alias
+                "metric_renamed_from": "headline_queries_total_runtime",
                 # name -> median mapping for the stdout "cal" array
                 "cal_queries": dict(zip(CALIBRATION, cal)),
+                # this run / previous run box-speed ratio (median of
+                # per-probe cal ratios); the divisor behind "dcal",
+                # mover flagging, and prev_delta_cal
+                "cal_ratio": cal_ratio,
+                "prev_delta_cal": prev_delta_cal,
                 "spread": spread,
                 "prev_delta": prev_delta,
                 "rechecked": rechecked,

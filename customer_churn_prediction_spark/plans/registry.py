@@ -151,6 +151,23 @@ RETIRED = {
     # tests/test_dedup_recall.py. The freed slot graduates
     # session_transitions (the visit-level Markov model).
     "dedup_lsh_verified": "dedup_recall_eval",
+    # r13 (the ROADMAP r13 queue): both retire into the registered
+    # composed governance decision, which EXECUTES their work in both
+    # engines every round — corpus_keep_decision's Spark plan calls
+    # text_repetition() as its repetition gate and text_logprob() as
+    # its LM-band gate, and its committed oracle nests
+    # ORACLES["text_repetition"] / ORACLES["text_logprob"] verbatim
+    # as the `rep` / `nll` CTEs, so a regression in either breaks the
+    # keep-decision hash row. Standalone driver-rigor oracle parity
+    # stays pinned in tests/test_governance.py
+    # (test_text_repetition_standalone_oracle_parity,
+    # test_text_logprob_standalone_oracle_parity). The freed slots
+    # graduate text_logprob_bigram (the order-aware LM scorer that
+    # supersedes text_logprob's unigram signal) and
+    # corpus_sample_weighted (A-ES weighted without-replacement
+    # sampling).
+    "text_repetition": "corpus_keep_decision",
+    "text_logprob": "corpus_keep_decision",
 }
 
 # Deliberate non-scale baselines kept registered for recall/correctness
@@ -202,9 +219,7 @@ PRIORITY = [
     "text_token_counts",
     "text_fingerprint",
     "corpus_curation",
-    "text_repetition",
     "corpus_mix",
-    "text_logprob",
     "corpus_keep_decision",
     "dedup_exact",
     "dedup_minhash_signatures",
@@ -228,6 +243,9 @@ PRIORITY = [
     "eval_ks",
     "multimodal_features",
     "multimodal_frames",
+    # registered in r13 — first driver row this round
+    "text_logprob_bigram",
+    "corpus_sample_weighted",
 ]
 
 

@@ -1574,14 +1574,21 @@ FROM documents d LEFT JOIN per_doc pd USING (doc_id)
 STAGED_QUERIES = {
     "text_entropy": text_entropy,
     "corpus_mix_temperature": corpus_mix_temperature,
-    # r11: weighted without-replacement sampling (A-ES reservoir).
-    "corpus_sample_weighted": corpus_sample_weighted,
-    # r11: order-aware LM quality signal (stupid-backoff bigrams).
-    "text_logprob_bigram": text_logprob_bigram,
 }
 STAGED_ORACLES = {
     "text_entropy": ENTROPY_ORACLE,
     "corpus_mix_temperature": MIX_TEMP_ORACLE,
-    "corpus_sample_weighted": SAMPLE_W_ORACLE,
-    "text_logprob_bigram": BIGRAM_ORACLE,
 }
+
+# r13 graduations (the ROADMAP r13 queue, staged green since r11):
+# the word-order-aware LM scorer and the A-ES weighted
+# without-replacement sampler take the registry slots freed by the
+# text_repetition / text_logprob retirements (both retire into
+# corpus_keep_decision, which executes their fns in its Spark plan
+# and nests their committed SQL as CTEs — see registry.RETIRED;
+# standalone driver-rigor parity stays pinned in
+# tests/test_governance.py).
+QUERIES["text_logprob_bigram"] = text_logprob_bigram
+ORACLES["text_logprob_bigram"] = BIGRAM_ORACLE
+QUERIES["corpus_sample_weighted"] = corpus_sample_weighted
+ORACLES["corpus_sample_weighted"] = SAMPLE_W_ORACLE

@@ -39,8 +39,10 @@ def test_bench_covers_recent_additions():
         # (ann_bruteforce_int8 retired r10 — benched via the matrix)
         "ann_bruteforce_int8_stored",
         "embedding_quantize", "text_redact", "dedup_simhash",
-        "dedup_cross_modal", "dedup_semantic", "text_repetition",
-        "corpus_mix", "contamination_check", "text_logprob",
+        "dedup_cross_modal", "dedup_semantic",
+        # (text_repetition / text_logprob retired r13 — both gates
+        # still execute inside the benched corpus_keep_decision)
+        "corpus_mix", "contamination_check",
         "ann_recall_eval", "user_event_sequences",
         # r6 registrations must land bench rows in the same round
         # (ann_pq_adc / ann_ivf_pq retired r10 — benched via the matrix)
@@ -60,6 +62,8 @@ def test_bench_covers_recent_additions():
         "events_resample_ffill",
         # r12 registrations
         "vocab_eval_compression", "session_transitions",
+        # r13 registrations
+        "text_logprob_bigram", "corpus_sample_weighted",
     }
     assert tracked <= names, sorted(tracked - names)
 
@@ -85,6 +89,7 @@ def test_bench_stdout_object_stays_compact():
         steady_total=9999.999,
         n_movers=99,
         cal=[999.999 for _ in bench.CALIBRATION],
+        dcal=9.999,
     )
     line = json.dumps(result, separators=(",", ":"))
     assert len(line) < 1900, len(line)
@@ -93,9 +98,50 @@ def test_bench_stdout_object_stays_compact():
     # scales with the query count beyond the medians dict itself.
     for banned in (
         "spread", "load_elevated", "steady_rechecked", "movers",
-        "steady", "load_series",
+        "steady", "load_series", "prev_delta_cal",
     ):
         assert banned not in result
+
+
+def test_cal_ratio_and_prev_cal_loader():
+    """The box-speed anchor (r13): median of per-probe ratios over
+    shared calibration queries, None when nothing is shared or a prev
+    probe is zero; the loader degrades like the median loader."""
+    bench = _load_bench()
+    now = {"a": 0.2, "b": 0.4, "c": 0.8}
+    prev = {"a": 0.1, "b": 0.4, "c": 0.4}
+    # ratios 2.0, 1.0, 2.0 -> median 2.0
+    assert bench._cal_ratio(now, prev) == 2.0
+    assert bench._cal_ratio(now, {}) is None
+    assert bench._cal_ratio(now, {"a": 0.0}) is None
+    assert bench._cal_ratio({}, prev) is None
+
+
+def test_prev_cal_loader_guards(tmp_path):
+    bench = _load_bench()
+    out = tmp_path / "bench_out.json"
+    assert bench._load_prev_cal(str(out), 0.1) == {}  # absent
+    out.write_text("not json {")
+    assert bench._load_prev_cal(str(out), 0.1) == {}  # unreadable
+    out.write_text(json.dumps(
+        {"sf": 0.01, "cal_queries": {"q": 1.0}}
+    ))
+    assert bench._load_prev_cal(str(out), 0.1) == {}  # other SF
+    out.write_text(json.dumps(
+        {"sf": 0.1, "cal_queries": {"q1": 0.5}}
+    ))
+    assert bench._load_prev_cal(str(out), 0.1) == {"q1": 0.5}
+
+
+def test_sec_width_discipline():
+    """Millisecond precision below 100 s (every real median);
+    centisecond at or above — the worst-case-width cap the compact
+    ratchet relies on."""
+    bench = _load_bench()
+    assert bench._sec(1.2345) == 1.234 or bench._sec(1.2345) == 1.235
+    assert bench._sec(99.9994) == 99.999
+    assert bench._sec(999.999) == 1000.0
+    assert bench._sec(123.456) == 123.46
 
 
 def test_prev_median_loader_guards(tmp_path):

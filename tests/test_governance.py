@@ -152,3 +152,18 @@ def test_text_repetition_standalone_oracle_parity(spark, sf_dir):
         analysis.ORACLES["text_repetition"],
         sf_dir,
     )
+
+
+def test_text_logprob_standalone_oracle_parity(spark, sf_dir):
+    """Driver-rigor oracle parity for text_logprob at the MODULE
+    level — the r13 retirement pin (text_logprob ->
+    corpus_keep_decision, whose Spark plan calls this fn as its
+    LM-band gate and whose oracle nests this SQL as the `nll` CTE;
+    same discipline as the text_repetition pin above)."""
+    from .oracle_utils import assert_matches_oracle
+
+    assert_matches_oracle(
+        analysis.text_logprob(spark, sf_dir),
+        analysis.ORACLES["text_logprob"],
+        sf_dir,
+    )

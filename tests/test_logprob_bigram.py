@@ -1,4 +1,4 @@
-"""text_logprob_bigram (text/analysis.py, staged r11): stupid-backoff
+"""text_logprob_bigram (text/analysis.py, staged r11, graduated r13): stupid-backoff
 bigram LM scoring — oracle parity plus the properties that make it
 the word-order signal the unigram score cannot provide."""
 
@@ -14,7 +14,7 @@ from .oracle_utils import assert_matches_oracle
 def test_bigram_logprob_oracle_parity(spark, sf_dir):
     assert_matches_oracle(
         analysis.text_logprob_bigram(spark, sf_dir),
-        analysis.STAGED_ORACLES["text_logprob_bigram"],
+        analysis.ORACLES["text_logprob_bigram"],
         sf_dir,
     )
 

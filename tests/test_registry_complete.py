@@ -53,9 +53,14 @@ EXPECTED = {
     "vocab_bpe_merges",  # r7: graduated from the staged tier
     "text_tokenize_bpe",  # r8: graduated — BPE train+encode pair complete
     "vocab_eval_compression",  # r12: graduated — BPE triad complete
-    "dedup_semantic", "text_repetition", "corpus_mix",
-    "contamination_check", "text_logprob", "ann_recall_eval",
+    "dedup_semantic", "corpus_mix",
+    "contamination_check", "ann_recall_eval",
+    # (text_repetition / text_logprob retired r13: both gates execute
+    # inside the registered corpus_keep_decision in both engines;
+    # standalone parity pinned in tests/test_governance.py)
     "user_event_sequences", "corpus_keep_decision",
+    "text_logprob_bigram",  # r13: graduated — order-aware LM scorer
+    "corpus_sample_weighted",  # r13: graduated — A-ES weighted sampling
     # monitoring tier (review r6: was missing — subset assert would
     # not have caught its accidental deregistration)
     "drift_psi", "score_band_lift", "eval_ks",

@@ -1,4 +1,4 @@
-"""corpus_sample_weighted (text/analysis.py, staged r11): A-ES
+"""corpus_sample_weighted (text/analysis.py, staged r11, graduated r13): A-ES
 weighted without-replacement sampling — oracle parity plus the
 properties that make the draw a correct weighted sample."""
 
@@ -15,7 +15,7 @@ from .oracle_utils import assert_matches_oracle
 def test_weighted_sample_oracle_parity(spark, sf_dir):
     assert_matches_oracle(
         analysis.corpus_sample_weighted(spark, sf_dir),
-        analysis.STAGED_ORACLES["corpus_sample_weighted"],
+        analysis.ORACLES["corpus_sample_weighted"],
         sf_dir,
     )
 
