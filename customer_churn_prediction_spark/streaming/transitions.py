@@ -303,20 +303,27 @@ def _erase_from(
     path: str,
     user_ids: list[int],
     part_cols: tuple[str, ...],
+    key_col: str = "user_id",
 ) -> None:
-    """Partition-scoped erase of a user's rows from one partitioned
+    """Partition-scoped erase of a key's rows from one partitioned
     sub-store (the ``ann_ingest.forget_from_store`` mechanics): only
     the partitions that CONTAIN one of the ids are rewritten — found
     with one pushdown-filtered scan, pruned coarsely by per-column
     ``isin`` plus an exact broadcast semi-join on the partition tuple
     — survivors stage to a sibling dir (a path write cannot read from
     itself), dynamic overwrite replaces exactly the touched
-    partitions, fully-emptied partitions are deleted directly."""
+    partitions, fully-emptied partitions are deleted directly.
+
+    ``key_col`` generalizes the mechanism beyond this family's
+    user_id rows — the benchmark-gram registry
+    (``streaming/novelty.py``) erases by doc_id through the same
+    code path, so a fix to the staging/overwrite discipline lands in
+    both stores at once."""
     if not os.path.isdir(path):
         return
     store = spark.read.parquet(path)
     hit = (
-        store.where(F.col("user_id").isin(user_ids))
+        store.where(F.col(key_col).isin(user_ids))
         .select(*part_cols)
         .distinct()
         .collect()
@@ -336,7 +343,7 @@ def _erase_from(
     touched = coarse.join(
         F.broadcast(pairs_df), list(part_cols), "left_semi"
     )
-    survivors = touched.where(~F.col("user_id").isin(user_ids))
+    survivors = touched.where(~F.col(key_col).isin(user_ids))
     stage = path.rstrip("/") + "__forget_stage"
     shutil.rmtree(stage, ignore_errors=True)
     (

@@ -1309,6 +1309,162 @@ FROM t3
 """
 
 
+DOREMI_ETA = 1.0      # exponentiated-gradient step (DoReMi's default)
+DOREMI_SMOOTH = 0.01  # uniform smoothing mass mixed into the update
+
+
+def corpus_mix_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One DoReMi-style domain-reweighting step from measured domain losses (Xie et al. 2023).
+
+    ``corpus_mix_temperature`` flattens the observed shares with a
+    fixed exponent; DoReMi instead moves the mix TOWARD the domains
+    the model finds hard — exponentiated-gradient on excess loss:
+    w_d ∝ p_d · exp(η · (loss_d − corpus_loss)), then mixed with the
+    uniform distribution (smoothing mass c) so no domain's weight
+    collapses. The loss here is the engine's own order-aware LM
+    signal — per-domain mean of ``text_logprob_bigram``'s per-doc
+    mean NLL — so the op composes two registered surfaces the way the
+    published recipe composes a proxy model's loss with a sampler.
+    Domains whose text surprises the reference LM get upsampled;
+    domains it finds easy get downsampled. One step (the paper
+    iterates; each iteration is this op re-run against refreshed
+    losses).
+
+    Cross-engine float discipline (the bigram-LM rules): per-doc
+    mean_nll is already 6dp; per-domain and corpus sums are ROUNDED
+    BEFORE their divides; the one transcendental (exp) is rounded to
+    6dp per domain BEFORE normalizing (the MIX_TEMP rule); boost and
+    the sampled budget derive from the same unrounded weight
+    expression in both engines. A domain with no scorable docs
+    (every doc < 2 tokens) takes excess 0 — pure share weight.
+
+    Scale shape: the bigram scorer's own plan (dictionary-sized
+    models, one tokenized scan) + ONE doc-keyed equi-join to carry
+    lang + a domain-count aggregate; the EG math is window algebra
+    over the handful-of-domains frame (the corpus_mix precedent).
+
+    Columns: lang, n_docs, share, mean_loss, weight, boost,
+    n_sampled."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", "lang"
+    )
+    scores = text_logprob_bigram(spark, sf_dir).select(
+        "doc_id", "mean_nll"
+    )
+    stats = (
+        d.join(scores, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count("mean_nll").cast("long").alias("n_scored"),
+            F.round(F.sum("mean_nll"), 6).alias("sum_nll"),
+        )
+    )
+    w = Window.partitionBy()
+    t = (
+        stats.withColumn(
+            "corpus_n", F.sum("n_docs").over(w).cast("double")
+        )
+        .withColumn("sh", F.col("n_docs") / F.col("corpus_n"))
+        .withColumn(
+            "loss",
+            F.when(
+                F.col("n_scored") > 0,
+                F.round(F.col("sum_nll") / F.col("n_scored"), 6),
+            ),
+        )
+        .withColumn(
+            "corpus_loss",
+            F.round(
+                F.round(F.sum("sum_nll").over(w), 6)
+                / F.sum("n_scored").over(w),
+                6,
+            ),
+        )
+        .withColumn("n_langs", F.count(F.lit(1)).over(w).cast("double"))
+    )
+    t = t.withColumn(
+        "e6",
+        F.round(
+            F.col("sh")
+            * F.exp(
+                F.lit(DOREMI_ETA)
+                * F.coalesce(
+                    F.col("loss") - F.col("corpus_loss"), F.lit(0.0)
+                )
+            ),
+            6,
+        ),
+    )
+    t = t.withColumn("w_norm", F.col("e6") / F.sum("e6").over(w))
+    w_raw = (
+        F.lit(1.0 - DOREMI_SMOOTH) * F.col("w_norm")
+        + F.lit(DOREMI_SMOOTH) / F.col("n_langs")
+    )
+    return t.select(
+        "lang",
+        "n_docs",
+        F.round("sh", 6).alias("share"),
+        F.col("loss").alias("mean_loss"),
+        F.round(w_raw, 6).alias("weight"),
+        F.round(w_raw / F.col("sh"), 6).alias("boost"),
+        F.round(w_raw * F.col("corpus_n"), 0).cast("long").alias(
+            "n_sampled"
+        ),
+    )
+
+
+def _doremi_oracle() -> str:
+    return f"""
+WITH scores AS ({BIGRAM_ORACLE}),
+per AS (
+  SELECT d.lang, s.mean_nll
+  FROM documents d JOIN scores s USING (doc_id)
+),
+stats AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(mean_nll) AS BIGINT) AS n_scored,
+         round(sum(mean_nll), 6) AS sum_nll
+  FROM per GROUP BY 1
+),
+t AS (
+  SELECT *,
+         CAST(sum(n_docs) OVER () AS DOUBLE) AS corpus_n,
+         n_docs / CAST(sum(n_docs) OVER () AS DOUBLE) AS sh,
+         CASE WHEN n_scored > 0
+              THEN round(sum_nll / CAST(n_scored AS DOUBLE), 6) END
+           AS loss,
+         round(round(sum(sum_nll) OVER (), 6)
+               / CAST(sum(n_scored) OVER () AS DOUBLE), 6)
+           AS corpus_loss,
+         CAST(count(*) OVER () AS DOUBLE) AS n_langs
+  FROM stats
+),
+t2 AS (
+  SELECT *,
+         round(sh * exp({DOREMI_ETA!r}
+                        * coalesce(loss - corpus_loss, 0.0)), 6) AS e6
+  FROM t
+),
+t3 AS (
+  SELECT *, e6 / sum(e6) OVER () AS w_norm FROM t2
+)
+SELECT lang, n_docs,
+       round(sh, 6) AS share,
+       loss AS mean_loss,
+       round({1.0 - DOREMI_SMOOTH!r} * w_norm
+             + {DOREMI_SMOOTH!r} / n_langs, 6) AS weight,
+       round(({1.0 - DOREMI_SMOOTH!r} * w_norm
+              + {DOREMI_SMOOTH!r} / n_langs) / sh, 6) AS boost,
+       CAST(round(({1.0 - DOREMI_SMOOTH!r} * w_norm
+                   + {DOREMI_SMOOTH!r} / n_langs) * corpus_n, 0)
+            AS BIGINT) AS n_sampled
+FROM t3
+"""
+
+
 SAMPLE_W_K = 100       # sample size (K ≪ corpus by design)
 SAMPLE_W_SEED = "wsample|"
 _U_HEX = 13            # 16^13 < 2^63: the md5-prefix unit uniform
@@ -1574,10 +1730,14 @@ FROM documents d LEFT JOIN per_doc pd USING (doc_id)
 STAGED_QUERIES = {
     "text_entropy": text_entropy,
     "corpus_mix_temperature": corpus_mix_temperature,
+    # r13: loss-driven domain reweighting (one DoReMi EG step over
+    # the bigram-LM signal).
+    "corpus_mix_doremi": corpus_mix_doremi,
 }
 STAGED_ORACLES = {
     "text_entropy": ENTROPY_ORACLE,
     "corpus_mix_temperature": MIX_TEMP_ORACLE,
+    "corpus_mix_doremi": _doremi_oracle(),
 }
 
 # r13 graduations (the ROADMAP r13 queue, staged green since r11):

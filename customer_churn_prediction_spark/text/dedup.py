@@ -1538,7 +1538,6 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("g.shingle")
         .distinct()
-        .withColumn("known", F.lit(1))
     )
     corpus = (
         grams.where(~is_bench)
@@ -1550,7 +1549,38 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "g.shingle")
     )
-    joined = corpus.join(F.broadcast(ref), "shingle", "left")
+    return score_novelty_against(corpus, ref)
+
+
+def exploded_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) pairs of any (doc_id, text) frame through
+    the SAME struct-carried explode the inline op uses (the
+    ``InferFiltersFromGenerate`` guard) — bound here once so the
+    maintained gram registry (``streaming/novelty.py``) shingles
+    exactly like the batch ops."""
+    grams = docs.select(
+        "doc_id", F.expr(_word_shingles_spark()).alias("grams")
+    )
+    return grams.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(grams, x -> named_struct('shingle', x))")
+        ).alias("g"),
+    ).select("doc_id", "g.shingle")
+
+
+def score_novelty_against(corpus: DataFrame, ref: DataFrame) -> DataFrame:
+    """The novelty-scoring tail over any (doc_id, shingle) corpus
+    frame and any (shingle) reference gram set — ONE definition
+    shared by the inline op (reference re-shingled per call) and the
+    maintained-store serve (``streaming/novelty.py``'s
+    ``novelty_report`` scores against ``current_ref_grams``), so the
+    two paths cannot drift. The reference set broadcasts (distinct
+    grams of the eval suite — small by nature); the corpus never
+    shuffles on text."""
+    joined = corpus.join(
+        F.broadcast(ref.withColumn("known", F.lit(1))), "shingle", "left"
+    )
     return (
         joined.groupBy("doc_id")
         .agg(

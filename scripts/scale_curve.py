@@ -75,6 +75,9 @@ DOC_ONLY_QUERIES = [
     # r12 staged: n-gram novelty vs the reference slice (the
     # contamination plan's shape — broadcast reference, one scan)
     "text_ngram_novelty",
+    # r13 staged: DoReMi EG reweighting (the bigram scorer's plan +
+    # one doc-keyed join + domain-count window algebra)
+    "corpus_mix_doremi",
 ]
 
 # ANN-tier 4th decade: scripts/make_embeddings_x10.py replicates the

@@ -167,3 +167,49 @@ def test_text_logprob_standalone_oracle_parity(spark, sf_dir):
         analysis.ORACLES["text_logprob"],
         sf_dir,
     )
+
+
+def test_mix_doremi_oracle_parity(spark, sf_dir):
+    """Driver-rigor oracle parity for the DoReMi EG step (staged
+    r13)."""
+    from .oracle_utils import assert_matches_oracle
+
+    assert_matches_oracle(
+        analysis.corpus_mix_doremi(spark, sf_dir),
+        analysis.STAGED_ORACLES["corpus_mix_doremi"],
+        sf_dir,
+    )
+
+
+def test_mix_doremi_upweights_hard_domains(spark, sf_dir):
+    """The point of the update: domains whose bigram-LM loss exceeds
+    the corpus mean must gain weight relative to their observed share
+    (boost > smoothing-only baseline) and easy domains must lose it;
+    weights stay a distribution; ordering by excess loss is the
+    ordering by boost."""
+    rows = analysis.corpus_mix_doremi(spark, sf_dir).collect()
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-4
+    scored = [r for r in rows if r.mean_loss is not None]
+    assert len(scored) >= 2
+
+    # invert the uniform smoothing to recover the pure EG ratio
+    # w_norm/share (the smoothing term c/k deliberately boosts
+    # small-share domains regardless of loss, so the monotonicity
+    # claim lives on the UNSMOOTHED update)
+    c, k = analysis.DOREMI_SMOOTH, len(rows)
+
+    def eg_boost(r):
+        return (r.weight - c / k) / ((1.0 - c) * r.share)
+
+    mean_loss = sum(r.mean_loss * r.n_docs for r in scored) / sum(
+        r.n_docs for r in scored
+    )
+    for r in scored:
+        if r.mean_loss > mean_loss + 0.05:
+            assert eg_boost(r) > 1.0, r
+        if r.mean_loss < mean_loss - 0.05:
+            assert eg_boost(r) < 1.0, r
+    by_loss = sorted(scored, key=lambda r: r.mean_loss)
+    assert by_loss == sorted(scored, key=eg_boost), (
+        "EG must preserve the loss ordering in the unsmoothed boosts"
+    )

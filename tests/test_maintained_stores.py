@@ -54,6 +54,7 @@ from customer_churn_prediction_spark.streaming import quantiles as sq
 from customer_churn_prediction_spark.streaming import resample as srs
 from customer_churn_prediction_spark.streaming import sample as ssam
 from customer_churn_prediction_spark.streaming import sketch as ssk
+from customer_churn_prediction_spark.streaming import novelty as snov
 from customer_churn_prediction_spark.streaming import (
     transitions as stt,
 )
@@ -689,9 +690,83 @@ class TransitionsFamily(Family):
         assert stt.read_erased_users(spark, store).collect() == []
 
 
+class NoveltyFamily(Family):
+    """The eleventh family (r13): the benchmark-gram registry —
+    reference word-3-gram (shingle, doc_id) pairs maintained on
+    benchmark ingest so novelty/contamination serving joins a stored
+    set instead of re-shingling the eval suite per call. The state is
+    an order-insensitive set union (the KMV/sample maintenance
+    shape); doc provenance makes governance exact and IN PLACE: a
+    doc's pair rows are self-contained, and a shingle shared with
+    another registered doc survives through that doc's row."""
+
+    name = "refgrams"
+    live_subdir = snov.GRAMS_SUBDIR
+    governance = "in_place"
+
+    def waves(self, spark, sf_smoke):
+        d = load_table(spark, sf_smoke, "documents").select(
+            "doc_id", "text"
+        )
+        bench = d.where(F.col("doc_id") % 10 == 7)
+        return [
+            bench.where(F.expr("doc_id div 10") % 3 == i)
+            for i in range(3)
+        ]
+
+    def run(self, spark, sf_smoke, stream_dir, store, ckpt, fault=None):
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        return snov.maintain_ref_grams(
+            spark, stream, store, checkpoint=ckpt, fault=fault
+        )
+
+    def state(self, spark, sf_smoke, store):
+        return _rows(snov.current_pairs(spark, store))
+
+    def batch_state(self, spark, sf_smoke, input_df):
+        return _rows(snov._doc_grams(input_df))
+
+    def compact(self, spark, store):
+        snov.compact(spark, store, upto_epoch=10)
+
+    def erase(self, spark, sf_smoke, store):
+        pairs = snov.current_pairs(spark, store)
+        victim = int(
+            pairs.select("doc_id").orderBy("doc_id").first().doc_id
+        )
+        before = self.state(spark, sf_smoke, store)
+        snov.forget_docs(spark, store, [victim])
+        left = snov.current_pairs(spark, store)
+        assert left.where(F.col("doc_id") == victim).count() == 0
+        # exact in-place erasure: the post-erasure registry equals the
+        # batch state over the scrubbed union — shared shingles
+        # survive through the other docs' provenance rows
+        clean = _union(self.waves(spark, sf_smoke)).where(
+            F.col("doc_id") != victim
+        )
+        after = self.state(spark, sf_smoke, store)
+        assert after == self.batch_state(spark, sf_smoke, clean)
+        assert after != before
+
+    def empty_read(self, spark, sf_smoke, store):
+        assert snov.current_ref_grams(spark, store).collect() == []
+        assert snov.read_erased_docs(spark, store).collect() == []
+        # an empty registry means every gram is novel — the serve
+        # must answer (novelty 1.0), not raise
+        docs = load_table(spark, sf_smoke, "documents").select(
+            "doc_id", "text"
+        ).limit(20)
+        rep = snov.novelty_report(spark, store, docs).collect()
+        assert rep and all(r.novelty == 1.0 for r in rep)
+
+
 FAMILIES = [CMSFamily(), HLLFamily(), BloomFamily(), KMVFamily(),
             IVFFamily(), ResampleFamily(), DecayFamily(), GKFamily(),
-            SampleFamily(), TransitionsFamily()]
+            SampleFamily(), TransitionsFamily(), NoveltyFamily()]
 _IDS = [f.name for f in FAMILIES]
 
 

@@ -105,3 +105,47 @@ def test_novelty_complements_contamination(spark, sf_dir):
         import statistics
 
         assert nov[d] <= statistics.median(unflagged)
+
+
+def test_store_served_novelty_equals_inline(spark, sf_smoke, tmp_path):
+    """The maintained benchmark-gram registry (streaming/novelty.py,
+    r13): ingest the op's own reference slice (split across three
+    micro-batches), then novelty_report against the maintained gram
+    set must equal the inline text_ngram_novelty (which re-shingles
+    the reference per call) row-for-row — and every n_unseen-free
+    column matches because the two paths share score_novelty_against
+    (one definition)."""
+    from customer_churn_prediction_spark.catalog import load_table
+    from customer_churn_prediction_spark.streaming import novelty as snov
+
+    d = load_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    bench = d.where(F.col("doc_id") % 10 == 7)
+    stream_dir = str(tmp_path / "arrivals")
+    for i in range(3):
+        bench.where(F.expr("doc_id div 10") % 3 == i).repartition(
+            1
+        ).write.mode("append").parquet(stream_dir)
+    store = str(tmp_path / "store")
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    q = snov.maintain_ref_grams(
+        spark, stream, store, checkpoint=str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    served = sorted(
+        map(
+            tuple,
+            snov.novelty_report(
+                spark, store, d.where(F.col("doc_id") % 10 != 7)
+            ).collect(),
+        )
+    )
+    inline = sorted(
+        map(tuple, dedup.text_ngram_novelty(spark, sf_smoke).collect())
+    )
+    assert served == inline and served
