@@ -63,12 +63,18 @@ AFFECTED = [
     # r5 governance tier: empty docs exercise the NULL-ratio routes
     # (repetition fractions, logprob over the ['']-token), the
     # single-token doc the zero-bigram branch, and doc 17 the
-    # benchmark-overlap hit path.
-    "text_repetition",
-    "text_logprob",
+    # benchmark-overlap hit path. (text_repetition / text_logprob
+    # retired r13 — their degenerate coverage moved to the
+    # module-level retired-twin test below, the lsh_verified
+    # precedent; corpus_keep_decision still composes both here.)
     "corpus_mix",
     "contamination_check",
     "corpus_keep_decision",
+    # r13 graduations: the bigram scorer's zero-pair branch (the
+    # single-token doc) and the A-ES sampler over empty/NULL-length
+    # docs join the parametrized net in their registration round.
+    "text_logprob_bigram",
+    "corpus_sample_weighted",
 ]
 
 
@@ -117,6 +123,27 @@ def test_degenerate_docs_lsh_verified_retired_twin(spark, degenerate_dir):
     assert_matches_oracle(
         dedup.lsh_verified_pairs(spark, degenerate_dir),
         dedup.ORACLES["dedup_lsh_verified"],
+        degenerate_dir,
+    )
+
+
+def test_degenerate_docs_retired_governance_twins(spark, degenerate_dir):
+    """text_repetition and text_logprob retired to corpus_keep_decision
+    in r13 (their registry rows are gone, so the parametrized fetch
+    above can no longer reach them) — the degenerate routes they
+    exercised (NULL-ratio fractions on empty docs, the ['']-token
+    logprob) stay covered at the MODULE level, same committed
+    oracles."""
+    from customer_churn_prediction_spark.text import analysis
+
+    assert_matches_oracle(
+        analysis.text_repetition(spark, degenerate_dir),
+        analysis.ORACLES["text_repetition"],
+        degenerate_dir,
+    )
+    assert_matches_oracle(
+        analysis.text_logprob(spark, degenerate_dir),
+        analysis.ORACLES["text_logprob"],
         degenerate_dir,
     )
 

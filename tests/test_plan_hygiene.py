@@ -28,6 +28,11 @@ ALLOWED_NESTED_LOOP = {
     # vocab table at scale); the keep decision composes it
     "text_logprob",
     "corpus_keep_decision",
+    # registered r13 (graduated): the bigram scorer shares
+    # text_logprob's 1-row broadcast corpus-totals scalar (its add-one
+    # unigram backoff is the same p1 model); the heavy legs are
+    # equi-joins covered by the shuffle budgets
+    "text_logprob_bigram",
     # registered r9: the error-band report crossJoins the broadcast
     # 1-row N-total scalar (the calibration-tier report pattern)
     "heavy_hitters_cms",
