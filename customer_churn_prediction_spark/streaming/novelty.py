@@ -105,6 +105,33 @@ def novelty_report(
     )
 
 
+def contamination_report(
+    spark: SparkSession, store_dir: str, docs: DataFrame
+) -> DataFrame:
+    """Flag contamination against the MAINTAINED registry — the
+    store's second consumer: ``contamination_check`` without
+    re-shingling the benchmark. The per-benchmark gram counts the
+    overlap fraction divides by are recovered from the stored
+    provenance pairs (a registry-sized hash aggregate — the store
+    keeps (shingle, doc_id), and each doc's pairs are its distinct
+    grams, exactly the ``array_distinct`` count the inline op
+    carries in its struct explode). Same scoring tail as the batch
+    op (``dedup.score_contamination_against`` — one definition); an
+    empty registry flags nothing."""
+    from ..text.dedup import score_contamination_against
+
+    pairs = current_pairs(spark, store_dir)
+    counts = pairs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_bench")
+    )
+    bench = pairs.join(counts, "doc_id").select(
+        F.col("doc_id").alias("bench_id"), "shingle", "n_bench"
+    )
+    return score_contamination_against(
+        exploded_shingles(docs.select("doc_id", "text")), bench
+    )
+
+
 def maintain_ref_grams(
     spark: SparkSession,
     docs_stream: DataFrame,

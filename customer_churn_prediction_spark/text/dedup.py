@@ -953,6 +953,19 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "g.shingle")
     )
+    return score_contamination_against(corpus, bench)
+
+
+def score_contamination_against(
+    corpus: DataFrame, bench: DataFrame
+) -> DataFrame:
+    """The contamination-flagging tail over any (doc_id, shingle)
+    corpus frame and any (bench_id, shingle, n_bench) benchmark gram
+    frame — ONE definition shared by the inline op (benchmark
+    re-shingled per call) and the maintained gram-registry serve
+    (``streaming/novelty.py``'s ``contamination_report``), so the two
+    paths cannot drift. The benchmark side broadcasts; the corpus is
+    scanned once, never shuffled on text."""
     co = (
         corpus.join(F.broadcast(bench), "shingle")
         .groupBy("doc_id", "bench_id", "n_bench")

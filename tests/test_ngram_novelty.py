@@ -149,3 +149,52 @@ def test_store_served_novelty_equals_inline(spark, sf_smoke, tmp_path):
         map(tuple, dedup.text_ngram_novelty(spark, sf_smoke).collect())
     )
     assert served == inline and served
+
+
+def test_store_served_contamination_equals_inline(
+    spark, sf_smoke, tmp_path
+):
+    """The registry's second consumer: contamination_report against
+    the maintained gram set must equal the inline contamination_check
+    (which re-shingles the benchmark per call) row-for-row — the two
+    share score_contamination_against, and the per-benchmark gram
+    counts recovered from the stored provenance pairs must equal the
+    array_distinct sizes the inline op computes. An empty registry
+    flags nothing."""
+    from customer_churn_prediction_spark.catalog import load_table
+    from customer_churn_prediction_spark.streaming import novelty as snov
+
+    d = load_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    corpus = d.where(F.col("doc_id") % 10 != 7)
+    store = str(tmp_path / "store")
+    assert (
+        snov.contamination_report(spark, store, corpus).collect() == []
+    )
+
+    bench = d.where(F.col("doc_id") % 10 == 7)
+    stream_dir = str(tmp_path / "arrivals")
+    bench.repartition(1).write.mode("append").parquet(stream_dir)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    q = snov.maintain_ref_grams(
+        spark, stream, store, checkpoint=str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    served = sorted(
+        map(
+            tuple,
+            snov.contamination_report(spark, store, corpus).collect(),
+        )
+    )
+    inline = sorted(
+        map(
+            tuple,
+            dedup.contamination_check(spark, sf_smoke).collect(),
+        )
+    )
+    assert served == inline and served
