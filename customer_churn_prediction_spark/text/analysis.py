@@ -1589,22 +1589,31 @@ def text_logprob_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     p2 and p1 are exact integer ratios in both engines. Docs with
     < 2 tokens have no word-order evidence: they keep n_pairs = 0
     and a NULL mean via the doc-list left join (the unigram signal
-    covers them)."""
+    covers them).
+
+    r13: the model build (``_bigram_lm``) and the scoring tail
+    (``_score_pairs_against_lm``) are bound once and shared with the
+    maintained LM store (``streaming/bigram.py``), which serves the
+    same score from at-rest count partials without refitting; a
+    token the model never saw takes the add-one unseen probability
+    1/(n_corpus + n_vocab) — exactly the (tf=0)+1 row of the same
+    smoothing, so the backoff is total over novel docs. Here the
+    model is fit on the scored corpus itself, so the unseen branch
+    never fires and results are bit-identical to the pre-r13 form."""
     d = load_table(spark, sf_dir, "documents", spread=True)
     toks = d.select("doc_id", _tokens(F.col("text")).alias("t"))
+    vocab, pairs, bigrams = _lm_counts(toks)
+    lm = _bigram_lm(vocab, bigrams)
+    return _score_pairs_against_lm(d.select("doc_id"), pairs, lm)
+
+
+def _lm_counts(toks: DataFrame):
+    """(vocab, pairs, bigrams) from a tokenized (doc_id, t) frame —
+    the raw integer counts both the inline fit and the maintained
+    store's epoch partials are built from."""
     uni = toks.select("doc_id", F.explode("t").alias("tok"))
     vocab = uni.groupBy("tok").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
-    )
-    tot = vocab.agg(
-        F.sum("tf").cast("long").alias("n_corpus"),
-        F.count(F.lit(1)).cast("long").alias("n_vocab"),
-    )
-    p1 = vocab.crossJoin(F.broadcast(tot)).select(
-        F.col("tok").alias("w"),
-        (
-            (F.col("tf") + 1) / (F.col("n_corpus") + F.col("n_vocab"))
-        ).alias("p1"),
     )
     pairs = toks.select(
         "doc_id",
@@ -1619,20 +1628,60 @@ def text_logprob_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigrams = pairs.groupBy("v", "w").agg(
         F.count(F.lit(1)).cast("long").alias("n_vw")
     )
+    return vocab, pairs, bigrams
+
+
+def _bigram_lm(vocab: DataFrame, bigrams: DataFrame) -> dict:
+    """The stupid-backoff model frames from raw counts — ONE
+    definition shared by the inline op (counts from its own scan) and
+    the maintained LM store (counts summed from epoch partials), so
+    the served model is BIT-equal whenever the integer counts are.
+    ``floor`` is the one-row add-one unseen-token probability
+    1/(n_corpus + n_vocab) — the same smoothing evaluated at tf=0,
+    which makes scoring total over docs the fit never saw."""
+    tot = vocab.agg(
+        F.sum("tf").cast("long").alias("n_corpus"),
+        F.count(F.lit(1)).cast("long").alias("n_vocab"),
+    )
+    p1 = vocab.crossJoin(F.broadcast(tot)).select(
+        F.col("tok").alias("w"),
+        (
+            (F.col("tf") + 1) / (F.col("n_corpus") + F.col("n_vocab"))
+        ).alias("p1"),
+    )
     model = bigrams.join(
         vocab.select(F.col("tok").alias("v"), F.col("tf").alias("n_v")),
         "v",
     ).select("v", "w", (F.col("n_vw") / F.col("n_v")).alias("p2"))
+    floor = tot.select(
+        (F.lit(1.0) / (F.col("n_corpus") + F.col("n_vocab"))).alias(
+            "p1_unseen"
+        )
+    )
+    return {"p1": p1, "model": model, "floor": floor}
+
+
+def _score_pairs_against_lm(
+    doc_ids: DataFrame, pairs: DataFrame, lm: dict
+) -> DataFrame:
+    """The scoring tail over any (doc_id, v, w) pair frame and any
+    ``_bigram_lm`` model — shared by the inline op and the store
+    serve. Both model joins are LEFT (seen bigram → p2; unseen bigram
+    seen token → backoff·p1; unseen token → backoff·add-one floor via
+    the broadcast 1-row scalar), so no pair ever silently drops from
+    the sum (the r13 session-anomaly discipline)."""
     scored = (
-        pairs.join(model, ["v", "w"], "left")
-        .join(p1, "w")
+        pairs.join(lm["model"], ["v", "w"], "left")
+        .join(lm["p1"], "w", "left")
+        .crossJoin(F.broadcast(lm["floor"]))
         .select(
             "doc_id",
             F.round(
                 -F.log(
                     F.coalesce(
                         F.col("p2"),
-                        F.lit(BIGRAM_BACKOFF) * F.col("p1"),
+                        F.lit(BIGRAM_BACKOFF)
+                        * F.coalesce(F.col("p1"), F.col("p1_unseen")),
                     )
                 ),
                 6,
@@ -1656,7 +1705,7 @@ def text_logprob_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return (
-        d.select("doc_id")
+        doc_ids
         .join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
@@ -1704,11 +1753,16 @@ model AS (
 ),
 scored AS (
   SELECT p.doc_id,
-         round(-ln(coalesce(m.p2, {BIGRAM_BACKOFF!r} * p1.p1)), 6)
+         round(-ln(coalesce(m.p2,
+                            {BIGRAM_BACKOFF!r}
+                            * coalesce(p1.p1,
+                                       1.0 / (tot.n_corpus
+                                              + tot.n_vocab)))), 6)
            AS nll
   FROM pairs p
   LEFT JOIN model m ON p.v = m.v AND p.w = m.w
-  JOIN p1 ON p.w = p1.w
+  LEFT JOIN p1 ON p.w = p1.w
+  CROSS JOIN tot
 ),
 per_doc0 AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,

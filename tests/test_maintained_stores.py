@@ -54,6 +54,7 @@ from customer_churn_prediction_spark.streaming import quantiles as sq
 from customer_churn_prediction_spark.streaming import resample as srs
 from customer_churn_prediction_spark.streaming import sample as ssam
 from customer_churn_prediction_spark.streaming import sketch as ssk
+from customer_churn_prediction_spark.streaming import bigram as sbg
 from customer_churn_prediction_spark.streaming import novelty as snov
 from customer_churn_prediction_spark.streaming import (
     transitions as stt,
@@ -764,9 +765,76 @@ class NoveltyFamily(Family):
         assert rep and all(r.novelty == 1.0 for r in rep)
 
 
+class BigramLMFamily(Family):
+    """The twelfth family (r13): the stupid-backoff bigram LM
+    maintained on ingest — plain summable integer counts (the CMS
+    shape), fed through the SAME ``_bigram_lm`` expressions as the
+    batch op, so the served model is BIT-equal to a fresh fit over
+    the ingested union however ingestion was sliced. Governance is
+    rebuild: the aggregated counts keep no per-doc provenance
+    (dictionary-sized state is the family's point), so a doc cannot
+    be unlearned in place."""
+
+    name = "bigramlm"
+    live_subdir = sbg.BI_SUBDIR
+
+    def waves(self, spark, sf_smoke):
+        d = load_table(spark, sf_smoke, "documents").select(
+            "doc_id", "text"
+        )
+        return [d.where(F.col("doc_id") % 3 == i) for i in range(3)]
+
+    def run(self, spark, sf_smoke, stream_dir, store, ckpt, fault=None):
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        return sbg.maintain_bigram_lm(
+            spark, stream, store, checkpoint=ckpt, fault=fault
+        )
+
+    def state(self, spark, sf_smoke, store):
+        return (
+            _rows(sbg.current_vocab(spark, store)),
+            _rows(sbg.current_bigrams(spark, store)),
+        )
+
+    def batch_state(self, spark, sf_smoke, input_df):
+        clean = input_df.where(
+            F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+        )
+        vocab, bigrams = sbg._batch_counts(clean)
+        return (_rows(vocab), _rows(bigrams))
+
+    def compact(self, spark, store):
+        sbg.compact(spark, store, upto_epoch=10)
+
+    def scrub(self, input_df):
+        # erase a multi-token doc, so both count stores must shrink
+        return input_df.where(F.col("doc_id") != 3)
+
+    def rebuild(self, spark, store, clean_df):
+        sbg.rebuild(spark, store, clean_df)
+        return True
+
+    def empty_read(self, spark, sf_smoke, store):
+        assert sbg.current_vocab(spark, store).collect() == []
+        assert sbg.current_bigrams(spark, store).collect() == []
+        # serve against a store with no epochs must answer, not
+        # raise: pairs are counted, means are honestly NULL (an
+        # empty vocabulary has no add-one floor to score against)
+        docs = load_table(spark, sf_smoke, "documents").select(
+            "doc_id", "text"
+        ).limit(5)
+        rep = sbg.logprob_report(spark, store, docs).collect()
+        assert rep and all(r.mean_nll is None for r in rep)
+
+
 FAMILIES = [CMSFamily(), HLLFamily(), BloomFamily(), KMVFamily(),
             IVFFamily(), ResampleFamily(), DecayFamily(), GKFamily(),
-            SampleFamily(), TransitionsFamily(), NoveltyFamily()]
+            SampleFamily(), TransitionsFamily(), NoveltyFamily(),
+            BigramLMFamily()]
 _IDS = [f.name for f in FAMILIES]
 
 
