@@ -194,58 +194,57 @@ BASELINES: dict[str, str] = {}
 # scripts/gen_priority.py's derivation from the committed
 # CORRECTNESS history — the rotation is generated, not hand-kept.
 PRIORITY = [
-    # latest green row is r11 — re-prove before the evidence goes stale
-    "distinct_pairs",
-    "salted_join_revenue",
-    "groupby_sum",
-    "user_event_sequences",
-    "range_join_events",
-    "events_resample_ffill",
-    "heavy_hitters_cms",
-    "date_functions",
-    "round_bround",
-    "md5_salted_key",
-    "string_functions",
-    "json_extract_events",
-    "text_sentences",
-    "stream_tumbling_counts",
-    "stream_sliding_counts",
-    "stream_session_windows",
-    "stream_dedup_events",
-    "stream_user_totals",
-    "rollup_daily_from_hourly",
-    "text_stats",
-    "text_lang_id",
-    "text_token_counts",
-    "text_fingerprint",
-    "corpus_curation",
-    "corpus_mix",
-    "corpus_keep_decision",
-    "dedup_exact",
-    "dedup_minhash_signatures",
-    "dedup_minhash_lsh_pairs",
-    "dedup_lsh_groups",
-    "corpus_dedup_keep",
-    "contamination_check",
-    "vocab_bpe_merges",
-    "ann_lsh_bucketed",
-    "ann_ivf_kmeans",
-    "embedding_quantize",
-    "ann_bruteforce_int8_stored",
-    "ann_recall_eval",
-    "ml_rf_churn",
-    "ml_gbt_churn",
-    "ml_lr_churn",
-    "ml_fm_churn",
-    "ml_feature_vectors",
-    "drift_psi",
-    "score_band_lift",
-    "eval_ks",
-    "multimodal_features",
-    "multimodal_frames",
-    # registered in r13 — first driver row this round
-    "text_logprob_bigram",
-    "corpus_sample_weighted",
+    # latest green row is r12 — re-prove before the evidence goes stale
+    "rfm_groupby",
+    "feature_assembly",
+    "label_churn",
+    "label_class_balance",
+    "scan_filter_project",
+    "having_repurchase",
+    "isin_filter",
+    "na_fill_left_join",
+    "topk_orders",
+    "set_ops_buyers",
+    "sampled_orders",
+    "groupby_count",
+    "avg_by_segment",
+    "approx_distinct_users",
+    "grouping_sets_revenue",
+    "pivot_status_priority",
+    "percentile_quantity",
+    "eval_confusion",
+    "latest_order_per_customer",
+    "purchase_gaps",
+    "running_spend",
+    "asof_join_clicks",
+    "event_sessions",
+    "session_transitions",
+    "rec_eval_ndcg",
+    "text_tfidf_topk",
+    "corpus_sample_stratified",
+    "text_chunks",
+    "corpus_pack",
+    "text_redact",
+    "dedup_lsh_components",
+    "dedup_simhash",
+    "dedup_incremental",
+    "dedup_cross_modal",
+    "dedup_containment",
+    "dedup_recall_eval",
+    "corpus_select_dsir",
+    "text_dup_spans",
+    "corpus_clean_spans",
+    "corpus_split_leakproof",
+    "text_tokenize_bpe",
+    "vocab_eval_compression",
+    "ann_ivf_materialized",
+    "dedup_semantic",
+    "embedding_pq",
+    "ann_ivf_pq_stored",
+    "ann_recall_matrix",
+    "feature_bucketize",
+    "model_calibration",
+    "feature_iv",
 ]
 
 
