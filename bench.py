@@ -220,6 +220,31 @@ def _load_prev_cal(out_path: str, sf: float) -> dict[str, float]:
         return {}
 
 
+def _load_prev_solo(out_path: str, sf: float):
+    """The last UNCONTENDED run's headline numbers carried in
+    bench_out ("last_solo", first recorded r14 — VERDICT r13 item 4:
+    the driver's runs are often contended, so raw cross-round
+    headline comparisons against the committed bench_out mislead;
+    keeping the last solo totals side-by-side gives every reader the
+    clean anchor without digging through git history). Same guards
+    as the median loader."""
+    try:
+        with open(out_path) as fh:
+            prev = json.load(fh)
+        if float(prev.get("sf", -1)) != sf:
+            return None
+        solo = prev.get("last_solo")
+        if solo is None and not prev.get("contended"):
+            # pre-r14 bench_out: the run itself is the solo sample
+            solo = {
+                "headline_total": float(prev.get("value")),
+                "steady_total": float(prev.get("steady_total")),
+            }
+        return solo
+    except (OSError, ValueError, KeyError, TypeError, AttributeError):
+        return None
+
+
 def _cal_ratio(cal_now: dict[str, float], cal_prev: dict[str, float]):
     """Box-speed ratio between this run and the previous one: the
     median of per-probe ratios over the shared calibration queries
@@ -538,6 +563,19 @@ def main() -> None:
         total, timings, float(sf), contended,
         round(sum(steady.values()), 3), len(movers), cal, dcal,
     )
+    # Last-solo anchor (VERDICT r13 item 4): an uncontended run
+    # records ITSELF; a contended run carries the previous anchor
+    # forward, so bench_out always holds the most recent clean
+    # headline next to whatever this (possibly contended) run read.
+    prev_solo = _load_prev_solo(out_path, float(sf))
+    last_solo = (
+        {
+            "headline_total": total,
+            "steady_total": round(sum(steady.values()), 3),
+        }
+        if not contended
+        else prev_solo
+    )
     with open(out_path, "w") as fh:
         json.dump(
             {
@@ -553,6 +591,10 @@ def main() -> None:
                 # per-probe cal ratios); the divisor behind "dcal",
                 # mover flagging, and prev_delta_cal
                 "cal_ratio": cal_ratio,
+                # most recent uncontended run's totals (this run if
+                # solo, else carried forward) — the clean cross-round
+                # anchor next to a contended sample (VERDICT r13 #4)
+                "last_solo": last_solo,
                 "prev_delta_cal": prev_delta_cal,
                 "spread": spread,
                 "prev_delta": prev_delta,

@@ -276,7 +276,7 @@ def compact(spark: SparkSession, store_dir: str, upto_epoch: int) -> None:
     later replays would duplicate its vectors — caller-owned, same as
     the CMS store). Crash safety is the shared whole-store staged
     swap (``streaming/maintenance.staged_swap``)."""
-    from .maintenance import staged_swap
+    from .maintenance import compact_swap
 
     def _write(stage: str) -> None:
         rows = spark.read.parquet(store_dir)
@@ -297,4 +297,4 @@ def compact(spark: SparkSession, store_dir: str, upto_epoch: int) -> None:
             .parquet(stage)
         )
 
-    staged_swap(store_dir, _write)
+    compact_swap(store_dir, _write)

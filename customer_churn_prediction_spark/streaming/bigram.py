@@ -167,7 +167,7 @@ def compact(spark: SparkSession, store_dir: str, upto_epoch: int) -> None:
     crash discipline, one sub-store at a time (a crash between the
     two swaps leaves one folded and one not — both still answer the
     identical merged state, because the fold is read-equivalent)."""
-    from .maintenance import staged_swap
+    from .maintenance import compact_swap
 
     for subdir, keys, cnt in (
         (UNI_SUBDIR, ["tok"], "tf"),
@@ -194,7 +194,7 @@ def compact(spark: SparkSession, store_dir: str, upto_epoch: int) -> None:
                 .parquet(stage)
             )
 
-        staged_swap(path, _write)
+        compact_swap(path, _write)
 
 
 def rebuild(

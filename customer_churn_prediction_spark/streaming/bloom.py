@@ -45,7 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.sketches import bloom_bits, bloom_probe
-from .maintenance import staged_swap
+from .maintenance import compact_swap
 from .windows import stream_to_batch_sink
 
 BITS_SUBDIR = "bloom_epochs"
@@ -140,7 +140,7 @@ def compact(spark: SparkSession, store_dir: str, upto_epoch: int) -> None:
             .parquet(stage)
         )
 
-    staged_swap(bits_path, _write)
+    compact_swap(bits_path, _write)
 
 
 def rebuild(

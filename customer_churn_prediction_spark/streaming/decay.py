@@ -325,7 +325,7 @@ def compact(spark: SparkSession, store_dir: str, upto_epoch: int) -> None:
     ``upto_epoch``. A later replay of an epoch <= upto_epoch would
     rebuild from the folded base — which already contains that
     epoch's events — and double-count them."""
-    from .maintenance import staged_swap
+    from .maintenance import compact_swap
 
     state_path = os.path.join(store_dir, STATE_SUBDIR)
 
@@ -343,7 +343,7 @@ def compact(spark: SparkSession, store_dir: str, upto_epoch: int) -> None:
             .parquet(stage)
         )
 
-    staged_swap(state_path, _write)
+    compact_swap(state_path, _write)
 
 
 def rebuild(

@@ -118,7 +118,7 @@ def compact(spark: SparkSession, store_dir: str, upto_epoch: int) -> None:
     (query stopped, frontier at or below the committed epoch) with the
     shared staged-swap crash discipline
     (``streaming/maintenance.staged_swap``)."""
-    from .maintenance import staged_swap
+    from .maintenance import compact_swap
 
     regs_path = os.path.join(store_dir, REGS_SUBDIR)
 
@@ -141,7 +141,7 @@ def compact(spark: SparkSession, store_dir: str, upto_epoch: int) -> None:
             .parquet(stage)
         )
 
-    staged_swap(regs_path, _write)
+    compact_swap(regs_path, _write)
 
 
 def rebuild(

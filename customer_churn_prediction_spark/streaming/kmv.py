@@ -162,7 +162,7 @@ def compact(spark: SparkSession, store_dir: str, upto_epoch: int) -> None:
     with the shared staged-swap crash discipline."""
     from pyspark.sql import Window
 
-    from .maintenance import staged_swap
+    from .maintenance import compact_swap
 
     sketch_path = os.path.join(store_dir, SKETCH_SUBDIR)
 
@@ -189,7 +189,7 @@ def compact(spark: SparkSession, store_dir: str, upto_epoch: int) -> None:
             .parquet(stage)
         )
 
-    staged_swap(sketch_path, _write)
+    compact_swap(sketch_path, _write)
 
 
 def rebuild(

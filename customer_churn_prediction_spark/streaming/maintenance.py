@@ -41,6 +41,19 @@ def staged_swap(live_path: str, write_fn) -> None:
     shutil.rmtree(old)
 
 
+def compact_swap(live_path: str, write_fn) -> None:
+    """``staged_swap`` for COMPACTION — a fold of the store's own
+    epoch history, where ``write_fn`` reads ``live_path`` itself. A
+    store (or sub-store) that was never ingested — or whose root an
+    erasure removed after emptying it — has nothing to fold: a no-op,
+    mirroring every reader's missing-path guard, instead of letting
+    the fold's ``spark.read.parquet`` raise on the missing directory
+    (advice r13). One shared guard so all twelve families agree."""
+    if not os.path.isdir(live_path):
+        return
+    staged_swap(live_path, write_fn)
+
+
 def rebuild_base(live_path: str, state_df) -> None:
     """Replace a store's ENTIRE epoch history with a freshly computed
     base partition — THE erasure path for lossy sketches. A shared

@@ -143,7 +143,16 @@ def maintain_ref_grams(
     (append semantics; needs doc_id, text). Null-key contract: rows
     with NULL doc_id or NULL text are dropped (no grams to
     register). ``fault`` is the sibling sinks' crash hook — after
-    the write, before the offset commit."""
+    the write, before the offset commit.
+
+    IMMUTABLE-TEXT APPEND CONTRACT (ADVICE r13): a doc_id delivered
+    on this stream must carry the same text every time — the store
+    unions distinct (shingle, doc_id) pairs across epochs, so a
+    doc_id re-delivered with REVISED text would accumulate grams
+    from BOTH versions, silently inflating that benchmark's n_bench
+    and deflating its overlap fraction versus the inline op over
+    current text. A revision is NOT an ingest: route it through
+    :func:`reregister_docs` (latest-version-wins) offline."""
     path = os.path.join(store_dir, GRAMS_SUBDIR)
 
     def epoch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -178,7 +187,7 @@ def compact(spark: SparkSession, store_dir: str, upto_epoch: int) -> None:
     the same distinct the read path applies, so folding cannot
     change the served set. OFFLINE with the shared staged-swap crash
     discipline."""
-    from .maintenance import staged_swap
+    from .maintenance import compact_swap
 
     path = os.path.join(store_dir, GRAMS_SUBDIR)
 
@@ -201,7 +210,7 @@ def compact(spark: SparkSession, store_dir: str, upto_epoch: int) -> None:
             .parquet(stage)
         )
 
-    staged_swap(path, _write)
+    compact_swap(path, _write)
 
 
 # ------------------------------------------------------- governance
@@ -247,6 +256,43 @@ def forget_docs(
         ids,
         ("epoch_id",),
         key_col="doc_id",
+    )
+
+
+def reregister_docs(
+    spark: SparkSession, store_dir: str, docs: DataFrame
+) -> None:
+    """Latest-version-wins revision path (ADVICE r13): replace the
+    stored gram sets of the docs in ``docs`` (doc_id, text) with
+    their CURRENT text's grams — erase the old pairs in place, then
+    append the new version's pairs into the base partition. OFFLINE,
+    committed epochs only (the compact invariant — a later replay of
+    an uncommitted epoch would resurrect the old version's pairs).
+
+    The erasure is deliberately NOT ledgered (``record=False``):
+    this is a revision, not governance — recording it would make a
+    later :func:`scrub_store` erase the NEW version's pairs too.
+    The doc_id collect is registry-sized (benchmark sets are small
+    by construction), the same bound as ``forget_docs``'s ids list.
+    Appending into the base partition (not max-epoch+1) cannot
+    collide with the streaming query's epoch counter, which restarts
+    at 0 under a fresh checkpoint and dynamic-overwrites its own
+    epoch partitions."""
+    clean = docs.where(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    ).select("doc_id", "text")
+    ids = [int(r.doc_id) for r in
+           clean.select("doc_id").distinct().collect()]
+    if not ids:
+        return
+    forget_docs(spark, store_dir, ids, record=False)
+    (
+        _doc_grams(clean)
+        .withColumn("epoch_id", F.lit(_BASE_EPOCH))
+        .repartition("epoch_id")
+        .write.mode("append")
+        .partitionBy("epoch_id")
+        .parquet(os.path.join(store_dir, GRAMS_SUBDIR))
     )
 
 

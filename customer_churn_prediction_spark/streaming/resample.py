@@ -240,7 +240,7 @@ def compact(spark: SparkSession, store_dir: str, upto_epoch: int) -> None:
     the same sum/argmax merge the read path does. OFFLINE (query
     stopped, frontier at or below the committed epoch) with the
     shared staged-swap crash discipline."""
-    from .maintenance import staged_swap
+    from .maintenance import compact_swap
 
     state_path = os.path.join(store_dir, STATE_SUBDIR)
 
@@ -263,7 +263,7 @@ def compact(spark: SparkSession, store_dir: str, upto_epoch: int) -> None:
             .parquet(stage)
         )
 
-    staged_swap(state_path, _write)
+    compact_swap(state_path, _write)
 
 
 def rebuild(

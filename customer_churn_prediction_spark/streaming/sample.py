@@ -104,11 +104,16 @@ def _topk(rows: DataFrame) -> DataFrame:
     # secondary keys (r13, ADVICE r12) make the latest-wins pick
     # deterministic even over legacy stored state where one epoch
     # partition holds two rows for a doc (pre-r13 epochs could)
+    # lang DESC (r14, ADVICE r13): the in-batch dedupe resolves a
+    # (logkey, n_chars) tie to the lexicographic-MAX struct, so the
+    # window tiebreak must agree — ASC here could serve a different
+    # lang for the same doc on the merge path over legacy pre-r13
+    # epoch partitions than a rebuild from the same union.
     w_doc = Window.partitionBy("doc_id").orderBy(
         F.col("epoch_id").desc(),
         F.col("logkey").desc(),
         F.col("n_chars").desc(),
-        F.col("lang"),
+        F.col("lang").desc(),
     )
     w = Window.orderBy(F.col("logkey").desc(), F.col("doc_id"))
     return (
@@ -193,7 +198,7 @@ def compact(spark: SparkSession, store_dir: str, upto_epoch: int) -> None:
     the same distinct top-K merge the read path does. OFFLINE (query
     stopped, frontier at or below the committed epoch) with the
     shared staged-swap crash discipline."""
-    from .maintenance import staged_swap
+    from .maintenance import compact_swap
 
     sample_path = os.path.join(store_dir, SAMPLE_SUBDIR)
 
@@ -213,7 +218,7 @@ def compact(spark: SparkSession, store_dir: str, upto_epoch: int) -> None:
             .parquet(stage)
         )
 
-    staged_swap(sample_path, _write)
+    compact_swap(sample_path, _write)
 
 
 def rebuild(

@@ -203,7 +203,7 @@ def compact(spark: SparkSession, store_dir: str, upto_epoch: int) -> None:
     ONE visibility event, a re-run is idempotent because an
     already-folded store has no partials ≤ the frontier left to
     re-add, and the entry-time heal recovers every crash window)."""
-    from .maintenance import staged_swap
+    from .maintenance import compact_swap
 
     sketch_path = os.path.join(store_dir, SKETCH_SUBDIR)
 
@@ -226,7 +226,7 @@ def compact(spark: SparkSession, store_dir: str, upto_epoch: int) -> None:
             .parquet(stage)
         )
 
-    staged_swap(sketch_path, _write)
+    compact_swap(sketch_path, _write)
 
 
 def rebuild(

@@ -248,7 +248,7 @@ def compact(
     partial at or below the frontier (folding every epoch would
     resurrect superseded rows). OFFLINE, with the shared staged-swap
     crash discipline."""
-    from .maintenance import staged_swap
+    from .maintenance import compact_swap
 
     log_path = os.path.join(store_dir, LOG_SUBDIR)
     counts_path = os.path.join(store_dir, COUNTS_SUBDIR)
@@ -281,8 +281,8 @@ def compact(
             .parquet(stage)
         )
 
-    staged_swap(log_path, _write_log)
-    staged_swap(counts_path, _write_counts)
+    compact_swap(log_path, _write_log)
+    compact_swap(counts_path, _write_counts)
 
 
 # ------------------------------------------------------- governance

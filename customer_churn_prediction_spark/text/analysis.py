@@ -1385,17 +1385,26 @@ def corpus_mix_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("n_langs", F.count(F.lit(1)).over(w).cast("double"))
     )
+    # e6 floored at the 6dp grid's own resolution (ADVICE r13, the
+    # P_FLOOR discipline): a tiny-share domain with strongly negative
+    # excess loss can round to 0.0 — if EVERY domain did, w_norm's
+    # divide would go 0/0 → NULL in both engines and the mix would
+    # silently collapse; the floor keeps the smoothed weights a
+    # distribution under any skew.
     t = t.withColumn(
         "e6",
-        F.round(
-            F.col("sh")
-            * F.exp(
-                F.lit(DOREMI_ETA)
-                * F.coalesce(
-                    F.col("loss") - F.col("corpus_loss"), F.lit(0.0)
-                )
+        F.greatest(
+            F.round(
+                F.col("sh")
+                * F.exp(
+                    F.lit(DOREMI_ETA)
+                    * F.coalesce(
+                        F.col("loss") - F.col("corpus_loss"), F.lit(0.0)
+                    )
+                ),
+                6,
             ),
-            6,
+            F.lit(1e-6),
         ),
     )
     t = t.withColumn("w_norm", F.col("e6") / F.sum("e6").over(w))
@@ -1444,8 +1453,9 @@ t AS (
 ),
 t2 AS (
   SELECT *,
-         round(sh * exp({DOREMI_ETA!r}
-                        * coalesce(loss - corpus_loss, 0.0)), 6) AS e6
+         greatest(round(sh * exp({DOREMI_ETA!r}
+                        * coalesce(loss - corpus_loss, 0.0)), 6),
+                  1e-6) AS e6
   FROM t
 ),
 t3 AS (

@@ -213,3 +213,69 @@ def test_mix_doremi_upweights_hard_domains(spark, sf_dir):
     assert by_loss == sorted(scored, key=eg_boost), (
         "EG must preserve the loss ordering in the unsmoothed boosts"
     )
+
+
+def test_mix_doremi_floor_survives_extreme_skew(spark, tmp_path):
+    """ADVICE r13 #4: a tiny-share domain with strongly negative
+    excess loss rounds e6 = round(sh·exp(η·excess), 6) to 0.0;
+    without the greatest(e6, 1e-6) floor its pure-EG weight
+    vanishes (and if EVERY domain rounded to 0, w_norm's divide
+    would go 0/0 → NULL and the whole mix would silently collapse).
+    Constructed corpus: 2,000 hard two-token docs in 'xx'
+    (p = 1/2000 per pair, NLL ≈ 7.6) and ONE trivially easy doc in
+    'yy' (sh ≈ 5e-4, excess ≈ −7.6 → unfloored e6 rounds to 0).
+    The floor must keep 'yy' a positive EG weight STRICTLY above the
+    smoothing-only c/k baseline at the 6dp grid, weights must stay a
+    distribution, and cross-engine parity must hold on this corpus
+    (both engines floor identically)."""
+    import os
+    import shutil
+
+    from customer_churn_prediction_spark.catalog import TABLES
+
+    from .conftest import SF_SMOKE
+    from .oracle_utils import assert_matches_oracle
+
+    rows = [(i, "z u%d" % i, "xx", "s", 10) for i in range(2000)]
+    rows.append((2000, " ".join(["a"] * 50), "yy", "s", 99))
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    path = str(tmp_path)
+    for t in TABLES:
+        src = os.path.join(SF_SMOKE, f"{t}.parquet")
+        if t != "documents" and os.path.exists(src):
+            os.symlink(src, os.path.join(path, f"{t}.parquet"))
+    staging = f"{path}/_staging"
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    part = next(
+        f for f in os.listdir(staging)
+        if f.endswith(".parquet") and not f.startswith("_")
+    )
+    shutil.move(
+        os.path.join(staging, part), f"{path}/documents.parquet"
+    )
+    shutil.rmtree(staging)
+
+    out = {r.lang: r for r in
+           analysis.corpus_mix_doremi(spark, path).collect()}
+    assert set(out) == {"xx", "yy"}
+    # the skew actually bites: yy's share is tiny and its loss far
+    # below the corpus mean (the unfloored e6 would round to 0)
+    assert out["yy"].share < 1e-3
+    assert out["yy"].mean_loss < out["xx"].mean_loss - 7.0
+    # floor keeps the EG term alive: weight strictly above the
+    # smoothing-only baseline c/k at the 6dp grid (unfloored it
+    # would be exactly round(c/k, 6))
+    c, k = analysis.DOREMI_SMOOTH, 2
+    assert out["yy"].weight > round(c / k, 6)
+    assert abs(sum(r.weight for r in out.values()) - 1.0) < 1e-4
+    assert all(r.weight is not None for r in out.values())
+
+    assert_matches_oracle(
+        analysis.corpus_mix_doremi(spark, path),
+        analysis.STAGED_ORACLES["corpus_mix_doremi"],
+        path,
+    )

@@ -935,6 +935,25 @@ def test_compact_heals_a_crashed_swap(fam, spark, sf_smoke, tmp_path):
     assert fam.state(spark, sf_smoke, store) == before
 
 
+@pytest.mark.parametrize(
+    "fam", [f for f in FAMILIES if f.live_subdir is not None], ids=[
+        f.name for f in FAMILIES if f.live_subdir is not None
+    ]
+)
+def test_compact_on_never_ingested_store_is_noop(
+    fam, spark, sf_smoke, tmp_path
+):
+    """compact() on a store that never ingested (or whose sub-store
+    an erasure emptied and removed) must be a no-op, mirroring the
+    readers' missing-path guard — not raise AnalysisException from
+    the fold's parquet read (ADVICE r13; maintenance.compact_swap)."""
+    store = str(tmp_path / "never_ingested")
+    fam.compact(spark, store)  # must not raise
+    assert not os.path.isdir(store)  # and must not conjure a store
+    if fam.has_empty_read:
+        fam.empty_read(spark, sf_smoke, store)
+
+
 @pytest.mark.parametrize("fam", FAMILIES, ids=_IDS)
 def test_erasure_or_rebuild_governance(fam, spark, sf_smoke, tmp_path):
     """Lossy sketches REBUILD from the scrubbed source (a shared
@@ -1060,6 +1079,38 @@ def test_reservoir_one_slot_per_doc_latest_epoch_wins(spark, tmp_path):
     ranks = ssam.sample_report(spark, store).collect()
     assert sorted(r.doc_id for r in ranks) == [1, 2, 3]
     assert len({r.rank for r in ranks}) == 3
+
+
+def test_reservoir_tiebreak_agrees_with_in_batch_dedupe(
+    spark, tmp_path
+):
+    """ADVICE r13 #2: a legacy pre-r13 epoch partition can hold TWO
+    rows for one doc sharing (logkey, n_chars) but differing in lang.
+    The in-batch dedupe picks the lexicographic-MAX struct (lang
+    DESC); the merge window's tiebreak must resolve the same way, or
+    a merge-path read and a rebuild from the same union serve
+    different lang values for the same doc."""
+    import os
+
+    store = str(tmp_path / "store")
+    path = os.path.join(store, ssam.SAMPLE_SUBDIR)
+    # one epoch, duplicate doc 1 rows tied on (logkey, n_chars)
+    parts = spark.createDataFrame(
+        [
+            (1, "de", 100, 9.0, 0),
+            (1, "en", 100, 9.0, 0),
+            (2, "fr", 50, 5.0, 0),
+        ],
+        "doc_id bigint, lang string, n_chars bigint, "
+        "logkey double, epoch_id int",
+    )
+    parts.write.partitionBy("epoch_id").parquet(path)
+
+    cur = {r.doc_id: r for r in
+           ssam.current_sample(spark, store).collect()}
+    # max(struct(logkey, n_chars, lang)) would keep ("en") — the
+    # merge window must agree
+    assert cur[1].lang == "en"
 
 
 def test_transitions_log_fetch_prunes_to_touched_buckets(

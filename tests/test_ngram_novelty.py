@@ -198,3 +198,74 @@ def test_store_served_contamination_equals_inline(
         )
     )
     assert served == inline and served
+
+
+def test_reregister_docs_latest_version_wins(spark, tmp_path):
+    """ADVICE r13 #3: a benchmark doc re-delivered with REVISED text
+    used to accumulate grams from BOTH versions (distinct union
+    across epochs), inflating n_bench and deflating overlap_frac vs
+    the inline op over current text. reregister_docs erases the old
+    pairs in place and registers the current text — the registry's
+    state equals a fresh registration of the revised corpus."""
+    from customer_churn_prediction_spark.streaming import novelty as snov
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    v1 = mk([(1, "alpha beta gamma delta epsilon zeta eta theta"),
+             (2, "one two three four five six seven eight nine")])
+    store = str(tmp_path / "store")
+    stream_dir = str(tmp_path / "arrivals")
+    v1.repartition(1).write.mode("append").parquet(stream_dir)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    q = snov.maintain_ref_grams(
+        spark, stream, store, checkpoint=str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    # doc 1's text is revised; doc 2 untouched
+    v2_doc1 = mk([(1, "iota kappa lambda mu nu xi omicron pi rho")])
+    snov.reregister_docs(spark, store, v2_doc1)
+
+    got = sorted(
+        map(tuple, snov.current_pairs(spark, store).collect())
+    )
+    # reference state: registering the revised corpus from scratch
+    fresh = str(tmp_path / "fresh_store")
+    want = sorted(
+        map(
+            tuple,
+            snov._doc_grams(
+                mk([(1, "iota kappa lambda mu nu xi omicron pi rho"),
+                    (2, "one two three four five six seven eight nine")])
+            ).collect(),
+        )
+    )
+    assert got == want and got
+    # n_bench recovered from provenance equals the revised doc's
+    # distinct gram count — no inflation from the v1 grams
+    probe = mk([(100, "iota kappa lambda mu nu xi omicron pi rho")])
+    rep = {
+        r.bench_id: r
+        for r in snov.contamination_report(spark, store, probe).collect()
+    }
+    n_doc1_v2 = sum(1 for (_, d) in want if d == 1)
+    # overlap_frac = n_shared / n_bench; the probe IS the revised
+    # text, so n_shared equals the revised doc's distinct gram count
+    # and a v1-inflated n_bench would drag overlap_frac below 1.0
+    assert rep[1].n_shared == n_doc1_v2
+    assert rep[1].overlap_frac == 1.0
+
+    # re-registering into a never-ingested store is a first
+    # registration (forget no-ops, base partition is created)
+    empty_store = str(tmp_path / "empty_store")
+    snov.reregister_docs(spark, empty_store, v2_doc1)
+    got2 = sorted(
+        map(tuple, snov.current_pairs(spark, empty_store).collect())
+    )
+    assert got2 == sorted((s, d) for (s, d) in want if d == 1)
