@@ -133,12 +133,16 @@ def train_pq(spark: SparkSession, sf_dir: str,
                     )
                 ).alias("m", "sv"),
             )
+            # codebook literal parsed once per round (r14): the
+            # distance array gets its own projection, then the argmin
+            # references it by name instead of re-embedding the
+            # literal (same expressions after constant folding).
             dists = _dists_expr("sv", f"element_at({cb_sql}, m + 1)")
-            assigned = sub.select(
+            staged = sub.select("m", "sv", F.expr(dists).alias("d"))
+            assigned = staged.select(
                 "m",
-                F.expr(
-                    f"array_position({dists}, array_min({dists})) - 1"
-                ).cast("int").alias("code"),
+                F.expr("array_position(d, array_min(d)) - 1")
+                .cast("int").alias("code"),
                 F.posexplode("sv").alias("dim", "val"),
             )
             rows = (
@@ -169,28 +173,45 @@ def _codes_frame(
 ) -> DataFrame:
     """vec_id [, *extra], code0..codeM-1 (int), recon_mse — a pure map.
     ``extra`` names passthrough columns of ``e`` (e.g. the IVF cell
-    assignment) to carry alongside the codes in the same projection."""
+    assignment) to carry alongside the codes in the same projection.
+
+    r14 (optimization): the codebook literal is parsed ONCE. The old
+    shape inlined the full M×K×SUBDIM literal into every subspace's
+    distance expression (three references per ``named_struct`` × M
+    subspaces = 12 copies, ~240 KB of SQL text), and classic PySpark
+    analyzes eagerly per transformation — parse+analyze of those
+    literals dominated the query's Python-side build (~0.6 s per call
+    at the bench; profiled r14). Now one projection computes the
+    per-subspace distance arrays through a single fold that embeds the
+    codebook once; codes/errors are cheap references to it. Same
+    expressions after constant folding — values are bit-identical
+    (pinned by the unchanged oracle)."""
     cb_sql = _cb_literal(cb)
     cols = ["vec_id", *extra]
-    err_terms = []
-    for m in range(PQ_M):
-        sv = f"slice(v, {m * PQ_SUBDIM + 1}, {PQ_SUBDIM})"
-        dists = _dists_expr(sv, f"element_at({cb_sql}, {m + 1})")
-        # one struct expression per subspace: code + its distance
-        cols.append(
-            F.expr(
-                f"named_struct("
-                f"'code', cast(array_position({dists}, array_min({dists})) - 1 as int), "
-                f"'err', array_min({dists}))"
-            ).alias(f"s{m}")
+    # all M distance arrays from ONE expression that parses the
+    # codebook literal once: dall[m][j] = round(L2²(sv_m, cb[m][j]), 6)
+    dall = (
+        f"transform(sequence(1, {PQ_M}), m -> "
+        + _dists_expr(
+            f"slice(v, (m - 1) * {PQ_SUBDIM} + 1, {PQ_SUBDIM})",
+            f"element_at({cb_sql}, m)",
         )
-        err_terms.append(f"s{m}.err")
-    coded = e.select(*cols)
+        + ")"
+    )
+    cols.append(F.expr(dall).alias("dall"))
+    staged = e.select(*cols)
+    err_terms = [f"array_min(element_at(dall, {m + 1}))" for m in range(PQ_M)]
     recon = " + ".join(err_terms)  # explicit left-assoc chain
-    return coded.select(
+    return staged.select(
         "vec_id",
         *extra,
-        *[F.col(f"s{m}.code").alias(f"code{m}") for m in range(PQ_M)],
+        *[
+            F.expr(
+                f"cast(array_position(element_at(dall, {m + 1}), "
+                f"array_min(element_at(dall, {m + 1}))) - 1 as int)"
+            ).alias(f"code{m}")
+            for m in range(PQ_M)
+        ],
         F.expr(f"round(({recon}) / {DIM}, 6)").alias("recon_mse"),
     )
 
@@ -211,25 +232,10 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     (registry.BASELINES)."""
     cb = train_pq(spark, sf_dir)
     e = _embeddings(spark, sf_dir)
-    cb_sql = _cb_literal(cb)
     # Engine-computed LUT (rounded 6dp) so literals match the oracle's
-    # own SQL-derived values bit-for-bit.
-    lut_rows = (
-        e.where(F.col("vec_id") < N_QUERIES)
-        .select(
-            "vec_id",
-            *[
-                F.expr(
-                    _dists_expr(
-                        f"slice(v, {m * PQ_SUBDIM + 1}, {PQ_SUBDIM})",
-                        f"element_at({cb_sql}, {m + 1})",
-                    )
-                ).alias(f"lut{m}")
-                for m in range(PQ_M)
-            ],
-        )
-        .collect()
-    )
+    # own SQL-derived values bit-for-bit; memoized with the codebook it
+    # derives from (r14 — one LUT job per session, not per build).
+    lut_rows = _lut_rows(spark, sf_dir, cb)
     codes = _codes_frame(e, cb)
     per_query = []
     for r in sorted(lut_rows, key=lambda r: r.vec_id):
@@ -295,29 +301,54 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _probe_and_adc_rank(spark, sf_dir, coded, cb, cent_rows)
 
 
+# LUT fetch memo — the fitted-model-derivative discipline of _CB_CACHE:
+# the per-query lookup tables are a deterministic function of the
+# memoized codebook and the 5 fixture query vectors, so one engine
+# fetch serves every ADC build in a session (ann_pq_adc, ann_ivf_pq,
+# ann_ivf_pq_stored, and the recall matrix's composition of them).
+_LUT_CACHE: dict[tuple[str, str, int], list] = {}
+
+
+def _lut_rows(spark: SparkSession, sf_dir: str, cb) -> list:
+    """Engine-computed, 6dp-rounded per-(query, subspace) LUT rows,
+    sorted by vec_id; memoized per (application, sf_dir, PQ_ITERS).
+    The codebook literal is parsed once (the _codes_frame r14 shape)."""
+    key = (spark.sparkContext.applicationId, sf_dir, PQ_ITERS)
+    cached = _LUT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    e = _embeddings(spark, sf_dir)
+    cb_sql = _cb_literal(cb)
+    dall = (
+        f"transform(sequence(1, {PQ_M}), m -> "
+        + _dists_expr(
+            f"slice(v, (m - 1) * {PQ_SUBDIM} + 1, {PQ_SUBDIM})",
+            f"element_at({cb_sql}, m)",
+        )
+        + ")"
+    )
+    staged = e.where(F.col("vec_id") < N_QUERIES).select(
+        "vec_id", F.expr(dall).alias("dall")
+    )
+    rows = sorted(
+        staged.select(
+            "vec_id",
+            *[
+                F.expr(f"element_at(dall, {m + 1})").alias(f"lut{m}")
+                for m in range(PQ_M)
+            ],
+        ).collect(),
+        key=lambda r: r.vec_id,
+    )
+    _LUT_CACHE[key] = rows
+    return rows
+
+
 def _adc_lut_expr(spark: SparkSession, sf_dir: str, cb) -> str:
     """Per-(query, subspace) LUTs as one 2D literal per subspace,
     indexed by (query_id, code) — engine-computed and 6dp-rounded so
     the values match the oracle's SQL-derived LUT bit-for-bit."""
-    e = _embeddings(spark, sf_dir)
-    cb_sql = _cb_literal(cb)
-    lut_rows = sorted(
-        e.where(F.col("vec_id") < N_QUERIES)
-        .select(
-            "vec_id",
-            *[
-                F.expr(
-                    _dists_expr(
-                        f"slice(v, {m * PQ_SUBDIM + 1}, {PQ_SUBDIM})",
-                        f"element_at({cb_sql}, {m + 1})",
-                    )
-                ).alias(f"lut{m}")
-                for m in range(PQ_M)
-            ],
-        )
-        .collect(),
-        key=lambda r: r.vec_id,
-    )
+    lut_rows = _lut_rows(spark, sf_dir, cb)
     terms = []
     for m in range(PQ_M):
         rows_sql = ", ".join(
