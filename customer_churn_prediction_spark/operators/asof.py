@@ -203,18 +203,21 @@ def resample_from_events(events: DataFrame) -> DataFrame:
         "value",
         F.date_trunc("hour", F.col("ts")).alias("h"),
     )
-    w_in_hour = Window.partitionBy("user_id", "h").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
-    hourly = (
-        e.withColumn("rn", F.row_number().over(w_in_hour))
-        .groupBy("user_id", "h")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.max(F.when(F.col("rn") == 1, F.col("value"))).alias(
-                "v_last"
-            ),
-        )
+    # Latest-event-per-hour as ONE hash aggregate (r14 optimization):
+    # max(struct(ts, event_id, value)).value picks the value of the
+    # lexicographically-max (ts, event_id) row — identical to the old
+    # row_number window ordered by (ts DESC, event_id DESC) wherever
+    # (ts, event_id) is unique per (user, hour), and deterministic
+    # even under ties (the window's row_number was not). The window
+    # form paid a full sort of the event stream plus a second pass
+    # through the aggregate; the struct max is a map-side-combined
+    # hash agg on the same single shuffle key (the streaming
+    # reservoir's r13 in-batch dedupe discipline).
+    hourly = e.groupBy("user_id", "h").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(F.struct("ts", "event_id", "value"))["value"].alias(
+            "v_last"
+        ),
     )
     return resample_from_hourly(hourly)
 

@@ -597,20 +597,37 @@ def kmeans_refine(spark: SparkSession, sf_dir: str,
     try:
         cents = [Cent(int(c.vec_id), list(c.v), float(c.nrm))
                  for c in _centroids(spark, sf_dir)]
+        dim = len(cents[0].v)
         for _ in range(iters):
             cells = _cells_expr(cents)
+            # Per-dim avg COLUMNS over the cluster key (r14
+            # optimization): the old shape posexploded every vector
+            # into DIM (cluster, dim, val) rows before the hash
+            # aggregate — a DIM× row blowup through the Generate node
+            # per iteration. The wide aggregate computes the same
+            # means on the same single shuffle (map-side combined, k
+            # rows × DIM columns reach the driver — still the MLlib
+            # model-fetch shape), with the same 6dp rounding.
             assigned = e.select(
-                (-F.element_at(cells, 1)["nid"]).alias("cluster"),
-                F.posexplode("v").alias("dim", "val"),
+                (-F.element_at(cells, 1)["nid"]).alias("cluster"), "v"
             )
             rows = (
-                assigned.groupBy("cluster", "dim")
-                .agg(F.round(F.avg("val"), 6).alias("mean"))
+                assigned.groupBy("cluster")
+                .agg(
+                    *[
+                        F.round(
+                            F.avg(F.element_at("v", i + 1)), 6
+                        ).alias(f"m{i}")
+                        for i in range(dim)
+                    ]
+                )
                 .collect()
             )
             by_cluster: dict[int, dict[int, float]] = {}
             for r in rows:
-                by_cluster.setdefault(int(r.cluster), {})[int(r.dim)] = r.mean
+                by_cluster[int(r.cluster)] = {
+                    i: r[f"m{i}"] for i in range(dim)
+                }
             new = []
             for c in cents:
                 dims = by_cluster.get(c.vec_id)

@@ -105,9 +105,18 @@ def _marked_occurrences(d: DataFrame) -> DataFrame:
 
 
 def dup_span_frame(d: DataFrame) -> DataFrame:
-    """Core plan over any (doc_id, text) frame."""
+    """Core plan over any (doc_id, text) frame.
+
+    The lead window partitions by doc_id ALONE and orders by
+    (is_dup, pos) (r14 optimization): within a doc the dup rows sort
+    contiguously after the non-dup rows, so lead(pos) still reads the
+    NEXT DUP START for every is_dup row (the only rows covered_term
+    evaluates) — and the final per-doc aggregate is satisfied by the
+    window's hash(doc_id) clustering, removing the extra
+    (doc_id, is_dup)-keyed Exchange of the whole occurrence stream
+    (3 shuffles → 2; guide §2.4's share-one-exchange rule)."""
     marked = _marked_occurrences(d)
-    w_doc = Window.partitionBy("doc_id", "is_dup").orderBy("pos")
+    w_doc = Window.partitionBy("doc_id").orderBy("is_dup", "pos")
     covered_term = F.when(
         F.col("is_dup"),
         F.least(

@@ -115,15 +115,41 @@ def bpe_merges(spark: SparkSession, sf_dir: str,
     cached = _MERGE_CACHE.get(key)
     if cached is not None:
         return spark.createDataFrame(cached, schema)
-    words = word_freq_table(spark, sf_dir).cache()
+    # The fit table is VOCABULARY-sized (a few million rows at any
+    # corpus scale — the docstring's scale shape), so the per-round
+    # argmax jobs want a handful of fat partitions, not one task per
+    # core of the corpus-scan parallelism: at 32 shuffle partitions
+    # each of the N_MERGES rounds paid ~64 near-empty tasks of pure
+    # scheduling overhead (r14 measurement). coalesce (narrow, no
+    # shuffle) right after the one corpus-sized aggregate; override
+    # via SPARK_GRAFT_BPE_FIT_PARTITIONS for a genuinely huge vocab.
+    import os as _os
+
+    fit_parts = int(_os.environ.get("SPARK_GRAFT_BPE_FIT_PARTITIONS", "4"))
+    words = word_freq_table(spark, sf_dir).coalesce(fit_parts).cache()
+    prev = None
     try:
         out = []
         for rnd in range(1, n_merges + 1):
+            # ONE job per round (r14 optimization): the argmax
+            # aggregate touches every partition of `words`, so it
+            # MATERIALIZES this round's cache as a side effect — the
+            # old shape paid a second count() job per round purely to
+            # fill the cache before unpersisting the parent, and also
+            # computed one final replace pass whose output no round
+            # ever read (n_merges rounds cost 2n+1 jobs; now n).
+            # The parent cache is released only AFTER the argmax has
+            # materialized the child, so no round recomputes lineage.
             best = _best_pair(words)
+            if prev is not None:
+                prev.unpersist()
+                prev = None
             if best is None:
                 break
             merged = best.l + best.r
             out.append((rnd, best.l, best.r, merged, int(best.n)))
+            if rnd == n_merges:
+                break  # the post-final replace is never consumed
             # LITERAL replace (call_function, not regexp_replace):
             # symbols come from raw corpus text, so '.', '+', '$' are
             # legal symbols — as a regex pattern they would rewrite
@@ -138,13 +164,14 @@ def bpe_merges(spark: SparkSession, sf_dir: str,
                 ).alias("s"),
                 "freq",
             ).cache()
-            nxt.count()
-            words.unpersist()
+            prev = words
             words = nxt
         _MERGE_CACHE[key] = out
         return spark.createDataFrame(out, schema)
     finally:
         words.unpersist()
+        if prev is not None:
+            prev.unpersist()
 
 
 
