@@ -263,18 +263,6 @@ def _recommend_from_owned(
     change is only WHICH unowned brands win (low-spend via paths
     drop). The cap window rides the same customer-keyed clustering
     as the rest of the tail."""
-    if owned_cap is not None:
-        w_own = Window.partitionBy("c_custkey").orderBy(
-            F.col("weight").desc(), "brand"
-        )
-        via = (
-            owned.withColumn("_or", F.row_number().over(w_own))
-            .where(F.col("_or") <= owned_cap)
-            .select("c_custkey", "brand")
-        )
-    else:
-        via = owned
-    owned = owned.select("c_custkey", "brand")
     sym = pairs.select(
         F.col("brand_a").alias("via_brand"),
         F.col("brand_b").alias("rec_brand"),
@@ -286,37 +274,67 @@ def _recommend_from_owned(
             "lift",
         )
     )
-    cands = via.join(
-        F.broadcast(sym), via.brand == sym.via_brand
-    ).select("c_custkey", "via_brand", "rec_brand", "lift")
-    # Ownership exclusion as a per-customer brand ARRAY (bounded by
-    # the brand universe, ~25) instead of an anti-join keyed on
-    # (c_custkey, rec_brand): the array join clusters the candidate
-    # flow by c_custkey ONCE, the exclusion becomes a map-side
-    # array_contains filter, and BOTH windows below are satisfied by
-    # that same clustering (hash(c_custkey) satisfies the
-    # (c_custkey, rec_brand) window's ClusteredDistribution, subset
-    # rule) — so the tail really is one customer-keyed shuffle end to
-    # end. The anti-join form shuffled the expanded candidates on
-    # (c_custkey, rec_brand) and then AGAIN on c_custkey for the
-    # final rank window (measured as the eval's dominant scale term,
-    # SCALE §10.9).
-    owned_arr = owned.groupBy("c_custkey").agg(
-        F.collect_set("brand").alias("owned_brands")
-    )
+    # Candidate fanout AFTER the customer clustering (r14
+    # optimization). The r12 shape expanded owned × sym first (6.6M
+    # candidate rows at sf0.1) and then shuffled that whole stream by
+    # c_custkey to join the exclusion array — the candidate blowup
+    # crossed an Exchange. Now the per-customer owned ARRAY is built
+    # first (the only customer-keyed shuffle left), the via fanout is
+    # an explode OVER that array, sym attaches map-side (broadcast),
+    # and the ownership exclusion reads the owned_brands column
+    # already on the row — so the expanded stream never crosses the
+    # network, and the best-via aggregate plus the rank window below
+    # still ride the same hash(c_custkey) clustering. Same candidate
+    # set: explode(collect_set(brand)) ≡ the distinct owned rows.
+    owned_arr = owned.select("c_custkey", "brand").groupBy(
+        "c_custkey"
+    ).agg(F.collect_set("brand").alias("owned_brands"))
+    if owned_cap is not None:
+        w_own = Window.partitionBy("c_custkey").orderBy(
+            F.col("weight").desc(), "brand"
+        )
+        via = (
+            owned.withColumn("_or", F.row_number().over(w_own))
+            .where(F.col("_or") <= owned_cap)
+            .select("c_custkey", F.col("brand").alias("via_brand"))
+        )
+        # both sides are c_custkey-clustered already (window / agg)
+        base = via.join(owned_arr, "c_custkey")
+    else:
+        base = owned_arr.select(
+            "c_custkey",
+            "owned_brands",
+            F.explode("owned_brands").alias("via_brand"),
+        )
     unowned = (
-        cands.join(owned_arr, "c_custkey")
+        base.join(F.broadcast(sym), "via_brand")
         .where(~F.array_contains("owned_brands", F.col("rec_brand")))
-        .drop("owned_brands")
+        .select("c_custkey", "via_brand", "rec_brand", "lift")
     )
-    # best via-path per (customer, candidate), then top-K per customer
-    w_pair = Window.partitionBy("c_custkey", "rec_brand").orderBy(
-        F.col("lift").desc(), "via_brand"
-    )
+    # best via-path per (customer, candidate) as a HASH AGGREGATE
+    # (r14 optimization): min(struct(-lift, via_brand)) picks exactly
+    # the (lift DESC, via_brand ASC) winner the old row_number window
+    # picked, but skips the window's full sort of the candidate
+    # stream — and ClusteredDistribution((c_custkey, rec_brand)) is
+    # satisfied by the exclusion join's hash(c_custkey) clustering
+    # (subset rule), so the agg adds no Exchange, exactly like the
+    # window it replaces. Double negation is exact (sign flip), so
+    # lift round-trips bit-identically.
     best = (
-        unowned.withColumn("rn", F.row_number().over(w_pair))
-        .where(F.col("rn") == 1)
-        .drop("rn")
+        unowned.groupBy("c_custkey", "rec_brand")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("lift")).alias("nl"), "via_brand"
+                )
+            ).alias("w")
+        )
+        .select(
+            "c_custkey",
+            "rec_brand",
+            F.col("w.via_brand").alias("via_brand"),
+            (-F.col("w.nl")).alias("lift"),
+        )
     )
     w_cust = Window.partitionBy("c_custkey").orderBy(
         F.col("lift").desc(), "rec_brand"
@@ -404,9 +422,20 @@ def _eval_frames(spark: SparkSession, sf_dir: str) -> dict:
         F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
     ).select("l_orderkey", F.col("p_brand").alias("brand"))
 
-    train_brands = brands.join(
-        train_orders, F.col("l_orderkey") == F.col("o_orderkey")
-    ).select("l_orderkey", "o_custkey", "brand")
+    # ONE lineitem-side join against the ranked orders (r14
+    # optimization): train/test membership is the rn predicate, so
+    # joining `brands` separately against the train and the test
+    # slice probed the detail stream twice — the merged join carries
+    # rn through and the two slices are filters over its output
+    # (identical rows; the rn>1 / rn=1 filters are exhaustive and
+    # disjoint).
+    ranked_brands = brands.join(
+        ranked.select("o_orderkey", "o_custkey", "rn"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select("l_orderkey", "o_custkey", "rn", "brand")
+    train_brands = ranked_brands.where(F.col("rn") > 1).select(
+        "l_orderkey", "o_custkey", "brand"
+    )
     baskets_train = train_brands.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("brand")).alias("brands")
     )
@@ -418,9 +447,9 @@ def _eval_frames(spark: SparkSession, sf_dir: str) -> dict:
     ).distinct()
     recs = _recommend_from_owned(owned_train, pairs)
 
-    test_brands = brands.join(
-        test_orders, F.col("l_orderkey") == F.col("o_orderkey")
-    ).select(F.col("o_custkey").alias("c_custkey"), "brand").distinct()
+    test_brands = ranked_brands.where(F.col("rn") == 1).select(
+        F.col("o_custkey").alias("c_custkey"), "brand"
+    ).distinct()
     truth = test_brands.join(
         owned_train, ["c_custkey", "brand"], "left_anti"
     )
