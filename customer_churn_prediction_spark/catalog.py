@@ -30,14 +30,26 @@ TABLES = (
 # paid a parquet footer/schema read plus (for spread) an inputFiles()
 # listing — ~70 ms of py4j/JVM work per call, and the heavy composed
 # queries build 2-9 scans each, every bench pass. Spark's own session
-# catalog caches resolved table relations the same way (and its
-# FileStatusCache already memoizes the file listing per path for the
-# session), so this adds no new staleness class: fixtures are
-# immutable per sf_dir, and a restarted session (new applicationId)
-# re-resolves. The cached object is a LAZY plan — all data is still
-# read from parquet at every execution; nothing resembling a result
-# is stored.
-_RELATION_CACHE: dict[tuple[str, str, str, bool], DataFrame] = {}
+# catalog caches resolved table relations the same way. The cached
+# object is a LAZY plan — all data is still read from parquet at
+# every execution; nothing resembling a result is stored. The key
+# carries the path's mtime so a RE-INGESTED table at the same path
+# (the corpus-rewrite contract pinned by
+# tests/test_selection.py::test_band_cache_refits_on_same_path)
+# misses the memo and re-resolves its file listing; one os.stat per
+# call is the entire overhead.
+_RELATION_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _path_version(path: str) -> float:
+    """mtime of the table file/dir (0.0 when absent): rewriting a
+    parquet dir adds/removes part files, which bumps the dir mtime."""
+    import os
+
+    try:
+        return os.stat(path).st_mtime
+    except OSError:
+        return 0.0
 
 
 def load_table(
@@ -56,7 +68,13 @@ def load_table(
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    key = (spark.sparkContext.applicationId, sf_dir, name, spread)
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        name,
+        spread,
+        _path_version(f"{sf_dir}/{name}.parquet"),
+    )
     hit = _RELATION_CACHE.get(key)
     if hit is not None:
         return hit

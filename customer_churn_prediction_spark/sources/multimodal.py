@@ -87,17 +87,33 @@ def extract_features(media: DataFrame) -> DataFrame:
     out. One python worker per partition — no per-row overhead."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # numpy imported once per task (guide §4.5), batch columns
+        # assembled as arrays instead of per-row Python lists (r14:
+        # the old shape built 5 + _EMBED_DIM Python lists by looping
+        # the feature tuples per row — O(rows × dim) interpreter
+        # work per batch; the per-payload byte math is unchanged).
+        import numpy as np
+
         for pdf in it:
             feats = [_fake_features(p) for p in pdf["media_bytes"]]
+            emb = np.array([f[2] for f in feats], dtype=np.float64)
             cols = {
                 "doc_id": pdf["doc_id"],
                 "media_type": pdf["media_type"],
-                "n_bytes": [len(p) for p in pdf["media_bytes"]],
-                "byte_mean": [f[0] for f in feats],
-                "byte_mode": [f[1] for f in feats],
+                "n_bytes": pdf["media_bytes"].map(len),
+                "byte_mean": np.fromiter(
+                    (f[0] for f in feats), dtype=np.float64,
+                    count=len(feats),
+                ),
+                "byte_mode": np.fromiter(
+                    (f[1] for f in feats), dtype=np.int64,
+                    count=len(feats),
+                ),
             }
             for i in range(_EMBED_DIM):
-                cols[f"emb_{i}"] = [f[2][i] for f in feats]
+                cols[f"emb_{i}"] = (
+                    emb[:, i] if len(feats) else np.empty(0)
+                )
             yield pd.DataFrame(cols)
 
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)

@@ -76,20 +76,24 @@ def _grams(docs: DataFrame) -> DataFrame:
         (F.col("lang") == _TARGET_LANG).cast("int").alias("is_target"),
         toks.alias("t"),
     )
-    uni = d.select(
-        "doc_id", "is_target", F.explode("t").alias("gram")
-    )
-    bi = d.select(
+    # ONE explode for unigrams + bigrams (r14 optimization): the old
+    # union of two exploded branches tokenized and scanned the corpus
+    # twice; concat()ing the two gram arrays inside a single Generate
+    # emits the identical multiset of (doc_id, is_target, gram) rows
+    # off one pass.
+    return d.select(
         "doc_id",
         "is_target",
         F.explode(
-            F.expr(
-                "transform(slice(t, 1, greatest(size(t) - 1, 0)),"
-                " (x, i) -> concat(x, ' ', element_at(t, i + 2)))"
+            F.concat(
+                F.col("t"),
+                F.expr(
+                    "transform(slice(t, 1, greatest(size(t) - 1, 0)),"
+                    " (x, i) -> concat(x, ' ', element_at(t, i + 2)))"
+                ),
             )
         ).alias("gram"),
-    )
-    return uni.unionByName(bi).select(
+    ).select(
         "doc_id", "is_target", _bucket(F.col("gram")).alias("b")
     )
 
@@ -212,9 +216,14 @@ def _dsir_scored(docs: DataFrame) -> DataFrame:
     model = bucket_model(grams)
 
     # every doc has >= 1 unigram (the split of an empty string is
-    # ['']), so the inner join keeps the whole corpus
+    # ['']), so the inner join keeps the whole corpus.
+    # The model is DSIR_B rows BY CONSTRUCTION (2048 buckets at any
+    # corpus size) — broadcast it explicitly (r14) so the gram stream
+    # never shuffles on the bucket key; the planner's estimate for an
+    # aggregate-over-window subtree is unreliable and a silent SMJ
+    # here would shuffle O(tokens) rows at 100 TB.
     return (
-        grams.join(model, "b")
+        grams.join(F.broadcast(model), "b")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_grams"),
