@@ -429,10 +429,20 @@ def _eval_frames(spark: SparkSession, sf_dir: str) -> dict:
     # rn through and the two slices are filters over its output
     # (identical rows; the rn>1 / rn=1 filters are exhaustive and
     # disjoint).
+    # The branches below (model fit, ownership, test truth, universe)
+    # all re-derive from this one detail join, and AQE's runtime
+    # exchange reuse only collapses SOME of the duplicated lineage
+    # (measured r14: 55 parquet scans in the final plan). Materialize
+    # the shared frames once per run with lazy localCheckpoint — the
+    # guide's plan-truncation remedy (§3.3); blocks are per-query-run,
+    # freed by the context cleaner, and everything still computes
+    # from parquet inside the run.
     ranked_brands = brands.join(
         ranked.select("o_orderkey", "o_custkey", "rn"),
         F.col("l_orderkey") == F.col("o_orderkey"),
-    ).select("l_orderkey", "o_custkey", "rn", "brand")
+    ).select("l_orderkey", "o_custkey", "rn", "brand").localCheckpoint(
+        eager=False
+    )
     train_brands = ranked_brands.where(F.col("rn") > 1).select(
         "l_orderkey", "o_custkey", "brand"
     )
@@ -441,10 +451,10 @@ def _eval_frames(spark: SparkSession, sf_dir: str) -> dict:
     )
     pairs = _pair_lift_from_baskets(baskets_train).select(
         "brand_a", "brand_b", "lift"
-    )
+    ).localCheckpoint(eager=False)
     owned_train = train_brands.select(
         F.col("o_custkey").alias("c_custkey"), "brand"
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     recs = _recommend_from_owned(owned_train, pairs)
 
     test_brands = ranked_brands.where(F.col("rn") == 1).select(
@@ -452,7 +462,7 @@ def _eval_frames(spark: SparkSession, sf_dir: str) -> dict:
     ).distinct()
     truth = test_brands.join(
         owned_train, ["c_custkey", "brand"], "left_anti"
-    )
+    ).localCheckpoint(eager=False)
     universe = (
         truth.groupBy("c_custkey")
         .agg(F.count(F.lit(1)).alias("n_truth"))

@@ -519,13 +519,31 @@ def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-grams on BOTH join branches — the previous shape — is the
     difference between two corpus-wide hash passes and two passes over
     the near-dup sliver."""
-    buckets = _lsh_buckets(spark, sf_dir)
+    # The bucket aggregate feeds BOTH the pair expansion and the
+    # member set, and AQE's runtime exchange reuse only collapses part
+    # of the duplicated lineage (measured r14) — materialize it once
+    # per run (lazy localCheckpoint, the guide §3.3 plan-truncation
+    # remedy; the frame is multi-member buckets, far smaller than the
+    # corpus, and still computed from parquet inside every run).
+    buckets = _lsh_buckets(spark, sf_dir).localCheckpoint(eager=False)
     cands = _pairs_from_buckets(buckets)
+    return _verified_from_buckets(spark, sf_dir, buckets, cands)
+
+
+def _verified_from_buckets(
+    spark: SparkSession, sf_dir: str, buckets: DataFrame, cands: DataFrame
+) -> DataFrame:
+    """The exact-Jaccard verification tail of ``lsh_verified_pairs``
+    over an already-built buckets frame and its candidate pairs —
+    split out (r14) so ``dedup_recall_eval`` can grade the SAME
+    executed pipeline without re-running the bucket aggregation for
+    its candidate and verified legs separately."""
     members = buckets.select(F.explode("ids").alias("doc_id")).distinct()
     grams = (
         load_table(spark, sf_dir, "documents", spread=True)
         .join(members, "doc_id", "left_semi")
         .select("doc_id", F.expr(_word_shingles_spark()).alias("grams"))
+        .localCheckpoint(eager=False)
     )
     ga = grams.select(
         F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a")
@@ -668,7 +686,14 @@ def _verified_best_match(d: DataFrame, cands: DataFrame) -> DataFrame:
     """Shared verification tail of the incremental dedup forms:
     semi-join-pruned word-3-gram Jaccard over (doc_id, dup_of)
     candidate pairs, thresholded, then the best corpus match per new
-    doc (highest verified Jaccard, ties to the lowest corpus id)."""
+    doc (highest verified Jaccard, ties to the lowest corpus id).
+
+    ``cands`` is consumed three times (both member-set legs + the
+    verify join) and ``grams`` twice (both pair sides) — each is
+    materialized once per run (lazy localCheckpoint, guide §3.3;
+    runtime exchange reuse only collapsed part of the duplication,
+    measured r14)."""
+    cands = cands.localCheckpoint(eager=False)
     member_ids = (
         cands.select("doc_id")
         .union(cands.select(F.col("dup_of").alias("doc_id")))
@@ -677,6 +702,7 @@ def _verified_best_match(d: DataFrame, cands: DataFrame) -> DataFrame:
     grams = (
         d.join(member_ids, "doc_id", "left_semi")
         .select("doc_id", F.expr(_word_shingles_spark()).alias("grams"))
+        .localCheckpoint(eager=False)
     )
     gn = grams.select(
         F.col("doc_id").alias("doc_id"), F.col("grams").alias("grams_n")
@@ -1249,9 +1275,31 @@ def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     uses. At scale the expensive branch is the exact all-pairs truth
     (the documented O(n^2) baseline); run this on a SAMPLE in
     production, exactly like ANN recall."""
-    truth = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    cands = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    found = lsh_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # Shared-lineage materialization (r14): truth feeds two legs
+    # (count + hits), cands feeds two (count + the verify input),
+    # found feeds two (count + hits), and the bucket aggregate feeds
+    # both cands and the verify members — each localCheckpoint makes
+    # one leg's work execute once per run instead of per consumer.
+    # The FULL retired-twin pipelines still execute in Spark every
+    # run: exact ngram-Jaccard (truth), banded LSH candidates
+    # (cands), and the verified pipeline (found = the same
+    # _verified_from_buckets tail lsh_verified_pairs runs).
+    truth = (
+        ngram_jaccard_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    buckets = _lsh_buckets(spark, sf_dir).localCheckpoint(eager=False)
+    # cands deliberately NOT checkpointed: its verify-join consumer
+    # wants the planner's stats (a LogicalRDD barrier hides them and
+    # degraded the join strategy — A/B'd r14: checkpointing cands
+    # measured slower than recomputing the cheap expansion twice).
+    cands = _pairs_from_buckets(buckets).select("doc_a", "doc_b")
+    found = (
+        _verified_from_buckets(spark, sf_dir, buckets, cands)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
     n_true = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
     n_cand = cands.agg(F.count(F.lit(1)).alias("n_candidates"))
     n_found = found.agg(F.count(F.lit(1)).alias("n_verified"))
@@ -1363,7 +1411,14 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass generates 0 replica-driven candidates and finishes 3×
     faster end-to-end."""
     d = load_table(spark, sf_dir, "documents", spread=True)
-    sh = _gram_rows(d)
+    # sh feeds three consumers (the df aggregate, the prefix ranking,
+    # and the candidate join's container side) and cands three more
+    # (both member-set legs + the verify join): materialize each once
+    # per run (lazy localCheckpoint, guide §3.3 — runtime exchange
+    # reuse only collapsed part of the duplication, measured r14; the
+    # gram stream is O(tokens), the same order as the shuffles it
+    # feeds, and everything still computes from parquet per run).
+    sh = _gram_rows(d).localCheckpoint(eager=False)
     df_tab = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     prefix = _containment_prefix(sh, df_tab)
     a, b = prefix.alias("a"), sh.alias("b")
@@ -1384,6 +1439,7 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("container"),
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
     member_ids = (
         cands.select(F.col("contained").alias("doc_id"))
@@ -1393,6 +1449,7 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = (
         d.join(member_ids, "doc_id", "left_semi")
         .select("doc_id", F.expr(_word_shingles_spark()).alias("grams"))
+        .localCheckpoint(eager=False)
     )
     ga = grams.select(
         F.col("doc_id").alias("contained"), F.col("grams").alias("ga")
@@ -1420,7 +1477,10 @@ def _containment_best_match(d: DataFrame, cands: DataFrame) -> DataFrame:
     ``(doc_id, dup_of)`` candidate pairs, thresholded, then the best
     container per contained doc (highest containment, ties to the
     lowest container id). Shared by the batch fragment form and the
-    streaming ingest twin so the verify rule can never drift."""
+    streaming ingest twin so the verify rule can never drift.
+    Multiply-consumed frames materialize once per run (r14, the
+    ``_verified_best_match`` pattern)."""
+    cands = cands.localCheckpoint(eager=False)
     member_ids = (
         cands.select("doc_id")
         .union(cands.select(F.col("dup_of").alias("doc_id")))
@@ -1429,6 +1489,7 @@ def _containment_best_match(d: DataFrame, cands: DataFrame) -> DataFrame:
     grams = (
         d.join(member_ids, "doc_id", "left_semi")
         .select("doc_id", F.expr(_word_shingles_spark()).alias("grams"))
+        .localCheckpoint(eager=False)
     )
     ga = grams.select(
         F.col("doc_id").alias("doc_id"), F.col("grams").alias("ga")

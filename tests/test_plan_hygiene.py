@@ -39,10 +39,13 @@ ALLOWED_NESTED_LOOP = {
     # registered r10: composes the exact bruteforce + int8 legs (both
     # non-equi broadcast NLJ by design) as the matrix's ground truth
     "ann_recall_matrix",
-    # registered r10: the pair-lift model inside the eval crossJoins
-    # the broadcast 1-row n_orders scalar (affinity.py:106 — the
-    # calibration-tier report pattern, same as text_tfidf_topk)
-    "rec_eval_ndcg",
+    # (rec_eval_ndcg left the whitelist in r14: the pair-lift model's
+    # 1-row n_orders crossJoin still executes, but it sits below the
+    # eval's localCheckpoint barrier — _eval_frames materializes the
+    # fitted pair model once per run — so the outer plan no longer
+    # prints an NLJ. The scalar pattern itself stays guarded through
+    # basket_pair_lift / brand_recommendations, whose plans are not
+    # checkpoint-truncated.)
     # registered r10 (second batch): the recall report composes FOUR
     # 1-row count scalars (truth / candidates / verified / hits) via
     # broadcast NLJ — the same fixed-width report pattern; the heavy
