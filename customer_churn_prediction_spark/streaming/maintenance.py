@@ -48,7 +48,16 @@ def compact_swap(live_path: str, write_fn) -> None:
     erasure removed after emptying it — has nothing to fold: a no-op,
     mirroring every reader's missing-path guard, instead of letting
     the fold's ``spark.read.parquet`` raise on the missing directory
-    (advice r13). One shared guard so all twelve families agree."""
+    (advice r13). One shared guard so all twelve families agree.
+
+    A missing live dir is NOT always "never ingested": a swap that
+    crashed between live→old and stage→live leaves old-without-live,
+    which ``staged_swap``'s entry-time self-heal would restore — so
+    heal that window FIRST, and only then treat a still-missing live
+    path as the no-op case."""
+    old = live_path + "__compact_old"
+    if os.path.isdir(old) and not os.path.isdir(live_path):
+        os.rename(old, live_path)
     if not os.path.isdir(live_path):
         return
     staged_swap(live_path, write_fn)
