@@ -1012,41 +1012,145 @@ def corpus_keep_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     the committed oracles of the parts as CTEs, so it cannot drift
     from them.
 
-    Plan shape: four joins of one-row-per-doc frames on doc_id (the
-    contamination side is an aggregated broadcast-sized drop set) —
-    no new shuffle class beyond its parts."""
+    Plan shape (r14 optimization, guide §2.4 "remove shuffles
+    outright"): the quality, repetition and entropy gates are all
+    per-row functions of the SAME token array, so they fuse into one
+    expression-only projection chain over one corpus scan — the old
+    shape computed each gate as its standalone query (re-scanning and
+    re-tokenizing the corpus per gate) and sort-merge-joined four
+    one-row-per-doc frames on doc_id. The entropy gate folds the same
+    per-distinct-token counts the repetition gate already computes
+    (same rounded terms as ``text_entropy``'s per-(doc,tok) aggregate;
+    the 6dp round on the sum absorbs fold-order float noise exactly as
+    the cross-engine oracle compare always has). Only the corpus-level
+    legs remain relational: the unigram-LM leg (vocab over ALL docs —
+    bench docs included, exactly as ``text_logprob`` — then one
+    tokens⋈vocab join + per-doc aggregate restricted to the training
+    slice the output carries) and the contamination drop set
+    (aggregated, broadcast). Gate values are bit-identical to the
+    standalone queries'; the unchanged nested-CTE oracle pins it."""
     from ..text import dedup as _dedup
 
     is_bench = (
         F.col("doc_id") % _dedup.CONTAM_BENCH_MOD
         == _dedup.CONTAM_BENCH_RESIDUE
     )
-    d = load_table(spark, sf_dir, "documents", spread=True).where(~is_bench)
+    d_all = load_table(spark, sf_dir, "documents", spread=True)
+    d = d_all.where(~is_bench)
     q = _quality(F.col("text"))
-    base = d.select(
+    staged = d.select(
         "doc_id",
         F.coalesce(
             q["quality"] >= QUALITY_THRESHOLD, F.lit(False)
         ).alias("quality_ok"),
+        _tokens(F.col("text")).alias("toks"),
     )
-    rep = text_repetition(spark, sf_dir).select(
-        "doc_id", (~F.col("repetitive")).alias("repetition_ok")
-    )
-    nll = text_logprob(spark, sf_dir).select(
+    # one pass over the distinct tokens serves BOTH the repetition
+    # top-token count and the entropy terms
+    staged = staged.select(
         "doc_id",
-        F.coalesce(F.col("mean_nll") <= NLL_MAX, F.lit(False)).alias(
-            "nll_ok"
+        "quality_ok",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.expr("size(array_distinct(toks))").cast("long").alias(
+            "n_distinct"
         ),
+        F.expr(
+            "transform(array_distinct(toks), t -> size(filter(toks, x -> x = t)))"
+        ).alias("dcounts"),
+        F.expr(
+            "CASE WHEN size(toks) >= 2 THEN "
+            "transform(sequence(1, size(toks) - 1), "
+            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+            " ELSE CAST(array() AS array<string>) END"
+        ).alias("bigrams"),
     )
-    ent = text_entropy(spark, sf_dir).select(
+    staged = staged.select(
         "doc_id",
+        "quality_ok",
+        "n_tokens",
+        "n_distinct",
+        F.expr("array_max(dcounts)").cast("long").alias("top_token_cnt"),
+        F.size("bigrams").cast("long").alias("n_bigrams"),
+        F.expr(
+            "array_max(transform(array_distinct(bigrams), "
+            "g -> size(filter(bigrams, x -> x = g))))"
+        ).cast("long").alias("top_bigram_cnt"),
+        # text_entropy's per-(doc,tok) terms as an array fold: tf/n
+        # over the doc's own distribution, each term 6dp-rounded
+        # before the sum, the sum 6dp-rounded and abs'd — identical
+        # values to the aggregate form
+        F.expr(
+            "abs(round(aggregate(transform(dcounts, "
+            "tf -> round(-(tf / cast(n_tokens as double)) "
+            "* log2(tf / cast(n_tokens as double)), 6)), "
+            "cast(0 as double), (a, x) -> a + x), 6))"
+        ).alias("entropy_bits"),
+    )
+    repetitive = F.coalesce(
         (
-            (F.col("n_tokens") < ENTROPY_MIN_TOKENS)
-            | (
-                F.col("entropy_bits")
-                >= ENTROPY_EVENNESS_MIN * F.log2("n_tokens")
+            F.round(
+                F.try_divide(
+                    F.col("n_tokens") - F.col("n_distinct"), F.col("n_tokens")
+                ),
+                6,
             )
-        ).alias("entropy_ok"),
+            > REPETITION_DUP_TOKEN_MAX
+        )
+        | (
+            F.round(F.try_divide("top_token_cnt", "n_tokens"), 6)
+            > REPETITION_TOP_TOKEN_MAX
+        )
+        | (
+            F.round(F.try_divide("top_bigram_cnt", "n_bigrams"), 6)
+            > REPETITION_TOP_BIGRAM_MAX
+        ),
+        F.lit(False),
+    )
+    entropy_ok = F.coalesce(
+        (F.col("n_tokens") < ENTROPY_MIN_TOKENS)
+        | (
+            F.col("entropy_bits")
+            >= ENTROPY_EVENNESS_MIN * F.log2("n_tokens")
+        ),
+        # NULL text: no tokens to assess (the doc is absent from the
+        # exploded entropy frame in BOTH engines) — ok, exactly the
+        # old left-join + coalesce-to-True
+        F.lit(True),
+    )
+    gates = staged.select(
+        "doc_id",
+        "quality_ok",
+        (~repetitive).alias("repetition_ok"),
+        entropy_ok.alias("entropy_ok"),
+    )
+    # unigram-LM leg: vocab over ALL docs (text_logprob's corpus model,
+    # bench docs included), scoring restricted to the training slice
+    toks_all = d_all.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+    vocab = toks_all.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    tot = vocab.agg(
+        F.sum("tf").cast("long").alias("n_corpus"),
+        F.count(F.lit(1)).cast("long").alias("n_vocab"),
+    )
+    scored_vocab = vocab.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.round(
+            -F.log((F.col("tf") + 1) / (F.col("n_corpus") + F.col("n_vocab"))),
+            6,
+        ).alias("nll"),
+    )
+    nll = (
+        d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+        .join(scored_vocab, "tok")
+        .groupBy("doc_id")
+        .agg(F.round(F.avg("nll"), 6).alias("mean_nll"))
+        .select(
+            "doc_id",
+            F.coalesce(F.col("mean_nll") <= NLL_MAX, F.lit(False)).alias(
+                "nll_ok"
+            ),
+        )
     )
     contam = (
         contamination_check_import(spark, sf_dir)
@@ -1055,19 +1159,14 @@ def corpus_keep_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("hit", F.lit(True))
     )
     out = (
-        base.join(rep, "doc_id")
-        .join(nll, "doc_id", "left")
-        # left + coalesce-to-True: a doc absent from the entropy frame
-        # has no tokens to assess (NULL text drops out of the explode
-        # in BOTH engines); token-free hygiene is the quality gate's.
-        .join(ent, "doc_id", "left")
+        gates.join(nll, "doc_id", "left")
         .join(F.broadcast(contam), "doc_id", "left")
         .select(
             "doc_id",
             "quality_ok",
             "repetition_ok",
             F.coalesce("nll_ok", F.lit(False)).alias("nll_ok"),
-            F.coalesce("entropy_ok", F.lit(True)).alias("entropy_ok"),
+            "entropy_ok",
             (~F.coalesce("hit", F.lit(False))).alias("decontam_ok"),
         )
     )
