@@ -1045,42 +1045,80 @@ def corpus_keep_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("quality_ok"),
         _tokens(F.col("text")).alias("toks"),
     )
-    # one pass over the distinct tokens serves BOTH the repetition
-    # top-token count and the entropy terms
+    # Per-token/bigram frequency counts via RUN LENGTHS over the
+    # SORTED arrays — O(n log n) per doc. The filter-count form
+    # (`transform(array_distinct(xs), t -> size(filter(xs, ...)))`)
+    # is O(distinct × len) per doc: quadratic for mostly-distinct
+    # text, and it measurably dominated this query's wall time (the
+    # shuffle savings of the gate fusion were being eaten by per-row
+    # CPU). A boundary is a position whose successor differs (the
+    # last position always bounds); tf values are consecutive-
+    # boundary diffs. try_element_at + coalesce instead of relying
+    # on OR short-circuit at i = size under ANSI.
+    def _bounds(col: str) -> str:
+        return (
+            f"CASE WHEN size({col}) >= 1 THEN "
+            f"filter(sequence(1, size({col})), i -> "
+            f"coalesce(element_at({col}, i) <> try_element_at({col}, i + 1), "
+            f"true)) ELSE CAST(array() AS array<int>) END"
+        )
+
+    def _run_lengths(col: str) -> str:
+        return (
+            f"CASE WHEN size({col}) >= 1 THEN "
+            f"transform(sequence(1, size({col})), j -> "
+            f"element_at({col}, j) - if(j = 1, 0, element_at({col}, j - 1))) "
+            f"ELSE CAST(array() AS array<int>) END"
+        )
+
+    # sorted arrays hoisted into their own projection so the sort runs
+    # once per row (multi-use non-cheap expr survives CollapseProject)
     staged = staged.select(
         "doc_id",
         "quality_ok",
         F.size("toks").cast("long").alias("n_tokens"),
-        F.expr("size(array_distinct(toks))").cast("long").alias(
-            "n_distinct"
-        ),
-        F.expr(
-            "transform(array_distinct(toks), t -> size(filter(toks, x -> x = t)))"
-        ).alias("dcounts"),
+        F.expr("array_sort(toks)").alias("stoks"),
         F.expr(
             "CASE WHEN size(toks) >= 2 THEN "
-            "transform(sequence(1, size(toks) - 1), "
-            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+            "array_sort(transform(sequence(1, size(toks) - 1), "
+            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))))"
             " ELSE CAST(array() AS array<string>) END"
-        ).alias("bigrams"),
+        ).alias("sbigs"),
+    )
+    staged = staged.select(
+        "doc_id",
+        "quality_ok",
+        "n_tokens",
+        F.expr(_bounds("stoks")).alias("tbounds"),
+        F.size("sbigs").cast("long").alias("n_bigrams"),
+        F.expr(_bounds("sbigs")).alias("bbounds"),
+    )
+    staged = staged.select(
+        "doc_id",
+        "quality_ok",
+        "n_tokens",
+        F.size("tbounds").cast("long").alias("n_distinct"),
+        F.expr(_run_lengths("tbounds")).alias("tfs"),
+        "n_bigrams",
+        F.expr(_run_lengths("bbounds")).alias("bfs"),
     )
     staged = staged.select(
         "doc_id",
         "quality_ok",
         "n_tokens",
         "n_distinct",
-        F.expr("array_max(dcounts)").cast("long").alias("top_token_cnt"),
-        F.size("bigrams").cast("long").alias("n_bigrams"),
-        F.expr(
-            "array_max(transform(array_distinct(bigrams), "
-            "g -> size(filter(bigrams, x -> x = g))))"
-        ).cast("long").alias("top_bigram_cnt"),
+        F.expr("array_max(tfs)").cast("long").alias("top_token_cnt"),
+        "n_bigrams",
+        F.expr("array_max(bfs)").cast("long").alias("top_bigram_cnt"),
         # text_entropy's per-(doc,tok) terms as an array fold: tf/n
         # over the doc's own distribution, each term 6dp-rounded
         # before the sum, the sum 6dp-rounded and abs'd — identical
-        # values to the aggregate form
+        # values to the aggregate form (the sum order differs from the
+        # hash-aggregate's, which was itself nondeterministic; the 6dp
+        # round on the sum absorbs fold-order float noise exactly as
+        # the cross-engine oracle compare always has)
         F.expr(
-            "abs(round(aggregate(transform(dcounts, "
+            "abs(round(aggregate(transform(tfs, "
             "tf -> round(-(tf / cast(n_tokens as double)) "
             "* log2(tf / cast(n_tokens as double)), 6)), "
             "cast(0 as double), (a, x) -> a + x), 6))"
