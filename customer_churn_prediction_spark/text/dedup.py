@@ -831,10 +831,16 @@ def dedup_cross_modal(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _ann._embeddings(spark, sf_dir).withColumn(
         "sig", _ann._sig_col("v")
     )
-    a = e.select(
+    # The exploded probe side carries KEYS ONLY (r14, guide §8
+    # "decide with small rows, move big rows once"): the previous
+    # shape put the vector on every probe row, multiplying the heavy
+    # payload (N_PLANES+1)× through the join's exchange at scale. The
+    # un-exploded side keeps its payload (it crosses once), and the
+    # a-side vector attaches to the surviving candidates with one
+    # equi-join over candidates ≪ corpus. Same pairs (a pair
+    # satisfies at most one probe).
+    a_keys = e.select(
         F.col("vec_id").alias("doc_a"),
-        F.col("v").alias("va"),
-        F.col("nrm").alias("na"),
         F.explode(
             F.array(
                 F.col("sig"),
@@ -851,12 +857,18 @@ def dedup_cross_modal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("nb"),
         F.col("sig").alias("sigb"),
     )
+    cand = a_keys.join(
+        b,
+        (F.col("probe") == F.col("sigb"))
+        & (F.col("doc_a") < F.col("doc_b")),
+    ).select("doc_a", "doc_b", "vb", "nb")
+    va = e.select(
+        F.col("vec_id").alias("doc_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
     emb_pairs = (
-        a.join(
-            b,
-            (F.col("probe") == F.col("sigb"))
-            & (F.col("doc_a") < F.col("doc_b")),
-        )
+        cand.join(va, "doc_a")
         .select(
             "doc_a", "doc_b",
             _ann._cosine("va", "vb", "na", "nb").alias("cosine_sim"),
