@@ -722,15 +722,29 @@ def _verified_best_match(d: DataFrame, cands: DataFrame) -> DataFrame:
         )
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("jaccard").desc(), F.col("dup_of")
+    # Best corpus match per new doc via ONE map-side-combined hash
+    # aggregate (r14, guide §2.3 "aggregate before you shuffle"):
+    # min(struct(-jaccard, dup_of)) picks highest jaccard with ties to
+    # the lowest corpus id — the row_number sort-window this replaces
+    # paid a full sort of the verified stream for the same argmax, and
+    # partial aggregation shrinks the shuffle to one row per doc_id.
+    # jaccard is a ratio of BIGINT counts: -x is exact, no sign-zero
+    # or NaN edge (NULL jaccard rows are already filtered above).
+    best = (
+        verified.groupBy("doc_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("jaccard")).alias("neg_j"),
+                    F.col("dup_of").alias("dup_of"),
+                )
+            ).alias("b")
+        )
     )
-    return (
-        verified.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("doc_id", "dup_of", "jaccard")
+    return best.select(
+        "doc_id",
+        F.col("b.dup_of").alias("dup_of"),
+        (-F.col("b.neg_j")).alias("jaccard"),
     )
 
 
