@@ -332,6 +332,23 @@ def main() -> None:
     # output so a reader triaging a delta sees it without forensics.
     load_at_start = round(os.getloadavg()[0], 1)
 
+    # CPU-steal context (r14): this box is a VM whose host steals
+    # cores in WINDOWS — lifetime steal measured at ~26% of user
+    # ticks, yet near-zero on an idle minute. Loadavg cannot see
+    # steal (the guest's runnable count stays flat while every tick
+    # stretches), so a steal window mid-run reads as a uniform
+    # "regression" no load signal explains. Sample the cumulative
+    # steal counter around each (query, pass) so contaminated rows
+    # self-annotate; USER_HZ ticks → seconds via the conventional
+    # 100 Hz (the delta RATIO is what matters for triage).
+    def _steal_ticks():
+        try:
+            with open("/proc/stat") as fh:
+                parts = fh.readline().split()
+            return int(parts[8])
+        except (OSError, IndexError, ValueError):
+            return None
+
     spark = get_spark(
         app_name="ccp-spark-bench",
         master=f"local[{CPUS}]",
@@ -408,14 +425,23 @@ def main() -> None:
     # load bursting 0->9 from nothing in the session — per-run flags
     # could say THAT it happened but not WHICH rows it hit).
     loads: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
+    steals: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
+    steal_run_t0 = _steal_ticks()
     for _ in range(N_ITERS):
         for name in BENCH_QUERIES:
             fn = queries[name]
             _FIT_MEMOS.get(name, {}).clear()
+            s0 = _steal_ticks()
             t0 = time.perf_counter()
             force(fn(spark, SF_DIR))
             samples[name].append(time.perf_counter() - t0)
             loads[name].append(round(os.getloadavg()[0], 2))
+            s1 = _steal_ticks()
+            steals[name].append(
+                round((s1 - s0) / 100.0, 2)
+                if s0 is not None and s1 is not None
+                else None
+            )
 
     timings = {
         name: round(statistics.median(v), 3) for name, v in samples.items()
@@ -614,6 +640,17 @@ def main() -> None:
                 # loadavg timeseries: one sample per (query, pass), in
                 # pass order — the contention forensics for any row
                 "load_series": loads,
+                # host CPU-steal seconds per (query, pass) and for the
+                # whole interleaved phase: loadavg-invisible VM-host
+                # contention, the r14-diagnosed third noise source
+                # (lifetime steal ~26% of this box's user ticks)
+                "steal_series": steals,
+                "steal_interleaved_sec": (
+                    round((_steal_ticks() - steal_run_t0) / 100.0, 2)
+                    if steal_run_t0 is not None
+                    and _steal_ticks() is not None
+                    else None
+                ),
             },
             fh,
             indent=1,

@@ -92,6 +92,26 @@ def get_spark(
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         # Dim tables (part/customer at our scale) should broadcast.
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        # Join strategy (guide §3.1/§9): let the planner pick
+        # shuffled-hash join when its size conditions fit instead of
+        # always sort-merge, and let AQE rewrite SMJ→SHJ at runtime
+        # when every post-shuffle partition is under the threshold.
+        # A/B'd over the 8 heaviest bench queries in one process:
+        # net −8% (dedup_recall_eval −27%, corpus_keep_decision −10%,
+        # dedup_lsh_components −7%; feature_assembly +11% was the
+        # worst loser). The build-side OOM risk SHJ carries is bounded
+        # here by the same 64 MB partition budget AQE coalesces to;
+        # a deployment that would rather spill than rebuild can flip
+        # SPARK_GRAFT_PREFER_SMJ=true without touching code.
+        "spark.sql.join.preferSortMergeJoin": os.environ.get(
+            "SPARK_GRAFT_PREFER_SMJ", "false"
+        ),
+        "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": (
+            os.environ.get(
+                "SPARK_GRAFT_SHJ_LOCALMAP_THRESHOLD",
+                str(64 * 1024 * 1024),
+            )
+        ),
         # Keep parquet scans fat enough to amortize task overhead.
         "spark.sql.files.maxPartitionBytes": str(256 * 1024 * 1024),
         # Headless batch/bench context: the UI server only adds startup

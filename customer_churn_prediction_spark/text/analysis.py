@@ -1180,7 +1180,11 @@ def corpus_keep_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nll = (
         d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
-        .join(scored_vocab, "tok")
+        # explicit broadcast (DSIR precedent): the vocab is
+        # dictionary-sized but aggregate-built, so its size estimate
+        # is unreliable — a silent SMJ would shuffle the exploded
+        # token stream by tok.
+        .join(F.broadcast(scored_vocab), "tok")
         .groupBy("doc_id")
         .agg(F.round(F.avg("nll"), 6).alias("mean_nll"))
         .select(
@@ -1817,9 +1821,17 @@ def _score_pairs_against_lm(
     seen token → backoff·p1; unseen token → backoff·add-one floor via
     the broadcast 1-row scalar), so no pair ever silently drops from
     the sum (the r13 session-anomaly discipline)."""
+    # Explicit broadcast of both model sides (r14, the DSIR
+    # precedent): the planner's size estimate for an aggregate-built
+    # frame is unreliable, and a silent SMJ/SHJ here shuffles the
+    # O(tokens) pair stream TWICE by model keys — the model and p1
+    # are dictionary-sized by construction (at web scale the bigram
+    # table takes a frequency cutoff, the text_logprob vocab rule),
+    # so the pair stream should never cross an Exchange before its
+    # per-doc aggregate.
     scored = (
-        pairs.join(lm["model"], ["v", "w"], "left")
-        .join(lm["p1"], "w", "left")
+        pairs.join(F.broadcast(lm["model"]), ["v", "w"], "left")
+        .join(F.broadcast(lm["p1"]), "w", "left")
         .crossJoin(F.broadcast(lm["floor"]))
         .select(
             "doc_id",
