@@ -477,6 +477,13 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("g"),
         )
         .select("doc_id", "g.shingle", "g.n_sh")
+        # materialize ONCE per run (r14, guide §3.3): both join sides
+        # consume this frame, and the md5 gram pipeline otherwise runs
+        # twice (A/B: 2.88 → 2.47 s at sf0.1). The blocks are the
+        # exploded gram stream — O(tokens) — acceptable precisely
+        # because this is the sample-bounded exact grader leg, never
+        # the deployed path (see BASELINE note above).
+        .localCheckpoint(eager=False)
     )
     a, b = sh.alias("a"), sh.alias("b")
     pair_counts = (
