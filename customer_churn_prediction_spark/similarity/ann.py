@@ -130,16 +130,24 @@ def _planes() -> list[list[float]]:
 def _sig_col(vcol: str):
     """LSH signature: bit j = sign of dot(plane_j, v). One 2D plane
     literal + an aggregate loop keeps generated code small (the
-    unrolled per-plane form inlines N_PLANES×DIM literals per use)."""
+    unrolled per-plane form inlines N_PLANES×DIM literals per use).
+
+    coalesce is a NULLABILITY BARRIER, not a value change (r14, the
+    simhash precedent): every sig consumer equi-joins on it, and the
+    inferred ``isnotnull(sig)`` constraint otherwise pushes below the
+    projection and re-evaluates the WHOLE plane fold inside the scan
+    Filter — 2× the signature cost per row (found by the plan sweep).
+    The fold over a non-null vector is never null; callers guard
+    null vectors explicitly where the source can hold them."""
     planes_sql = "array(" + ", ".join(
         "array(" + ", ".join(f"{c}D" for c in plane) + ")"
         for plane in _planes()
     ) + ")"
     return F.expr(
-        f"aggregate(sequence(1, {N_PLANES}), 0, (acc, j) -> acc + "
+        f"coalesce(aggregate(sequence(1, {N_PLANES}), 0, (acc, j) -> acc + "
         f"CASE WHEN aggregate(zip_with({vcol}, element_at({planes_sql}, j), "
         f"(x, y) -> x * y), 0D, (a, x) -> a + x) > 0 "
-        f"THEN shiftleft(1, j - 1) ELSE 0 END)"
+        f"THEN shiftleft(1, j - 1) ELSE 0 END), 0)"
     ).cast("int")
 
 
@@ -150,7 +158,15 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     same plain SQL expression in DuckDB (sign threshold at 0 is safe —
     a 64-term dot of continuous embeddings is never within float noise
     of zero). Recall vs the brute-force tier is asserted in tests."""
-    e = _embeddings(spark, sf_dir).withColumn("sig", _sig_col("v"))
+    # explicit null-vector guard: _sig_col's coalesce barrier maps a
+    # null vector to sig 0 instead of null, so the drop-at-join
+    # semantics null sigs used to give is made explicit (and cheap —
+    # one isnotnull per row, not a plane fold).
+    e = (
+        _embeddings(spark, sf_dir)
+        .where(F.col("v").isNotNull())
+        .withColumn("sig", _sig_col("v"))
+    )
     q = e.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -313,11 +329,22 @@ def _probe_and_rank(assigned: DataFrame, probes: DataFrame) -> DataFrame:
 
 
 def _ivf_topk(e: DataFrame, cent_rows) -> DataFrame:
-    """Shared IVF query body: assign, probe, rank (see ann_ivf)."""
+    """Shared IVF query body: assign, probe, rank (see ann_ivf).
+
+    The coalesce on centroid_id is a NULLABILITY BARRIER, not a value
+    change (r14 plan sweep): ``nid`` comes from the centroid-id
+    LITERAL array so the assignment is never null, but the probe
+    equi-join infers ``isnotnull(centroid_id)`` and pushes it below
+    this projection — re-evaluating the ENTIRE k-way cell-ranking
+    expression inside the scan Filter, doubling the assignment cost
+    over the corpus. coalesce never fires; it only stops the
+    inference."""
     cells = _cells_expr(cent_rows)
     assigned = e.select(
         "vec_id", "v", "nrm",
-        (-F.element_at(cells, 1)["nid"]).alias("centroid_id"),
+        F.coalesce(
+            -F.element_at(cells, 1)["nid"], F.lit(-1)
+        ).alias("centroid_id"),
     )
     return _probe_and_rank(assigned, _ivf_probes(e, cent_rows))
 
@@ -783,9 +810,14 @@ def semantic_dedup(
         )
     else:
         cells = _cells_expr(cent_rows or _semantic_centroids(spark, sf_dir))
+        # coalesce: nullability barrier, see _ivf_topk (the self-join
+        # below would otherwise inline the cell ranking into BOTH
+        # sides' scan filters)
         assigned = e.select(
             "vec_id", "v", "nrm",
-            (-F.element_at(cells, 1)["nid"]).alias("centroid_id"),
+            F.coalesce(
+                -F.element_at(cells, 1)["nid"], F.lit(-1)
+            ).alias("centroid_id"),
         )
     a = assigned.select(
         F.col("vec_id").alias("a_id"), F.col("v").alias("va"),

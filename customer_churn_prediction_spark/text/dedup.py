@@ -849,8 +849,12 @@ def dedup_cross_modal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..similarity import ann as _ann
 
     text_pairs = lsh_verified_pairs(spark, sf_dir)
-    e = _ann._embeddings(spark, sf_dir).withColumn(
-        "sig", _ann._sig_col("v")
+    # null-vector guard: see ann_lsh_bucketed — _sig_col's coalesce
+    # barrier (r14) makes the old drop-at-join of null sigs explicit.
+    e = (
+        _ann._embeddings(spark, sf_dir)
+        .where(F.col("v").isNotNull())
+        .withColumn("sig", _ann._sig_col("v"))
     )
     # The exploded probe side carries KEYS ONLY (r14, guide §8
     # "decide with small rows, move big rows once"): the previous
