@@ -126,52 +126,44 @@ def bpe_merges(spark: SparkSession, sf_dir: str,
     import os as _os
 
     fit_parts = int(_os.environ.get("SPARK_GRAFT_BPE_FIT_PARTITIONS", "4"))
-    words = word_freq_table(spark, sf_dir).coalesce(fit_parts).cache()
-    prev = None
-    try:
-        out = []
-        for rnd in range(1, n_merges + 1):
-            # ONE job per round (r14 optimization): the argmax
-            # aggregate touches every partition of `words`, so it
-            # MATERIALIZES this round's cache as a side effect — the
-            # old shape paid a second count() job per round purely to
-            # fill the cache before unpersisting the parent, and also
-            # computed one final replace pass whose output no round
-            # ever read (n_merges rounds cost 2n+1 jobs; now n).
-            # The parent cache is released only AFTER the argmax has
-            # materialized the child, so no round recomputes lineage.
-            best = _best_pair(words)
-            if prev is not None:
-                prev.unpersist()
-                prev = None
-            if best is None:
-                break
-            merged = best.l + best.r
-            out.append((rnd, best.l, best.r, merged, int(best.n)))
-            if rnd == n_merges:
-                break  # the post-final replace is never consumed
-            # LITERAL replace (call_function, not regexp_replace):
-            # symbols come from raw corpus text, so '.', '+', '$' are
-            # legal symbols — as a regex pattern they would rewrite
-            # unrelated sequences and diverge from the oracle's
-            # literal replace().
-            nxt = words.select(
-                F.call_function(
-                    "replace",
-                    F.col("s"),
-                    F.lit(f" {best.l} {best.r} "),
-                    F.lit(f" {merged} "),
-                ).alias("s"),
-                "freq",
-            ).cache()
-            prev = words
-            words = nxt
-        _MERGE_CACHE[key] = out
-        return spark.createDataFrame(out, schema)
-    finally:
-        words.unpersist()
-        if prev is not None:
-            prev.unpersist()
+    # Per-round materialization is a lazy localCheckpoint (r14, the
+    # dedup_lsh_components precedent, guide §3.3/§5): a cached round
+    # frame still carries the full select-chain lineage, so round N
+    # re-analyzes N nested replaces; the checkpoint truncates each
+    # round's plan to a LogicalRDD. ONE job per round as before: the
+    # argmax aggregate materializes the round's blocks as a side
+    # effect, and the context cleaner frees them — no unpersist
+    # bookkeeping. A/B at sf0.1: 2.73 → 2.44 s median, rows equal.
+    words = (
+        word_freq_table(spark, sf_dir)
+        .coalesce(fit_parts)
+        .localCheckpoint(eager=False)
+    )
+    out = []
+    for rnd in range(1, n_merges + 1):
+        best = _best_pair(words)
+        if best is None:
+            break
+        merged = best.l + best.r
+        out.append((rnd, best.l, best.r, merged, int(best.n)))
+        if rnd == n_merges:
+            break  # the post-final replace is never consumed
+        # LITERAL replace (call_function, not regexp_replace):
+        # symbols come from raw corpus text, so '.', '+', '$' are
+        # legal symbols — as a regex pattern they would rewrite
+        # unrelated sequences and diverge from the oracle's
+        # literal replace().
+        words = words.select(
+            F.call_function(
+                "replace",
+                F.col("s"),
+                F.lit(f" {best.l} {best.r} "),
+                F.lit(f" {merged} "),
+            ).alias("s"),
+            "freq",
+        ).localCheckpoint(eager=False)
+    _MERGE_CACHE[key] = out
+    return spark.createDataFrame(out, schema)
 
 
 
