@@ -92,25 +92,28 @@ def get_spark(
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         # Dim tables (part/customer at our scale) should broadcast.
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
-        # Join strategy (guide §3.1/§9): let the planner pick
-        # shuffled-hash join when its size conditions fit instead of
-        # always sort-merge, and let AQE rewrite SMJ→SHJ at runtime
-        # when every post-shuffle partition is under the threshold.
-        # A/B'd over the 8 heaviest bench queries in one process:
-        # net −8% (dedup_recall_eval −27%, corpus_keep_decision −10%,
-        # dedup_lsh_components −7%; feature_assembly +11% was the
-        # worst loser). The build-side OOM risk SHJ carries is bounded
-        # here by the same 64 MB partition budget AQE coalesces to;
-        # a deployment that would rather spill than rebuild can flip
-        # SPARK_GRAFT_PREFER_SMJ=true without touching code.
+        # Join strategy (guide §3.1/§9): sort-merge by default. The
+        # shuffled-hash preference (preferSortMergeJoin=false + AQE
+        # maxShuffledHashJoinLocalMapThreshold=64m) was landed mid-r14
+        # on an 8-heaviest-queries A/B (net −8%), then REVERTED after
+        # two full-bench-set in-process alternating A/Bs — run after
+        # the r14 plan restructurings (checkpoint barriers, nullability
+        # barriers) it was measured without — both showed SHJ a net
+        # +11% LOSS (76.7 vs 68.1 s and 75.4 vs 67.8 s over 63
+        # queries, opposite pass orders). The losses concentrate in
+        # queries whose post-join stages need sort order (windows,
+        # downstream SMJs, sort-aggregates): SMJ output sortedness is
+        # reused free, SHJ forces the sort back in. SHJ still wins on
+        # hash-agg-tailed pipelines (ann_ivf_kmeans −0.4,
+        # multimodal_features −0.4, corpus_keep_decision −0.3); a
+        # deployment dominated by that tier can flip
+        # SPARK_GRAFT_PREFER_SMJ=false /
+        # SPARK_GRAFT_SHJ_LOCALMAP_THRESHOLD=64m without touching code.
         "spark.sql.join.preferSortMergeJoin": os.environ.get(
-            "SPARK_GRAFT_PREFER_SMJ", "false"
+            "SPARK_GRAFT_PREFER_SMJ", "true"
         ),
         "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": (
-            os.environ.get(
-                "SPARK_GRAFT_SHJ_LOCALMAP_THRESHOLD",
-                str(64 * 1024 * 1024),
-            )
+            os.environ.get("SPARK_GRAFT_SHJ_LOCALMAP_THRESHOLD", "0")
         ),
         # Keep parquet scans fat enough to amortize task overhead.
         "spark.sql.files.maxPartitionBytes": str(256 * 1024 * 1024),
