@@ -113,6 +113,12 @@ def load_table(
         target = spark.sparkContext.defaultParallelism
         if len(df.inputFiles()) < target:
             df = df.repartition(target)
+    # Evict stale versions of the SAME relation (r15, VERDICT r14 item
+    # 7): the memo is keyed on mtime, so a long-lived session that
+    # re-ingests the same path would otherwise accumulate dead entries
+    # holding JVM-side plan references forever.
+    for stale in [k for k in _RELATION_CACHE if k[:4] == key[:4] and k != key]:
+        del _RELATION_CACHE[stale]
     _RELATION_CACHE[key] = df
     return df
 

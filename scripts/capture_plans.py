@@ -1,7 +1,8 @@
-"""Capture .explain('formatted') for registered queries → plans/r14/.
+"""Capture .explain('formatted') for registered queries → plans/<round>/.
 
 Usage: python scripts/capture_plans.py <suffix> [query ...]
-Writes plans/r14/<query>_<suffix>.txt for each named query (default:
+Round dir from $SPARK_GRAFT_PLANS_ROUND (default r15).
+Writes plans/<round>/<query>_<suffix>.txt for each named query (default:
 every bench query). Planning only — but note some query constructors
 run fit jobs (kmeans/PQ/DSIR band) while BUILDING the DataFrame, so
 this is not free; run it solo.
@@ -18,7 +19,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT_DIR = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), "..", "plans", "r14"
+    os.path.dirname(os.path.abspath(__file__)), "..", "plans",
+    os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r15"),
 )
 
 

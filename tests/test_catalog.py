@@ -54,3 +54,41 @@ def test_plain_load_covers_every_table(spark, sf_dir):
     """Every catalog table loads and is non-empty at the test SF."""
     for name in TABLES:
         assert load_table(spark, sf_dir, name).limit(1).count() == 1
+
+
+def test_relation_cache_evicts_stale_mtime_entries(spark, sf_dir, tmp_path):
+    """Re-ingesting a table at the same path must EVICT the memo entry
+    for the old mtime, not accumulate next to it (r15, VERDICT r14
+    item 7: a long-lived session re-ingesting the same path grew the
+    memo without bound, each dead entry pinning a JVM-side plan)."""
+    import os
+    import shutil
+
+    from customer_churn_prediction_spark import catalog
+
+    sf_copy = str(tmp_path / "sf_copy")
+    os.makedirs(sf_copy)
+    for t in ("documents",):
+        shutil.copy(f"{sf_dir}/{t}.parquet", f"{sf_copy}/{t}.parquet")
+
+    def entries():
+        return [
+            k
+            for k in catalog._RELATION_CACHE
+            if k[1] == sf_copy and k[2] == "documents"
+        ]
+
+    load_table(spark, sf_copy, "documents")
+    assert len(entries()) == 1
+    first_key = entries()[0]
+
+    # Re-ingest: rewrite the file so its mtime moves.
+    shutil.copy(f"{sf_dir}/documents.parquet", f"{sf_copy}/documents.parquet")
+    os.utime(f"{sf_copy}/documents.parquet", (1, 1))
+    load_table(spark, sf_copy, "documents")
+    assert len(entries()) == 1, "stale mtime entry must be evicted"
+    assert entries()[0] != first_key
+
+    # A different spread flag is a DIFFERENT relation, not a stale one.
+    load_table(spark, sf_copy, "documents", spread=True)
+    assert len(entries()) == 2
