@@ -112,3 +112,57 @@ def scan_profiles(df: DataFrame, data_root: str) -> dict:
         prev["cols"] = max(prev["cols"], cols)
         prev["pushed"] = prev["pushed"] or pushed
     return out
+
+
+def run_with_metrics(spark, build_fn, group: str) -> dict:
+    """Execute a query under a job group and return its RUNTIME totals
+    from the app status store: jobs, stages, tasks, records read from
+    sources, and shuffle bytes written (r15, VERDICT r14 item 2).
+
+    The r14 localCheckpoint barriers erased parts of the final plan
+    from .explain() text, so plan-text guards (shuffle budgets, scan
+    hygiene) can no longer see a pushdown/semi-join/NLJ regression
+    BELOW a barrier. Runtime totals see through every barrier: the
+    work still runs as jobs, and a lost semi-join prune or exploding
+    join shows up as more source records / more shuffle bytes.
+
+    ``build_fn()`` must CONSTRUCT the DataFrame inside this call so
+    collect-gated fit loops and checkpoint materializations are
+    attributed to the group, then the frame is forced through the
+    noop sink (every column evaluated, nothing materialized on the
+    driver)."""
+    sc = spark.sparkContext
+    sc.setJobGroup(group, group)
+    try:
+        build_fn().write.format("noop").mode("overwrite").save()
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    store = spark._jsparkSession.sparkContext().statusStore()
+    totals = {
+        "jobs": 0,
+        "stages": 0,
+        "tasks": 0,
+        "input_records": 0,
+        "input_bytes": 0,
+        "shuffle_write_bytes": 0,
+    }
+    seen: set[int] = set()
+    for jid in sc.statusTracker().getJobIdsForGroup(group):
+        totals["jobs"] += 1
+        info = sc.statusTracker().getJobInfo(jid)
+        if info is None:
+            continue
+        for sid in info.stageIds:
+            if sid in seen:
+                continue
+            seen.add(sid)
+            try:
+                sd = store.lastStageAttempt(sid)
+            except Exception:
+                continue  # skipped stage (reused exchange): no attempt
+            totals["stages"] += 1
+            totals["tasks"] += sd.numCompleteTasks()
+            totals["input_records"] += sd.inputRecords()
+            totals["input_bytes"] += sd.inputBytes()
+            totals["shuffle_write_bytes"] += sd.shuffleWriteBytes()
+    return totals

@@ -194,58 +194,148 @@ BASELINES: dict[str, str] = {}
 # scripts/gen_priority.py's derivation from the committed
 # CORRECTNESS history — the rotation is generated, not hand-kept.
 PRIORITY = [
-    # latest green row is r12 — re-prove before the evidence goes stale
-    "rfm_groupby",
-    "feature_assembly",
-    "label_churn",
-    "label_class_balance",
-    "scan_filter_project",
-    "having_repurchase",
-    "isin_filter",
-    "na_fill_left_join",
-    "topk_orders",
-    "set_ops_buyers",
-    "sampled_orders",
-    "groupby_count",
-    "avg_by_segment",
-    "approx_distinct_users",
-    "grouping_sets_revenue",
-    "pivot_status_priority",
-    "percentile_quantity",
-    "eval_confusion",
-    "latest_order_per_customer",
-    "purchase_gaps",
-    "running_spend",
-    "asof_join_clicks",
-    "event_sessions",
-    "session_transitions",
-    "rec_eval_ndcg",
-    "text_tfidf_topk",
-    "corpus_sample_stratified",
-    "text_chunks",
-    "corpus_pack",
-    "text_redact",
-    "dedup_lsh_components",
-    "dedup_simhash",
-    "dedup_incremental",
-    "dedup_cross_modal",
-    "dedup_containment",
-    "dedup_recall_eval",
-    "corpus_select_dsir",
-    "text_dup_spans",
-    "corpus_clean_spans",
-    "corpus_split_leakproof",
-    "text_tokenize_bpe",
-    "vocab_eval_compression",
-    "ann_ivf_materialized",
-    "dedup_semantic",
-    "embedding_pq",
-    "ann_ivf_pq_stored",
-    "ann_recall_matrix",
-    "feature_bucketize",
-    "model_calibration",
-    "feature_iv",
+    # latest green row is r13 — re-prove before the evidence goes stale
+    "distinct_pairs",
+    "salted_join_revenue",
+    "groupby_sum",
+    "user_event_sequences",
+    "range_join_events",
+    "events_resample_ffill",
+    "heavy_hitters_cms",
+    "date_functions",
+    "round_bround",
+    "md5_salted_key",
+    "string_functions",
+    "json_extract_events",
+    "text_sentences",
+    "stream_tumbling_counts",
+    "stream_sliding_counts",
+    "stream_session_windows",
+    "stream_dedup_events",
+    "stream_user_totals",
+    "rollup_daily_from_hourly",
+    "text_stats",
+    "text_lang_id",
+    "text_token_counts",
+    "text_fingerprint",
+    "corpus_curation",
+    "corpus_mix",
+    "corpus_keep_decision",
+    "text_logprob_bigram",
+    "corpus_sample_weighted",
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "dedup_minhash_lsh_pairs",
+    "dedup_lsh_groups",
+    "corpus_dedup_keep",
+    "contamination_check",
+    "vocab_bpe_merges",
+    "ann_lsh_bucketed",
+    "ann_ivf_kmeans",
+    "embedding_quantize",
+    "ann_bruteforce_int8_stored",
+    "ann_recall_eval",
+    "ml_rf_churn",
+    "ml_gbt_churn",
+    "ml_lr_churn",
+    "ml_fm_churn",
+    "ml_feature_vectors",
+    "drift_psi",
+    "score_band_lift",
+    "eval_ks",
+    "multimodal_features",
+    "multimodal_frames",
 ]
+
+
+# ----------------------------------------------------------- plan memo
+# Per-session LAZY-PLAN memo over whole registered queries (r15,
+# VERDICT r14 items 6/"what's wrong 6": the sub-second tier is
+# planning/py4j-bound — 36 s of the 84 s solo bench total is spent
+# CONSTRUCTING DataFrames, because classic PySpark analyzes eagerly
+# per transformation). This extends the r14 `catalog._RELATION_CACHE`
+# discipline (verdict-sanctioned: "the relation-memo pattern applies
+# more broadly") from table relations to full query plans:
+#
+# * The cached object is a LAZY DataFrame — a plan, never data. Every
+#   execution re-reads parquet and re-runs every shuffle
+#   (tests/test_plan_memo.py proves identical source-record counts on
+#   repeated executions of a memo hit).
+# * The key carries every catalog table's mtime, so a re-ingested
+#   sf_dir misses the memo and re-resolves (the same refit contract
+#   the relation memo pins); stale keys are evicted on insert.
+# * AUTO-EXCLUDED: any query whose built plan contains a
+#   LogicalRDD/ExistingRDD barrier — those plans hang off
+#   localCheckpoint blocks (materialized per-run state: the dedup
+#   verify tails, the connected-components / BPE loops, the rec-eval
+#   shared frames) or collect-gated loop decisions, and reusing them
+#   WOULD be result caching. They rebuild from scratch every call,
+#   exactly as before (this also keeps bench.py's _FIT_MEMOS clearing
+#   contract for vocab_bpe_merges intact).
+# * EXPLICITLY EXCLUDED: the at-rest/ingest-backed forms, whose
+#   constructors are also responsible for the idempotent
+#   ingest-or-rebuild check against the warehouse.
+_PLAN_MEMO: dict[tuple, DataFrame] = {}
+
+_PLAN_MEMO_EXCLUDE = {
+    # managed-ingest / bucketed-at-rest constructors (warehouse check
+    # runs per call by design)
+    "ann_ivf_materialized",
+    "ann_bruteforce_int8_stored",
+    "ann_ivf_pq_stored",
+    "corpus_split_leakproof",
+    "dedup_incremental_materialized",
+    # bench clears this fit memo per pass to measure the fit — a plan
+    # memo would defeat that contract (also auto-excluded: its plan
+    # carries the per-round checkpoint barriers)
+    "vocab_bpe_merges",
+}
+
+
+def _sf_version(sf_dir: str) -> tuple:
+    """(table, mtime) for every catalog table under sf_dir — the memo
+    key component that makes a re-ingested corpus miss (one stat per
+    table, the relation-memo rule applied at query granularity)."""
+    import os
+
+    from ..catalog import TABLES
+
+    out = []
+    for t in TABLES:
+        try:
+            out.append((t, os.stat(f"{sf_dir}/{t}.parquet").st_mtime))
+        except OSError:
+            out.append((t, 0.0))
+    return tuple(out)
+
+
+def _plan_memoized(name: str, fn: QueryFn) -> QueryFn:
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        key = (
+            spark.sparkContext.applicationId,
+            sf_dir,
+            name,
+            _sf_version(sf_dir),
+        )
+        hit = _PLAN_MEMO.get(key)
+        if hit is not None:
+            return hit
+        df = fn(spark, sf_dir)
+        # A LogicalRDD barrier means the plan hangs off materialized
+        # per-run blocks (localCheckpoint) — never memoize those.
+        logical = df._jdf.queryExecution().analyzed().toString()
+        if "LogicalRDD" not in logical and "ExistingRDD" not in logical:
+            for stale in [
+                k for k in _PLAN_MEMO if k[:3] == key[:3] and k != key
+            ]:
+                del _PLAN_MEMO[stale]
+            _PLAN_MEMO[key] = df
+        return df
+
+    return wrapped
 
 
 def get_queries() -> dict[str, QueryFn]:
@@ -256,6 +346,8 @@ def get_queries() -> dict[str, QueryFn]:
                 raise ValueError(f"duplicate query name {name!r}")
             if name in RETIRED:
                 continue  # verified-equal twin; sibling carries the row
+            if name not in _PLAN_MEMO_EXCLUDE:
+                fn = _plan_memoized(name, fn)
             flat[name] = fn
     out: dict[str, QueryFn] = {}
     for name in PRIORITY:

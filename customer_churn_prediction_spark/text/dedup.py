@@ -264,13 +264,18 @@ def lsh_dedup_components(
     # LogicalRDD, keeping analysis O(1) per round; blocks are per-run
     # and freed by the context cleaner. In-process alternating A/B at
     # sf0.1: cache 8.48 s → checkpoint 3.69 s median, rows identical.
-    bands = _lsh_bands(spark, sf_dir).localCheckpoint(eager=False)
+    # loop_checkpoint: SPARK_GRAFT_RELIABLE_CHECKPOINT reroutes the
+    # loop's O(corpus)-per-round blocks to reliable storage on
+    # clusters (r15; local default unchanged — see checkpointing.py).
+    from ..checkpointing import loop_checkpoint
+
+    bands = loop_checkpoint(_lsh_bands(spark, sf_dir))
     wb = Window.partitionBy("band", "band_sig")
-    labels = (
+    labels = loop_checkpoint(
         bands.withColumn("bucket_rep", F.min("doc_id").over(wb))
         .groupBy("doc_id")
         .agg(F.min("bucket_rep").alias("label"))
-    ).localCheckpoint(eager=False)
+    )
     # Labels only ever DECREASE (every step is a min), so any change
     # strictly lowers sum(label): convergence is detected with ONE
     # scalar aggregate per round — no join against the previous
@@ -292,10 +297,10 @@ def lsh_dedup_components(
             F.col("doc_id").alias("label"),
             F.col("label").alias("jumped"),
         )
-        propagated = (
+        propagated = loop_checkpoint(
             hopped.join(jump, "label")
             .select("doc_id", F.col("jumped").alias("label"))
-        ).localCheckpoint(eager=False)
+        )
         new_sum = propagated.agg(F.sum("label")).collect()[0][0]
         labels = propagated
         if new_sum == prev_sum:

@@ -134,10 +134,13 @@ def bpe_merges(spark: SparkSession, sf_dir: str,
     # argmax aggregate materializes the round's blocks as a side
     # effect, and the context cleaner frees them — no unpersist
     # bookkeeping. A/B at sf0.1: 2.73 → 2.44 s median, rows equal.
-    words = (
-        word_freq_table(spark, sf_dir)
-        .coalesce(fit_parts)
-        .localCheckpoint(eager=False)
+    # loop_checkpoint: SPARK_GRAFT_RELIABLE_CHECKPOINT reroutes these
+    # per-round blocks to reliable storage on clusters (r15; local
+    # default unchanged — see checkpointing.py).
+    from ..checkpointing import loop_checkpoint
+
+    words = loop_checkpoint(
+        word_freq_table(spark, sf_dir).coalesce(fit_parts)
     )
     out = []
     for rnd in range(1, n_merges + 1):
@@ -153,15 +156,17 @@ def bpe_merges(spark: SparkSession, sf_dir: str,
         # legal symbols — as a regex pattern they would rewrite
         # unrelated sequences and diverge from the oracle's
         # literal replace().
-        words = words.select(
-            F.call_function(
-                "replace",
-                F.col("s"),
-                F.lit(f" {best.l} {best.r} "),
-                F.lit(f" {merged} "),
-            ).alias("s"),
-            "freq",
-        ).localCheckpoint(eager=False)
+        words = loop_checkpoint(
+            words.select(
+                F.call_function(
+                    "replace",
+                    F.col("s"),
+                    F.lit(f" {best.l} {best.r} "),
+                    F.lit(f" {merged} "),
+                ).alias("s"),
+                "freq",
+            )
+        )
     _MERGE_CACHE[key] = out
     return spark.createDataFrame(out, schema)
 
