@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..checkpointing import run_materialize
+
 
 MIN_SUPPORT = 5  # co-occurrence count floor
 TOP_PAIRS = 20
@@ -263,17 +265,29 @@ def _recommend_from_owned(
     change is only WHICH unowned brands win (low-spend via paths
     drop). The cap window rides the same customer-keyed clustering
     as the rest of the tail."""
+    # ONE reference to ``pairs`` (r15): the old two-select union read
+    # the model subtree twice, which forced a localCheckpoint of the
+    # fitted pairs in the eval path purely to avoid a double fit; the
+    # row-doubling explode emits the identical sym multiset off one
+    # pass, so the model frame needs no materialization at all
+    # (in-process alternating A/B at sf0.1 under heavy steal:
+    # 6.91 -> 6.62 s median on rec_eval_ndcg, equal rows).
     sym = pairs.select(
-        F.col("brand_a").alias("via_brand"),
-        F.col("brand_b").alias("rec_brand"),
-        "lift",
-    ).unionByName(
-        pairs.select(
-            F.col("brand_b").alias("via_brand"),
-            F.col("brand_a").alias("rec_brand"),
-            "lift",
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("brand_a").alias("via_brand"),
+                    F.col("brand_b").alias("rec_brand"),
+                    F.col("lift").alias("lift"),
+                ),
+                F.struct(
+                    F.col("brand_b").alias("via_brand"),
+                    F.col("brand_a").alias("rec_brand"),
+                    F.col("lift").alias("lift"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.via_brand", "p.rec_brand", "p.lift")
     # Candidate fanout AFTER the customer clustering (r14
     # optimization). The r12 shape expanded owned × sym first (6.6M
     # candidate rows at sf0.1) and then shuffled that whole stream by
@@ -437,11 +451,11 @@ def _eval_frames(spark: SparkSession, sf_dir: str) -> dict:
     # guide's plan-truncation remedy (§3.3); blocks are per-query-run,
     # freed by the context cleaner, and everything still computes
     # from parquet inside the run.
-    ranked_brands = brands.join(
-        ranked.select("o_orderkey", "o_custkey", "rn"),
-        F.col("l_orderkey") == F.col("o_orderkey"),
-    ).select("l_orderkey", "o_custkey", "rn", "brand").localCheckpoint(
-        eager=False
+    ranked_brands = run_materialize(
+        brands.join(
+            ranked.select("o_orderkey", "o_custkey", "rn"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        ).select("l_orderkey", "o_custkey", "rn", "brand")
     )
     train_brands = ranked_brands.where(F.col("rn") > 1).select(
         "l_orderkey", "o_custkey", "brand"
@@ -451,18 +465,20 @@ def _eval_frames(spark: SparkSession, sf_dir: str) -> dict:
     )
     pairs = _pair_lift_from_baskets(baskets_train).select(
         "brand_a", "brand_b", "lift"
-    ).localCheckpoint(eager=False)
-    owned_train = train_brands.select(
-        F.col("o_custkey").alias("c_custkey"), "brand"
-    ).distinct().localCheckpoint(eager=False)
+    )
+    owned_train = run_materialize(
+        train_brands.select(
+            F.col("o_custkey").alias("c_custkey"), "brand"
+        ).distinct()
+    )
     recs = _recommend_from_owned(owned_train, pairs)
 
     test_brands = ranked_brands.where(F.col("rn") == 1).select(
         F.col("o_custkey").alias("c_custkey"), "brand"
     ).distinct()
-    truth = test_brands.join(
-        owned_train, ["c_custkey", "brand"], "left_anti"
-    ).localCheckpoint(eager=False)
+    truth = run_materialize(
+        test_brands.join(owned_train, ["c_custkey", "brand"], "left_anti")
+    )
     universe = (
         truth.groupBy("c_custkey")
         .agg(F.count(F.lit(1)).alias("n_truth"))

@@ -264,14 +264,15 @@ PRIORITY = [
 # * The key carries every catalog table's mtime, so a re-ingested
 #   sf_dir misses the memo and re-resolves (the same refit contract
 #   the relation memo pins); stale keys are evicted on insert.
-# * AUTO-EXCLUDED: any query whose built plan contains a
-#   LogicalRDD/ExistingRDD barrier — those plans hang off
-#   localCheckpoint blocks (materialized per-run state: the dedup
-#   verify tails, the connected-components / BPE loops, the rec-eval
-#   shared frames) or collect-gated loop decisions, and reusing them
-#   WOULD be result caching. They rebuild from scratch every call,
-#   exactly as before (this also keeps bench.py's _FIT_MEMOS clearing
-#   contract for vocab_bpe_merges intact).
+# * AUTO-EXCLUDED: any build that performed a per-run
+#   materialization (checkpointing.run_materialize/loop_checkpoint —
+#   the dedup verify tails, the connected-components / BPE loops, the
+#   rec-eval shared frames): those plans hang off localCheckpoint
+#   blocks (materialized per-run state) or collect-gated loop
+#   decisions, and reusing them WOULD be result caching. They rebuild
+#   from scratch every call, exactly as before (this also keeps
+#   bench.py's _FIT_MEMOS clearing contract for vocab_bpe_merges
+#   intact).
 # * EXPLICITLY EXCLUDED: the at-rest/ingest-backed forms, whose
 #   constructors are also responsible for the idempotent
 #   ingest-or-rebuild check against the warehouse.
@@ -323,11 +324,20 @@ def _plan_memoized(name: str, fn: QueryFn) -> QueryFn:
         hit = _PLAN_MEMO.get(key)
         if hit is not None:
             return hit
+        from ..checkpointing import materialize_count
+
+        before = materialize_count()
         df = fn(spark, sf_dir)
-        # A LogicalRDD barrier means the plan hangs off materialized
-        # per-run blocks (localCheckpoint) — never memoize those.
-        logical = df._jdf.queryExecution().analyzed().toString()
-        if "LogicalRDD" not in logical and "ExistingRDD" not in logical:
+        # A build that materialized ANY per-run intermediate
+        # (run_materialize / loop_checkpoint — every localCheckpoint
+        # in the query modules routes through them; the convention is
+        # pinned by tests/test_plan_memo.py) hangs off per-run blocks:
+        # memoizing it would serve data, not a plan. Plan-text
+        # LogicalRDD sniffing is NOT equivalent — driver-local model
+        # literals (createDataFrame of fitted centroids/LUTs) are
+        # LogicalRDDs too, and they are deterministic per
+        # (app, sf_dir, mtime) via the sanctioned fit memos.
+        if materialize_count() == before:
             for stale in [
                 k for k in _PLAN_MEMO if k[:3] == key[:3] and k != key
             ]:

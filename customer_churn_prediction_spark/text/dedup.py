@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..checkpointing import loop_checkpoint, run_materialize
 
 N_HASHES = 6
 BAND_ROWS = 2  # 3 bands x 2 rows
@@ -472,7 +473,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the Generate (6 md5 passes across the join — measured 16.7 s);
     # the single multi-reference expression keeps the grams projection
     # materialized (2 passes, 1.8 s).
-    sh = (
+    sh = run_materialize(
         d.select("doc_id", F.expr(_word_shingles_spark()).alias("grams"))
         .select(
             "doc_id",
@@ -490,7 +491,6 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # exploded gram stream — O(tokens) — acceptable precisely
         # because this is the sample-bounded exact grader leg, never
         # the deployed path (see BASELINE note above).
-        .localCheckpoint(eager=False)
     )
     a, b = sh.alias("a"), sh.alias("b")
     pair_counts = (
@@ -539,7 +539,7 @@ def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per run (lazy localCheckpoint, the guide §3.3 plan-truncation
     # remedy; the frame is multi-member buckets, far smaller than the
     # corpus, and still computed from parquet inside every run).
-    buckets = _lsh_buckets(spark, sf_dir).localCheckpoint(eager=False)
+    buckets = run_materialize(_lsh_buckets(spark, sf_dir))
     cands = _pairs_from_buckets(buckets)
     return _verified_from_buckets(spark, sf_dir, buckets, cands)
 
@@ -553,11 +553,10 @@ def _verified_from_buckets(
     executed pipeline without re-running the bucket aggregation for
     its candidate and verified legs separately."""
     members = buckets.select(F.explode("ids").alias("doc_id")).distinct()
-    grams = (
+    grams = run_materialize(
         load_table(spark, sf_dir, "documents", spread=True)
         .join(members, "doc_id", "left_semi")
         .select("doc_id", F.expr(_word_shingles_spark()).alias("grams"))
-        .localCheckpoint(eager=False)
     )
     ga = grams.select(
         F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a")
@@ -707,16 +706,15 @@ def _verified_best_match(d: DataFrame, cands: DataFrame) -> DataFrame:
     materialized once per run (lazy localCheckpoint, guide §3.3;
     runtime exchange reuse only collapsed part of the duplication,
     measured r14)."""
-    cands = cands.localCheckpoint(eager=False)
+    cands = run_materialize(cands)
     member_ids = (
         cands.select("doc_id")
         .union(cands.select(F.col("dup_of").alias("doc_id")))
         .distinct()
     )
-    grams = (
+    grams = run_materialize(
         d.join(member_ids, "doc_id", "left_semi")
         .select("doc_id", F.expr(_word_shingles_spark()).alias("grams"))
-        .localCheckpoint(eager=False)
     )
     gn = grams.select(
         F.col("doc_id").alias("doc_id"), F.col("grams").alias("grams_n")
@@ -1328,21 +1326,19 @@ def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # run: exact ngram-Jaccard (truth), banded LSH candidates
     # (cands), and the verified pipeline (found = the same
     # _verified_from_buckets tail lsh_verified_pairs runs).
-    truth = (
+    truth = run_materialize(
         ngram_jaccard_pairs(spark, sf_dir)
         .select("doc_a", "doc_b")
-        .localCheckpoint(eager=False)
     )
-    buckets = _lsh_buckets(spark, sf_dir).localCheckpoint(eager=False)
+    buckets = run_materialize(_lsh_buckets(spark, sf_dir))
     # cands deliberately NOT checkpointed: its verify-join consumer
     # wants the planner's stats (a LogicalRDD barrier hides them and
     # degraded the join strategy — A/B'd r14: checkpointing cands
     # measured slower than recomputing the cheap expansion twice).
     cands = _pairs_from_buckets(buckets).select("doc_a", "doc_b")
-    found = (
+    found = run_materialize(
         _verified_from_buckets(spark, sf_dir, buckets, cands)
         .select("doc_a", "doc_b")
-        .localCheckpoint(eager=False)
     )
     n_true = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
     n_cand = cands.agg(F.count(F.lit(1)).alias("n_candidates"))
@@ -1462,11 +1458,11 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reuse only collapsed part of the duplication, measured r14; the
     # gram stream is O(tokens), the same order as the shuffles it
     # feeds, and everything still computes from parquet per run).
-    sh = _gram_rows(d).localCheckpoint(eager=False)
+    sh = run_materialize(_gram_rows(d))
     df_tab = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     prefix = _containment_prefix(sh, df_tab)
     a, b = prefix.alias("a"), sh.alias("b")
-    cands = (
+    cands = run_materialize(
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
@@ -1483,17 +1479,15 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("container"),
         )
         .distinct()
-        .localCheckpoint(eager=False)
     )
     member_ids = (
         cands.select(F.col("contained").alias("doc_id"))
         .union(cands.select(F.col("container").alias("doc_id")))
         .distinct()
     )
-    grams = (
+    grams = run_materialize(
         d.join(member_ids, "doc_id", "left_semi")
         .select("doc_id", F.expr(_word_shingles_spark()).alias("grams"))
-        .localCheckpoint(eager=False)
     )
     ga = grams.select(
         F.col("doc_id").alias("contained"), F.col("grams").alias("ga")
@@ -1524,16 +1518,15 @@ def _containment_best_match(d: DataFrame, cands: DataFrame) -> DataFrame:
     streaming ingest twin so the verify rule can never drift.
     Multiply-consumed frames materialize once per run (r14, the
     ``_verified_best_match`` pattern)."""
-    cands = cands.localCheckpoint(eager=False)
+    cands = run_materialize(cands)
     member_ids = (
         cands.select("doc_id")
         .union(cands.select(F.col("dup_of").alias("doc_id")))
         .distinct()
     )
-    grams = (
+    grams = run_materialize(
         d.join(member_ids, "doc_id", "left_semi")
         .select("doc_id", F.expr(_word_shingles_spark()).alias("grams"))
-        .localCheckpoint(eager=False)
     )
     ga = grams.select(
         F.col("doc_id").alias("doc_id"), F.col("grams").alias("ga")

@@ -72,3 +72,43 @@ def test_stored_forms_are_not_memoized(spark):
         "ingest-backed constructors run the idempotent warehouse check "
         "per call by design"
     )
+
+
+def test_model_literal_queries_are_memoized(spark):
+    """createDataFrame model literals (fitted centroids/LUTs through
+    the sanctioned fit memos) are LogicalRDDs in plan text but NOT
+    per-run state — the counter-based exclusion must still memoize
+    them (ann_recall_matrix was wrongly excluded by plan-text
+    sniffing during r15 development)."""
+    queries = registry.get_queries()
+    a = queries["ann_recall_matrix"](spark, SF_SMOKE)
+    b = queries["ann_recall_matrix"](spark, SF_SMOKE)
+    assert b is a
+
+
+def test_query_modules_never_call_localcheckpoint_directly():
+    """The memo's safety rests on every per-run materialization being
+    COUNTED: query modules must route through
+    checkpointing.run_materialize / loop_checkpoint, never
+    .localCheckpoint directly (a raw call would be invisible to the
+    counter and its plan could be wrongly memoized)."""
+    import glob
+    import os
+
+    root = os.path.join(
+        os.path.dirname(__file__), "..", "customer_churn_prediction_spark"
+    )
+    offenders = []
+    for path in glob.glob(os.path.join(root, "**", "*.py"), recursive=True):
+        rel = os.path.relpath(path, root)
+        if rel == "checkpointing.py":
+            continue
+        src = open(path).read()
+        for i, line in enumerate(src.splitlines(), 1):
+            code = line.split("#", 1)[0]
+            if ".localCheckpoint(" in code:
+                offenders.append(f"{rel}:{i}")
+    assert not offenders, (
+        "route these through checkpointing.run_materialize / "
+        f"loop_checkpoint: {offenders}"
+    )
