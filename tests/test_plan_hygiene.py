@@ -39,13 +39,16 @@ ALLOWED_NESTED_LOOP = {
     # registered r10: composes the exact bruteforce + int8 legs (both
     # non-equi broadcast NLJ by design) as the matrix's ground truth
     "ann_recall_matrix",
-    # (rec_eval_ndcg left the whitelist in r14: the pair-lift model's
-    # 1-row n_orders crossJoin still executes, but it sits below the
-    # eval's localCheckpoint barrier — _eval_frames materializes the
-    # fitted pair model once per run — so the outer plan no longer
-    # prints an NLJ. The scalar pattern itself stays guarded through
-    # basket_pair_lift / brand_recommendations, whose plans are not
-    # checkpoint-truncated.)
+    # rec_eval_ndcg left the whitelist in r14 (the pair-lift model's
+    # 1-row n_orders crossJoin sat below the eval's localCheckpoint
+    # barrier, so the outer plan printed no NLJ) and RE-ENTERED in r15:
+    # dropping the pairs checkpoint (the one-pass sym rewrite removed
+    # its only multi-consumer) made the fit subtree — and its
+    # deliberate 1-row broadcast scalar — visible in plan text again.
+    # Same executed pattern all along; only the plan-text visibility
+    # moved. The runtime-metrics guard (tests/test_runtime_metrics.py)
+    # now also budgets this query's executed volumes either way.
+    "rec_eval_ndcg",
     # registered r10 (second batch): the recall report composes FOUR
     # 1-row count scalars (truth / candidates / verified / hits) via
     # broadcast NLJ — the same fixed-width report pattern; the heavy
