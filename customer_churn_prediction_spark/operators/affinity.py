@@ -30,7 +30,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..checkpointing import run_materialize
 
 
 MIN_SUPPORT = 5  # co-occurrence count floor
@@ -444,19 +443,22 @@ def _eval_frames(spark: SparkSession, sf_dir: str) -> dict:
     # (identical rows; the rn>1 / rn=1 filters are exhaustive and
     # disjoint).
     # The branches below (model fit, ownership, test truth, universe)
-    # all re-derive from this one detail join, and AQE's runtime
-    # exchange reuse only collapses SOME of the duplicated lineage
-    # (measured r14: 55 parquet scans in the final plan). Materialize
-    # the shared frames once per run with lazy localCheckpoint — the
-    # guide's plan-truncation remedy (§3.3); blocks are per-query-run,
-    # freed by the context cleaner, and everything still computes
-    # from parquet inside the run.
-    ranked_brands = run_materialize(
-        brands.join(
-            ranked.select("o_orderkey", "o_custkey", "rn"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        ).select("l_orderkey", "o_custkey", "rn", "brand")
-    )
+    # all re-derive from this one detail join. r14 materialized the
+    # three shared frames once per run (lazy localCheckpoint) because
+    # exchange reuse only collapses some of the duplicated lineage;
+    # r15 DROPPED all three barriers: the alternating A/B at sf0.1
+    # (near-zero host steal on those passes) measured the barrier-free
+    # form faster per execution (4.85 → 3.77 s median, identical
+    # rows) — the barriers' block writes and extra result stages cost
+    # more than the residual recompute they saved — and a pure-lazy
+    # build lets the session plan memo amortize the eval's per-pass
+    # construction. Every execution still recomputes the fit and both
+    # eval legs from parquet; at cluster scale the barrier-free form
+    # also removes O(lineitem) unreplicated localCheckpoint blocks.
+    ranked_brands = brands.join(
+        ranked.select("o_orderkey", "o_custkey", "rn"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select("l_orderkey", "o_custkey", "rn", "brand")
     train_brands = ranked_brands.where(F.col("rn") > 1).select(
         "l_orderkey", "o_custkey", "brand"
     )
@@ -466,18 +468,16 @@ def _eval_frames(spark: SparkSession, sf_dir: str) -> dict:
     pairs = _pair_lift_from_baskets(baskets_train).select(
         "brand_a", "brand_b", "lift"
     )
-    owned_train = run_materialize(
-        train_brands.select(
-            F.col("o_custkey").alias("c_custkey"), "brand"
-        ).distinct()
-    )
+    owned_train = train_brands.select(
+        F.col("o_custkey").alias("c_custkey"), "brand"
+    ).distinct()
     recs = _recommend_from_owned(owned_train, pairs)
 
     test_brands = ranked_brands.where(F.col("rn") == 1).select(
         F.col("o_custkey").alias("c_custkey"), "brand"
     ).distinct()
-    truth = run_materialize(
-        test_brands.join(owned_train, ["c_custkey", "brand"], "left_anti")
+    truth = test_brands.join(
+        owned_train, ["c_custkey", "brand"], "left_anti"
     )
     universe = (
         truth.groupBy("c_custkey")

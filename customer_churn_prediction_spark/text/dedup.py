@@ -448,7 +448,9 @@ def _word_shingles_spark() -> str:
     )
 
 
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, materialize: bool = True
+) -> DataFrame:
     """Exact word-3-gram Jaccard for every pair sharing >=1 shingle,
     kept when >= JACCARD_THRESHOLD — the exact O(pairs) baseline the
     LSH tier replaces at scale.
@@ -473,7 +475,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the Generate (6 md5 passes across the join — measured 16.7 s);
     # the single multi-reference expression keeps the grams projection
     # materialized (2 passes, 1.8 s).
-    sh = run_materialize(
+    sh = (
         d.select("doc_id", F.expr(_word_shingles_spark()).alias("grams"))
         .select(
             "doc_id",
@@ -485,13 +487,21 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("g"),
         )
         .select("doc_id", "g.shingle", "g.n_sh")
+    )
+    if materialize:
         # materialize ONCE per run (r14, guide §3.3): both join sides
         # consume this frame, and the md5 gram pipeline otherwise runs
         # twice (A/B: 2.88 → 2.47 s at sf0.1). The blocks are the
         # exploded gram stream — O(tokens) — acceptable precisely
         # because this is the sample-bounded exact grader leg, never
         # the deployed path (see BASELINE note above).
-    )
+        # materialize=False (r15): the shingle self-join repartitions
+        # BOTH sides on the same key off an identical subtree, so
+        # exchange reuse computes the gram pipeline once anyway —
+        # callers that need a pure-lazy plan (dedup_recall_eval, so
+        # the session plan memo can amortize its per-pass build) skip
+        # the barrier at equal executed volumes.
+        sh = run_materialize(sh)
     a, b = sh.alias("a"), sh.alias("b")
     pair_counts = (
         a.join(
@@ -516,7 +526,9 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
-def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lsh_verified_pairs(
+    spark: SparkSession, sf_dir: str, materialize: bool = True
+) -> DataFrame:
     """The complete scale-path dedup pipeline: MinHash → banded LSH
     candidates → exact word-3-gram Jaccard computed ONLY on candidate
     pairs → threshold. Unlike ``ngram_jaccard_pairs`` (which joins on
@@ -534,18 +546,33 @@ def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     difference between two corpus-wide hash passes and two passes over
     the near-dup sliver."""
     # The bucket aggregate feeds BOTH the pair expansion and the
-    # member set, and AQE's runtime exchange reuse only collapses part
-    # of the duplicated lineage (measured r14) — materialize it once
-    # per run (lazy localCheckpoint, the guide §3.3 plan-truncation
-    # remedy; the frame is multi-member buckets, far smaller than the
-    # corpus, and still computed from parquet inside every run).
-    buckets = run_materialize(_lsh_buckets(spark, sf_dir))
+    # member set — materialize it once per run by default (lazy
+    # localCheckpoint, the guide §3.3 plan-truncation remedy; the
+    # frame is multi-member buckets, far smaller than the corpus, and
+    # still computed from parquet inside every run).
+    # materialize=False (r15): both consumers aggregate over the SAME
+    # band exchange, so exchange reuse runs the signature pipeline
+    # once regardless (pinned at runtime by
+    # tests/test_plan_hygiene.py::test_lsh_verified_reuses_bucket_
+    # exchange_at_runtime) — callers that need a pure-lazy plan
+    # (dedup_cross_modal, dedup_recall_eval: the session plan memo
+    # amortizes their per-pass build) skip the barrier; A/B at sf0.1
+    # measured equal-or-better exec without it.
+    buckets = _lsh_buckets(spark, sf_dir)
+    if materialize:
+        buckets = run_materialize(buckets)
     cands = _pairs_from_buckets(buckets)
-    return _verified_from_buckets(spark, sf_dir, buckets, cands)
+    return _verified_from_buckets(
+        spark, sf_dir, buckets, cands, materialize=materialize
+    )
 
 
 def _verified_from_buckets(
-    spark: SparkSession, sf_dir: str, buckets: DataFrame, cands: DataFrame
+    spark: SparkSession,
+    sf_dir: str,
+    buckets: DataFrame,
+    cands: DataFrame,
+    materialize: bool = True,
 ) -> DataFrame:
     """The exact-Jaccard verification tail of ``lsh_verified_pairs``
     over an already-built buckets frame and its candidate pairs —
@@ -553,11 +580,21 @@ def _verified_from_buckets(
     executed pipeline without re-running the bucket aggregation for
     its candidate and verified legs separately."""
     members = buckets.select(F.explode("ids").alias("doc_id")).distinct()
-    grams = run_materialize(
+    grams = (
         load_table(spark, sf_dir, "documents", spread=True)
         .join(members, "doc_id", "left_semi")
         .select("doc_id", F.expr(_word_shingles_spark()).alias("grams"))
     )
+    if materialize:
+        # both pair sides consume the pruned gram table; the barrier
+        # computes it once per run. materialize=False: the sides key
+        # on doc_a vs doc_b, so exchange reuse does NOT collapse them
+        # — the gram projection can run once per side — but the input
+        # is the semi-join-pruned near-dup sliver (members ≪ corpus),
+        # and the r15 A/B at sf0.1 measured the barrier-free form
+        # equal-or-faster end to end in both consumers once the plan
+        # memo amortizes the build.
+        grams = run_materialize(grams)
     ga = grams.select(
         F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a")
     )
@@ -853,7 +890,11 @@ def dedup_cross_modal(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join — no all-pairs anywhere."""
     from ..similarity import ann as _ann
 
-    text_pairs = lsh_verified_pairs(spark, sf_dir)
+    # materialize=False (r15): keeps this build pure-lazy so the
+    # session plan memo amortizes its per-pass construction; the
+    # alternating A/B at sf0.1 measured the barrier-free form faster
+    # even per-execution (4.36 → 3.93 s median), identical rows.
+    text_pairs = lsh_verified_pairs(spark, sf_dir, materialize=False)
     # null-vector guard: see ann_lsh_bucketed — _sig_col's coalesce
     # barrier (r14) makes the old drop-at-join of null sigs explicit.
     e = (
@@ -1317,48 +1358,59 @@ def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     uses. At scale the expensive branch is the exact all-pairs truth
     (the documented O(n^2) baseline); run this on a SAMPLE in
     production, exactly like ANN recall."""
-    # Shared-lineage materialization (r14): truth feeds two legs
-    # (count + hits), cands feeds two (count + the verify input),
-    # found feeds two (count + hits), and the bucket aggregate feeds
-    # both cands and the verify members — each localCheckpoint makes
-    # one leg's work execute once per run instead of per consumer.
-    # The FULL retired-twin pipelines still execute in Spark every
-    # run: exact ngram-Jaccard (truth), banded LSH candidates
-    # (cands), and the verified pipeline (found = the same
-    # _verified_from_buckets tail lsh_verified_pairs runs).
-    truth = run_materialize(
-        ngram_jaccard_pairs(spark, sf_dir)
-        .select("doc_a", "doc_b")
+    # Pure-lazy build (r15; was checkpoint-per-leg in r14). Two moves:
+    # (a) the truth/found legs are FUSED — one full_outer join on the
+    # pair key with a presence marker per side feeds ONE aggregate
+    # producing n_true_pairs, n_verified and n_hits together (both
+    # sides are keyed pair SETS, so count(marker) ≡ the old separate
+    # counts and count(both) ≡ the old left_semi hit count) — which
+    # makes truth and found single-consumer, so their barriers bought
+    # nothing; (b) with every barrier gone the build performs no
+    # per-run materialization and the session plan memo amortizes its
+    # construction across passes, while every execution still runs
+    # the FULL retired-twin pipelines from parquet: exact
+    # ngram-Jaccard (truth), banded LSH candidates (cands), and the
+    # verified tail (found = the same _verified_from_buckets
+    # lsh_verified_pairs runs). The duplicated bucket lineage is
+    # collapsed by exchange reuse at runtime (the
+    # test_lsh_verified_reuses_bucket_exchange pin). Alternating A/B
+    # at sf0.1: 5.61 → 4.57 s median, identical rows.
+    truth = ngram_jaccard_pairs(spark, sf_dir, materialize=False).select(
+        "doc_a", "doc_b"
     )
-    buckets = run_materialize(_lsh_buckets(spark, sf_dir))
+    buckets = _lsh_buckets(spark, sf_dir)
     # cands deliberately NOT checkpointed: its verify-join consumer
     # wants the planner's stats (a LogicalRDD barrier hides them and
     # degraded the join strategy — A/B'd r14: checkpointing cands
     # measured slower than recomputing the cheap expansion twice).
     cands = _pairs_from_buckets(buckets).select("doc_a", "doc_b")
-    found = run_materialize(
-        _verified_from_buckets(spark, sf_dir, buckets, cands)
-        .select("doc_a", "doc_b")
-    )
-    n_true = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
-    n_cand = cands.agg(F.count(F.lit(1)).alias("n_candidates"))
-    n_found = found.agg(F.count(F.lit(1)).alias("n_verified"))
-    hits = (
-        truth.join(found, ["doc_a", "doc_b"], "left_semi")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
-    return (
-        n_true.crossJoin(n_cand).crossJoin(n_found).crossJoin(hits)
-        .select(
-            "n_true_pairs", "n_candidates", "n_verified", "n_hits",
-            F.round(
-                F.try_divide(F.col("n_hits"), F.col("n_true_pairs")), 6
-            ).alias("recall"),
-            F.round(
-                F.try_divide(F.col("n_verified"), F.col("n_candidates")),
-                6,
-            ).alias("candidate_precision"),
+    found = _verified_from_buckets(
+        spark, sf_dir, buckets, cands, materialize=False
+    ).select("doc_a", "doc_b")
+    tf = (
+        truth.withColumn("t", F.lit(1))
+        .join(
+            found.withColumn("f", F.lit(1)),
+            ["doc_a", "doc_b"],
+            "full_outer",
         )
+        .agg(
+            F.count("t").alias("n_true_pairs"),
+            F.count("f").alias("n_verified"),
+            F.count(
+                F.when(F.col("t").isNotNull() & F.col("f").isNotNull(), 1)
+            ).alias("n_hits"),
+        )
+    )
+    n_cand = cands.agg(F.count(F.lit(1)).alias("n_candidates"))
+    return tf.crossJoin(n_cand).select(
+        "n_true_pairs", "n_candidates", "n_verified", "n_hits",
+        F.round(
+            F.try_divide(F.col("n_hits"), F.col("n_true_pairs")), 6
+        ).alias("recall"),
+        F.round(
+            F.try_divide(F.col("n_verified"), F.col("n_candidates")), 6
+        ).alias("candidate_precision"),
     )
 
 

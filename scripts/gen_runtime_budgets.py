@@ -36,6 +36,10 @@ GUARDED = [
     "dedup_containment",
     "dedup_incremental",
     "dedup_cross_modal",
+    # r15: same barrier class (_containment_best_match ckpts) — its
+    # scan profile went {} when the goldens were regenerated after the
+    # r14 barriers, so the runtime guard is its only volume guard now
+    "dedup_fragments_incremental",
 ]
 
 
@@ -49,7 +53,11 @@ def main() -> None:
         shuffle_partitions=8,
     )
     spark.sparkContext.setLogLevel("ERROR")
-    queries = get_queries()
+    from customer_churn_prediction_spark.plans import registry
+
+    # registered + staged (dedup_fragments_incremental lives in the
+    # staged tier but carries the same checkpoint barriers)
+    queries = {**registry.get_staged_queries(), **get_queries()}
     out: dict[str, dict] = {}
     for name in GUARDED:
         # one warm pass (codegen/JIT, at-rest ingests), then the

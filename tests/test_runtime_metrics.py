@@ -67,9 +67,12 @@ INPUT_BYTES_SLACK = 1.5  # trend context; file-granular at the fixture
 @pytest.mark.parametrize("name", sorted(_BUDGETS))
 def test_runtime_volume_within_budget(spark, name):
     budget = _BUDGETS[name]
+    # registered + staged surface (r15: dedup_fragments_incremental is
+    # staged-tier but carries the same barriers)
+    surface = {**registry.get_staged_queries(), **registry.QUERIES}
     got = run_with_metrics(
         spark,
-        lambda: registry.QUERIES[name](spark, SF_TEST),
+        lambda: surface[name](spark, SF_TEST),
         f"runtime-guard-{name}",
     )
     assert got["input_records"] <= budget["input_records"] * RECORDS_SLACK, (
@@ -96,5 +99,6 @@ def test_runtime_volume_within_budget(spark, name):
 
 
 def test_every_guarded_query_is_registered():
-    missing = sorted(set(_BUDGETS) - set(registry.QUERIES))
+    surface = {**registry.get_staged_queries(), **registry.QUERIES}
+    missing = sorted(set(_BUDGETS) - set(surface))
     assert not missing, f"budget rows without a registered query: {missing}"
